@@ -1,0 +1,340 @@
+"""N-gram language modeling: counts → Witten-Bell ARPA → G.fst.
+
+Replaces the OpenGrm pipeline the reference shells out to
+(/root/reference/rhasspy_speech/kaldi.py:274-309: ``ngramcount --order=N |
+ngrammake --method=witten_bell | ngramprint --ARPA`` then format_lm.sh /
+``arpa2fst --disambig-symbol=#0``).
+
+- :func:`count_ngrams` computes *expected* n-gram counts over all paths of
+  the compiled grammar FST, weighting each path by exp(-cost) (OpenGrm
+  counts from an FST behave this way; the grammar's 0.03/word penalties
+  yield slightly fractional counts).
+- :func:`witten_bell` builds an interpolated Witten-Bell model (K=1,
+  OpenGrm's default method) in backoff form.
+- :func:`arpa_to_fst` compiles ARPA into the backoff word acceptor with #0
+  backoff arcs, Kaldi G.fst conventions (log-e weights, <s>/</s> folded
+  into start state and final weights).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, TextIO, Tuple
+
+from ..fst.core import EPS_ID, INF, Fst, SymbolTable
+
+BOS = "<s>"
+EOS = "</s>"
+
+NgramCounts = Dict[Tuple[str, ...], float]
+
+
+def count_ngrams(
+    fst: Fst,
+    order: int,
+    symbols: Optional[SymbolTable] = None,
+) -> NgramCounts:
+    """Expected n-gram counts (orders 1..order) over an acyclic word FST.
+
+    Each path contributes exp(-path_cost). Sentences are padded with <s>
+    and </s>. Input labels are counted; epsilons are skipped.
+    """
+    symbols = symbols or fst.isymbols
+    assert symbols is not None, "need a symbol table to count words"
+    if fst.start < 0:
+        return {}
+
+    # Backward mass: sum over suffix paths of exp(-cost)
+    topo = fst.copy().topsort()
+    n = topo.num_states
+    backward = [0.0] * n
+    for state in range(n - 1, -1, -1):
+        mass = math.exp(-topo.finals[state]) if topo.finals[state] != INF else 0.0
+        for _, _, w, ns in topo.arcs[state]:
+            mass += math.exp(-w) * backward[ns]
+        backward[state] = mass
+
+    counts: NgramCounts = {}
+
+    def bump(ngram: Tuple[str, ...], amount: float) -> None:
+        counts[ngram] = counts.get(ngram, 0.0) + amount
+
+    # Forward pass with word contexts: state -> {context: mass}
+    contexts: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(n)]
+    contexts[topo.start][(BOS,)] = 1.0
+
+    for state in range(n):
+        state_ctx = contexts[state]
+        if not state_ctx:
+            continue
+
+        final_w = topo.finals[state]
+        if final_w != INF:
+            final_mass = math.exp(-final_w)
+            for ctx, mass in state_ctx.items():
+                amount = mass * final_mass
+                # </s> with all context suffixes
+                for k in range(len(ctx) + 1):
+                    bump(ctx[k:] + (EOS,), amount)
+
+        for il, _, w, ns in topo.arcs[state]:
+            arc_mass = math.exp(-w)
+            if il == EPS_ID:
+                for ctx, mass in state_ctx.items():
+                    tail = backward[ns]
+                    del tail  # epsilon: context unchanged, no count
+                    contexts[ns][ctx] = contexts[ns].get(ctx, 0.0) + mass * arc_mass
+                continue
+
+            word = symbols.find_id(il)
+            assert word is not None, il
+            for ctx, mass in state_ctx.items():
+                amount = mass * arc_mass * backward[ns]
+                # Count the word with every context suffix (orders 1..order)
+                for k in range(len(ctx) + 1):
+                    ngram = ctx[k:] + (word,)
+                    if len(ngram) <= order:
+                        bump(ngram, amount)
+
+                new_ctx = (ctx + (word,))[-(order - 1):] if order > 1 else ()
+                contexts[ns][new_ctx] = contexts[ns].get(new_ctx, 0.0) + mass * arc_mass
+
+    # <s> unigram context count (for ARPA completeness)
+    total_sentences = backward[topo.start]
+    bump((BOS,), total_sentences)
+
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# Witten-Bell smoothing → ARPA
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ArpaModel:
+    order: int
+    # per order (1-based): ngram -> (log10 prob, log10 backoff or None)
+    ngrams: List[Dict[Tuple[str, ...], Tuple[float, Optional[float]]]] = field(
+        default_factory=list
+    )
+
+    def write(self, fileobj: TextIO) -> None:
+        print("\\data\\", file=fileobj)
+        for n in range(1, self.order + 1):
+            print(f"ngram {n}={len(self.ngrams[n - 1])}", file=fileobj)
+        for n in range(1, self.order + 1):
+            print(f"\n\\{n}-grams:", file=fileobj)
+            for ngram in sorted(self.ngrams[n - 1]):
+                logp, backoff = self.ngrams[n - 1][ngram]
+                text = " ".join(ngram)
+                if backoff is not None and backoff != 0.0:
+                    print(f"{logp:.6f}\t{text}\t{backoff:.6f}", file=fileobj)
+                else:
+                    print(f"{logp:.6f}\t{text}", file=fileobj)
+        print("\n\\end\\", file=fileobj)
+
+    @staticmethod
+    def read(fileobj: TextIO) -> "ArpaModel":
+        ngrams: List[Dict[Tuple[str, ...], Tuple[float, Optional[float]]]] = []
+        current: Optional[int] = None
+        order = 0
+        for line in fileobj:
+            line = line.strip()
+            if not line or line.startswith("\\data\\") or line.startswith("ngram "):
+                continue
+            if line.startswith("\\end\\"):
+                break
+            if line.startswith("\\") and line.endswith("-grams:"):
+                current = int(line[1:].split("-")[0])
+                order = max(order, current)
+                while len(ngrams) < current:
+                    ngrams.append({})
+                continue
+            if current is None:
+                continue
+            parts = line.split()
+            logp = float(parts[0])
+            rest = parts[1:]
+            backoff: Optional[float] = None
+            if len(rest) == current + 1:
+                backoff = float(rest[-1])
+                rest = rest[:-1]
+            ngrams[current - 1][tuple(rest)] = (logp, backoff)
+        return ArpaModel(order=order, ngrams=ngrams)
+
+
+_LOG10_MIN = -99.0
+
+
+def witten_bell(counts: NgramCounts, order: int) -> ArpaModel:
+    """Interpolated Witten-Bell in backoff ARPA form (OpenGrm default)."""
+    by_order: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    for ngram, count in counts.items():
+        if len(ngram) <= order:
+            by_order[len(ngram) - 1][ngram] = count
+
+    # Histories and their statistics per order
+    vocab = {ng[0] for ng in by_order[0]}
+    vocab.discard(BOS)
+    v_size = max(1, len(vocab))
+
+    # Interpolated probabilities, computed bottom-up
+    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+
+    # Unigrams: histories is the empty context
+    c_total = sum(c for ng, c in by_order[0].items() if ng[0] != BOS)
+    t_total = len([ng for ng in by_order[0] if ng[0] != BOS])
+    denom = c_total + t_total
+    for ngram, count in by_order[0].items():
+        word = ngram[0]
+        if word == BOS:
+            continue
+        probs[0][ngram] = (count + t_total * (1.0 / v_size)) / denom
+
+    for n in range(2, order + 1):
+        level = by_order[n - 1]
+        hist_count: Dict[Tuple[str, ...], float] = {}
+        hist_types: Dict[Tuple[str, ...], int] = {}
+        for ngram, count in level.items():
+            hist = ngram[:-1]
+            hist_count[hist] = hist_count.get(hist, 0.0) + count
+            hist_types[hist] = hist_types.get(hist, 0) + 1
+
+        for ngram, count in level.items():
+            hist = ngram[:-1]
+            t = hist_types[hist]
+            denom = hist_count[hist] + t
+            lower = probs[n - 2].get(ngram[1:], 1.0 / v_size)
+            probs[n - 1][ngram] = (count + t * lower) / denom
+
+    # Backoff weights: alpha(h) = T(h) / (c(h) + T(h))
+    model = ArpaModel(order=order, ngrams=[dict() for _ in range(order)])
+
+    def log10_safe(p: float) -> float:
+        return math.log10(p) if p > 0 else _LOG10_MIN
+
+    for n in range(1, order + 1):
+        level = by_order[n - 1]
+        # histories of order n (i.e. n-grams that serve as contexts for n+1)
+        next_hist_count: Dict[Tuple[str, ...], float] = {}
+        next_hist_types: Dict[Tuple[str, ...], int] = {}
+        if n < order:
+            for ngram, count in by_order[n].items():
+                hist = ngram[:-1]
+                next_hist_count[hist] = next_hist_count.get(hist, 0.0) + count
+                next_hist_types[hist] = next_hist_types.get(hist, 0) + 1
+
+        for ngram in level:
+            if n == 1 and ngram[0] == BOS:
+                logp = _LOG10_MIN  # <s> is context-only
+            else:
+                logp = log10_safe(probs[n - 1].get(ngram, 0.0))
+
+            backoff: Optional[float] = None
+            if n < order and (ngram in next_hist_count or ngram[-1] != EOS):
+                c_h = next_hist_count.get(ngram, 0.0)
+                t_h = next_hist_types.get(ngram, 0)
+                if t_h > 0:
+                    backoff = log10_safe(t_h / (c_h + t_h))
+                elif ngram[-1] != EOS:
+                    backoff = 0.0
+
+            model.ngrams[n - 1][ngram] = (logp, backoff)
+
+    return model
+
+
+# ---------------------------------------------------------------------------
+# ARPA → G.fst
+# ---------------------------------------------------------------------------
+
+_LN10 = math.log(10.0)
+
+
+def arpa_to_fst(
+    arpa: ArpaModel,
+    words: SymbolTable,
+    backoff_word: str = "#0",
+) -> Fst:
+    """Compile ARPA to the Kaldi-style backoff acceptor G.fst.
+
+    States are histories; backoff arcs carry the #0 disambiguation symbol on
+    the input side and epsilon output (format_lm.sh:55 / arpa2fst
+    --disambig-symbol=#0). Weights are -ln(prob).
+    """
+    fst = Fst(isymbols=words, osymbols=words)
+    backoff_id = words.find(backoff_word)
+    assert backoff_id is not None, f"{backoff_word} missing from words.txt"
+
+    state_of: Dict[Tuple[str, ...], int] = {}
+
+    def get_state(hist: Tuple[str, ...]) -> int:
+        sid = state_of.get(hist)
+        if sid is None:
+            sid = fst.add_state()
+            state_of[hist] = sid
+        return sid
+
+    unigram_state = get_state(())
+    start_state = get_state((BOS,)) if (BOS,) in arpa.ngrams[0] else unigram_state
+    fst.start = start_state
+
+    def backoff_target(hist: Tuple[str, ...]) -> Tuple[str, ...]:
+        return hist[1:]
+
+    def history_exists(hist: Tuple[str, ...]) -> bool:
+        if not hist:
+            return True
+        n = len(hist)
+        if n > arpa.order - 1:
+            return False
+        entry = arpa.ngrams[n - 1].get(hist)
+        return entry is not None and entry[1] is not None
+
+    def extend_history(hist: Tuple[str, ...], word: str) -> Tuple[str, ...]:
+        new_hist = hist + (word,)
+        while len(new_hist) > arpa.order - 1 or not history_exists(new_hist):
+            if not new_hist:
+                break
+            new_hist = new_hist[1:]
+        return new_hist
+
+    for n in range(1, arpa.order + 1):
+        for ngram, (logp, _backoff) in arpa.ngrams[n - 1].items():
+            hist, word = ngram[:-1], ngram[-1]
+            if n == 1 and word == BOS:
+                continue
+            src = get_state(hist)
+            weight = -logp * _LN10
+            if word == EOS:
+                fst.finals[src] = min(fst.finals[src], weight)
+                continue
+            word_id = words.find(word)
+            assert word_id is not None, f"LM word missing from table: {word}"
+            dst = get_state(extend_history(hist, word))
+            fst.add_arc(src, word_id, word_id, weight, dst)
+
+    # Backoff arcs
+    for n in range(1, arpa.order):
+        for ngram, (_logp, backoff) in arpa.ngrams[n - 1].items():
+            if backoff is None:
+                continue
+            if ngram not in state_of:
+                continue
+            src = state_of[ngram]
+            dst = get_state(backoff_target(ngram))
+            fst.add_arc(src, backoff_id, EPS_ID, -backoff * _LN10, dst)
+
+    return fst.connect().arcsort("ilabel")
+
+
+def make_arpa_from_fst(
+    grammar_fst: Fst,
+    order: int = 3,
+    symbols: Optional[SymbolTable] = None,
+) -> ArpaModel:
+    """ngramcount | ngrammake --method=witten_bell | ngramprint --ARPA."""
+    counts = count_ngrams(grammar_fst, order, symbols=symbols)
+    return witten_bell(counts, order)

@@ -1,0 +1,276 @@
+"""Lang layer tests: prepare_lang, L.fst semantics, n-gram LM, G graphs."""
+
+import io
+import math
+
+import pytest
+
+from rhasspy_speech_tpu.fst import EPS_ID, INF, Fst, compose, shortest_path
+from rhasspy_speech_tpu.grammar import Intents, compile_intents
+from rhasspy_speech_tpu.lexicon import LexiconDatabase
+from rhasspy_speech_tpu.lang import (
+    add_lex_disambig,
+    apply_position_markers,
+    arpa_to_fst,
+    count_ngrams,
+    make_arpa_from_fst,
+    make_fuzzy_g,
+    make_grammar_g,
+    make_lg,
+    prepare_lang,
+    witten_bell,
+)
+
+LEXICON = [
+    ("red", ["r", "eh", "d"]),
+    ("read", ["r", "eh", "d"]),  # homophone -> needs disambig
+    ("reader", ["r", "eh", "d", "er"]),  # prefix relationship
+    ("alert", ["ah", "l", "er", "t"]),
+    ("a", ["ah"]),
+]
+
+
+def test_position_markers():
+    marked = apply_position_markers([("a", ["ah"]), ("red", ["r", "eh", "d"])])
+    assert marked == [
+        ("a", ["ah_S"]),
+        ("red", ["r_B", "eh_I", "d_E"]),
+    ]
+
+
+def test_add_lex_disambig():
+    entries, ndisambig = add_lex_disambig(LEXICON)
+    by_word = {}
+    for word, phones, disambig in entries:
+        by_word.setdefault(word, []).append((phones, disambig))
+
+    # Homophones get #1 and #2; their shared pron is also a prefix of reader
+    red = by_word["red"][0][1]
+    read = by_word["read"][0][1]
+    assert {red, read} == {1, 2}
+    # reader is unique and not a prefix -> no disambig
+    assert by_word["reader"][0][1] is None
+    # 'a' ("ah") is a prefix of alert's pron -> gets its own #1
+    assert by_word["a"][0][1] == 1
+    assert ndisambig == 2
+
+
+def test_prepare_lang_structure():
+    lang = prepare_lang(LEXICON, silence_phones=["SIL", "SPN"])
+
+    # words.txt conventions
+    assert lang.words.find("<eps>") == 0
+    word_ids = [lang.words.find(w) for w in sorted({w for w, _ in LEXICON})]
+    assert word_ids == sorted(word_ids)
+    assert lang.words.find("#0") == max(word_ids) + 1
+    assert lang.words.find("<s>") == lang.words.find("#0") + 1
+    assert lang.words.find("</s>") == lang.words.find("#0") + 2
+
+    # phones.txt: eps, silence variants first
+    assert lang.phones.find("<eps>") == 0
+    assert lang.phones.find("SIL") == 1
+    assert lang.phones.find("#0") is not None
+
+    # L_disambig must pass #0 through
+    has_passthrough = any(
+        il == lang.wdisambig_phone and ol == lang.wdisambig_word and ns == s
+        for s in range(lang.L_disambig.num_states)
+        for (il, ol, w, ns) in lang.L_disambig.arcs[s]
+    )
+    assert has_passthrough
+
+
+def _word_acceptor(words, lang):
+    fst = Fst()
+    state = fst.add_state()
+    for w in words:
+        nxt = fst.add_state()
+        wid = lang.words.find(w)
+        assert wid is not None
+        fst.add_arc(state, wid, wid, 0.0, nxt)
+        state = nxt
+    fst.set_final(state)
+    return fst
+
+
+def test_l_fst_spells_words():
+    lang = prepare_lang(LEXICON, silence_phones=["SIL", "SPN"])
+    # Compose L with a word acceptor "red alert" and check the phone path
+    sentence = _word_acceptor(["red", "alert"], lang)
+    lp = compose(lang.L, sentence)
+    best = shortest_path(lp, nshortest=1)
+    paths = best.paths()
+    assert paths
+    iphones, owords, _ = paths[0]
+    phone_names = [lang.phones.find_id(p) for p in iphones]
+    # Silence optional on the best path; strip optional SILs
+    non_sil = [p for p in phone_names if not p.startswith("SIL")]
+    assert non_sil == ["r_B", "eh_I", "d_E", "ah_B", "l_I", "er_I", "t_E"]
+    word_names = [lang.words.find_id(w) for w in owords]
+    assert word_names == ["red", "alert"]
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM
+# ---------------------------------------------------------------------------
+
+
+def _sentence_fst(sentences, table):
+    """Union acceptor of word sequences (equal weight 0)."""
+    fst = Fst()
+    start = fst.add_state()
+    final = fst.add_state()
+    fst.set_final(final)
+    for sent in sentences:
+        state = start
+        for word in sent.split():
+            wid = table.find(word) or table.add(word)
+            nxt = fst.add_state()
+            fst.add_arc(state, wid, wid, 0.0, nxt)
+            state = nxt
+        fst.add_arc(state, EPS_ID, EPS_ID, 0.0, final)
+    return fst
+
+
+def test_count_ngrams():
+    from rhasspy_speech_tpu.fst import SymbolTable
+
+    table = SymbolTable()
+    fst = _sentence_fst(["a b", "a c"], table)
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+
+    assert counts[("a",)] == pytest.approx(2.0)
+    assert counts[("b",)] == pytest.approx(1.0)
+    assert counts[("<s>", "a")] == pytest.approx(2.0)
+    assert counts[("a", "b")] == pytest.approx(1.0)
+    assert counts[("b", "</s>")] == pytest.approx(1.0)
+    assert counts[("</s>",)] == pytest.approx(2.0)
+
+
+def test_witten_bell_probabilities_sum_to_one():
+    from rhasspy_speech_tpu.fst import SymbolTable
+
+    table = SymbolTable()
+    fst = _sentence_fst(["a b", "a c", "b c a"], table)
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+    arpa = witten_bell(counts, order=2)
+
+    # For each bigram history, sum of explicit probs + alpha * lower-order
+    # mass of unseen words must be ~1
+    unigrams = {
+        ng[0]: 10 ** logp
+        for ng, (logp, _b) in arpa.ngrams[0].items()
+        if ng[0] != "<s>"
+    }
+    for hist_tuple, (_p, backoff) in arpa.ngrams[0].items():
+        if backoff is None:
+            continue
+        hist = hist_tuple[0]
+        seen = {
+            ng[1]: 10 ** logp
+            for ng, (logp, _) in arpa.ngrams[1].items()
+            if ng[0] == hist
+        }
+        alpha = 10 ** backoff
+        unseen_mass = sum(p for w, p in unigrams.items() if w not in seen)
+        total = sum(seen.values()) + alpha * unseen_mass
+        assert total == pytest.approx(1.0, abs=0.02), hist
+
+
+def test_arpa_to_fst_scores():
+    """G.fst must score an in-grammar sentence with finite cost and use
+    backoff (#0) for unseen combinations."""
+    lang = prepare_lang(LEXICON, silence_phones=["SIL", "SPN"])
+    sentences = ["red alert", "read a", "a reader"]
+    g_input = _sentence_fst(sentences, lang.words)
+    g_input.isymbols = lang.words
+    arpa = make_arpa_from_fst(g_input, order=2, symbols=lang.words)
+    g = arpa_to_fst(arpa, lang.words)
+
+    # In-grammar sentence: compose a plain acceptor (treat #0 as phi)
+    phi = lang.words.find("#0")
+    seen_cost = _score(g, _word_acceptor(["red", "alert"], lang), phi)
+    assert seen_cost < 10
+
+    # Unseen-but-backed-off: "alert red" goes through backoff arcs
+    unseen_cost = _score(g, _word_acceptor(["alert", "red"], lang), phi)
+    assert INF > unseen_cost > seen_cost
+
+
+def _score(g, acceptor, phi):
+    composed = compose(acceptor, g, phi_label=phi)
+    best = shortest_path(composed, nshortest=1)
+    paths = best.paths()
+    if not paths:
+        return INF
+    return min(w for _, _, w in paths)
+
+
+# ---------------------------------------------------------------------------
+# Grammar G + fuzzy + LG end-to-end over a real template grammar
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def grammar_ctx():
+    intents = Intents.from_dict(
+        {
+            "language": "en",
+            "intents": {
+                "Main": {
+                    "data": [
+                        {"sentences": ["red alert", "read a [reader]"]}
+                    ]
+                }
+            },
+        }
+    )
+    lexicon = LexiconDatabase()
+    for word, phones in LEXICON:
+        lexicon.add(word, [phones])
+    return compile_intents(intents, io.StringIO(), lexicon, number_language="en")
+
+
+def test_make_grammar_g(grammar_ctx):
+    lang = prepare_lang(LEXICON, silence_phones=["SIL", "SPN"])
+    g = make_grammar_g(grammar_ctx.fst_file, lang.words)
+
+    langs = set()
+    for ipath, _opath, _w in g.paths():
+        langs.add(" ".join(lang.words.find_id(i) for i in ipath))
+    assert langs == {"red alert", "read a", "read a reader"}
+
+
+def test_fuzzy_g_deletion(grammar_ctx):
+    lang = prepare_lang(LEXICON, silence_phones=["SIL", "SPN"])
+    grammar_ctx.fst_file.seek(0)
+    g = make_grammar_g(grammar_ctx.fst_file, lang.words)
+    fuzzy = make_fuzzy_g(g, grammar_ctx.vocab, lang.words)
+
+    # Input with an inserted word still matches, at cost ~1 per deletion
+    noisy = _word_acceptor(["red", "red", "alert"], lang)
+    composed = compose(noisy, fuzzy)
+    best = shortest_path(composed, nshortest=1)
+    paths = best.paths()
+    assert paths
+    cost = min(w for _, _, w in paths)
+    assert 0.9 < cost < 1.5
+
+
+def test_make_lg(grammar_ctx):
+    lang = prepare_lang(LEXICON, silence_phones=["SIL", "SPN"])
+    grammar_ctx.fst_file.seek(0)
+    g = make_grammar_g(grammar_ctx.fst_file, lang.words)
+    lg = make_lg(lang, g)
+
+    # LG maps phone sequences to word sequences: best path for the phones
+    # of "red alert" must output those words
+    assert lg.num_states > 0
+    best = shortest_path(lg, nshortest=1)
+    paths = best.paths()
+    assert paths
+    _, owords, _ = paths[0]
+    out = [lang.words.find_id(w) for w in owords if w != EPS_ID]
+    assert out in (["red", "alert"], ["read", "a"], ["read", "a", "reader"])
