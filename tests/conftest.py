@@ -1,7 +1,9 @@
 """Test configuration.
 
 Force JAX onto a virtual 8-device CPU platform so sharding/pjit tests run
-without TPU hardware. Must run before jax is imported anywhere.
+fast and without TPU hardware. The axon TPU plugin registers itself even
+when ``JAX_PLATFORMS=cpu`` is set, so the default device must also be pinned
+to CPU explicitly after import.
 """
 
 import os
@@ -15,3 +17,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -1,0 +1,105 @@
+"""MFCC frontend tests: JAX batched path vs NumPy float64 reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rhasspy_speech_tpu.ops.frontend import (
+    FrontendConfig,
+    make_dct_matrix,
+    make_frontend_params,
+    make_lifter_coeffs,
+    make_mel_matrix,
+    mfcc_batch,
+    mfcc_numpy,
+    num_frames,
+)
+
+
+def _speechlike(rng: np.random.RandomState, n: int) -> np.ndarray:
+    """Synthetic 16 kHz speech-ish signal in int16 range."""
+    t = np.arange(n) / 16000.0
+    sig = (
+        4000 * np.sin(2 * np.pi * 220 * t)
+        + 2000 * np.sin(2 * np.pi * 880 * t + 0.5)
+        + 500 * rng.randn(n)
+    )
+    return sig.astype(np.float32)
+
+
+def test_num_frames():
+    cfg = FrontendConfig()
+    assert cfg.frame_length == 400
+    assert cfg.frame_shift == 160
+    assert cfg.padded_window_size == 512
+    assert num_frames(cfg, 399) == 0
+    assert num_frames(cfg, 400) == 1
+    assert num_frames(cfg, 560) == 2
+    assert num_frames(cfg, 16000) == 98
+
+
+def test_mel_matrix_shape_and_partition():
+    cfg = FrontendConfig()
+    mel = make_mel_matrix(cfg)
+    assert mel.shape == (257, 40)
+    # Nyquist row unused (Kaldi loops over padded/2 bins only)
+    assert np.all(mel[-1] == 0)
+    # Each filter is nonnegative, peaks near 1
+    assert mel.min() >= 0
+    assert 0.5 < mel.max() <= 1.0
+    # Every filter has support
+    assert np.all(mel.sum(axis=0) > 0)
+
+
+def test_dct_orthonormal():
+    d = make_dct_matrix(40, 40)  # [mel, ceps] transposed layout
+    ident = d.T @ d
+    np.testing.assert_allclose(ident, np.eye(40), atol=1e-12)
+
+
+def test_lifter():
+    lifter = make_lifter_coeffs(22.0, 13)
+    assert lifter[0] == 1.0
+    assert lifter.max() <= 12.0001
+
+
+@pytest.mark.parametrize("use_energy", [False, True])
+def test_mfcc_jax_matches_numpy(use_energy):
+    cfg = FrontendConfig(use_energy=use_energy)
+    rng = np.random.RandomState(0)
+    batch = np.stack([_speechlike(rng, 8000) for _ in range(3)])
+
+    params = make_frontend_params(cfg)
+    got = np.asarray(mfcc_batch(params, jnp.asarray(batch)))
+
+    assert got.shape == (3, num_frames(cfg, 8000), cfg.num_ceps)
+    for b in range(3):
+        want = mfcc_numpy(cfg, batch[b])
+        # float32 pipeline vs float64 reference on values of magnitude ~1e1
+        np.testing.assert_allclose(got[b], want, rtol=2e-3, atol=2e-2)
+
+
+def test_mfcc_13dim_default_kaldi():
+    """Kaldi default (13 ceps / 23 mel bins) config also runs."""
+    cfg = FrontendConfig(num_mel_bins=23, num_ceps=13, low_freq=20.0, high_freq=0.0)
+    rng = np.random.RandomState(1)
+    sig = _speechlike(rng, 4000)
+    params = make_frontend_params(cfg)
+    got = np.asarray(mfcc_batch(params, jnp.asarray(sig[None])))[0]
+    want = mfcc_numpy(cfg, sig)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-2)
+
+
+def test_mfcc_jit_and_batch_consistency():
+    import jax
+
+    cfg = FrontendConfig()
+    params = make_frontend_params(cfg)
+    rng = np.random.RandomState(2)
+    batch = np.stack([_speechlike(rng, 6400) for _ in range(4)])
+
+    fn = jax.jit(lambda s: mfcc_batch(params, s))
+    out = np.asarray(fn(jnp.asarray(batch)))
+    single = np.asarray(fn(jnp.asarray(batch[1:2])))
+    np.testing.assert_allclose(out[1:2], single, rtol=1e-5, atol=1e-4)
