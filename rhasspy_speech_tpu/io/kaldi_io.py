@@ -1,0 +1,234 @@
+"""Kaldi binary stream format: tokens, basic types, vectors, matrices.
+
+Byte layout follows the reference implementation exactly:
+- kaldi/src/base/io-funcs.cc:134-152 (WriteToken: ASCII + trailing space),
+- kaldi/src/base/io-funcs.cc:51-59 (WriteBasicType: size byte + raw LE value;
+  bool is a single 'T'/'F' char),
+- kaldi/src/base/io-funcs-inl.h WriteIntegerVector (elem-size byte + raw
+  int32 count + raw data),
+- kaldi/src/matrix/kaldi-vector.cc / kaldi-matrix.cc ("FV"/"DV"/"FM"/"DM"
+  token + dims + raw row-major data),
+- kaldi/src/base/io-funcs-inl.h:291-296 (binary streams start "\\0B").
+
+Only binary mode is implemented: every published model artifact the
+reference consumes is binary. Text-mode files raise with a clear message.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, Union
+
+import numpy as np
+
+
+class KaldiFormatError(ValueError):
+    pass
+
+
+class KaldiReader:
+    """Sequential reader over a Kaldi binary stream."""
+
+    def __init__(self, stream: BinaryIO, check_header: bool = True):
+        self._s = stream
+        if check_header:
+            head = stream.read(2)
+            if head != b"\x00B":
+                raise KaldiFormatError(
+                    f"not a Kaldi binary stream (got {head!r}); "
+                    "text-format files are not supported"
+                )
+
+    # -- low level ---------------------------------------------------------
+
+    def read_bytes(self, n: int) -> bytes:
+        data = self._s.read(n)
+        if len(data) != n:
+            raise KaldiFormatError(f"unexpected EOF (wanted {n}, got {len(data)})")
+        return data
+
+    def peek_byte(self) -> int:
+        pos = self._s.tell()
+        b = self._s.read(1)
+        self._s.seek(pos)
+        if not b:
+            return -1
+        return b[0]
+
+    def peek_token_start(self) -> str:
+        """First character of the next token (after the conventional single
+        space that terminates the previous token), like Kaldi PeekToken."""
+        pos = self._s.tell()
+        b = self._s.read(1)
+        if b == b" ":
+            b = self._s.read(1)
+        self._s.seek(pos)
+        return b.decode("latin-1") if b else ""
+
+    # -- tokens ------------------------------------------------------------
+
+    def read_token(self) -> str:
+        chars = []
+        while True:
+            b = self._s.read(1)
+            if not b:
+                if chars:
+                    break
+                raise KaldiFormatError("EOF while reading token")
+            if b in b" \n\t\r":
+                if chars:
+                    break
+                continue  # skip leading whitespace
+            chars.append(b)
+        return b"".join(chars).decode("utf-8")
+
+    def expect_token(self, token: str) -> None:
+        got = self.read_token()
+        if got != token:
+            raise KaldiFormatError(f"expected token {token!r}, got {got!r}")
+
+    # -- basic types -------------------------------------------------------
+
+    def read_int(self) -> int:
+        size = self.read_bytes(1)[0]
+        if size == 4:
+            return struct.unpack("<i", self.read_bytes(4))[0]
+        if size == 8:
+            return struct.unpack("<q", self.read_bytes(8))[0]
+        if size == 2:
+            return struct.unpack("<h", self.read_bytes(2))[0]
+        if size == 1:
+            return struct.unpack("<b", self.read_bytes(1))[0]
+        raise KaldiFormatError(f"bad int size byte {size}")
+
+    def read_float(self) -> float:
+        size = self.read_bytes(1)[0]
+        if size == 4:
+            return struct.unpack("<f", self.read_bytes(4))[0]
+        if size == 8:
+            return struct.unpack("<d", self.read_bytes(8))[0]
+        raise KaldiFormatError(f"bad float size byte {size}")
+
+    def read_bool(self) -> bool:
+        b = self.read_bytes(1)
+        if b == b"T":
+            return True
+        if b == b"F":
+            return False
+        raise KaldiFormatError(f"bad bool byte {b!r}")
+
+    def read_int_vector(self) -> np.ndarray:
+        elem_size = self.read_bytes(1)[0]
+        count = struct.unpack("<i", self.read_bytes(4))[0]
+        if count < 0:
+            raise KaldiFormatError(f"bad vector count {count}")
+        dtype = {4: "<i4", 8: "<i8", 2: "<i2", 1: "<i1"}.get(elem_size)
+        if dtype is None:
+            raise KaldiFormatError(f"bad int vector elem size {elem_size}")
+        return np.frombuffer(self.read_bytes(elem_size * count), dtype=dtype).astype(
+            np.int64
+        )
+
+    # -- vectors / matrices --------------------------------------------------
+
+    def read_vector(self) -> np.ndarray:
+        token = self.read_token()
+        if token == "FV":
+            dtype, width = "<f4", 4
+        elif token == "DV":
+            dtype, width = "<f8", 8
+        else:
+            raise KaldiFormatError(f"expected FV/DV, got {token!r}")
+        dim = self.read_int()
+        return np.frombuffer(self.read_bytes(width * dim), dtype=dtype).astype(
+            np.float64 if width == 8 else np.float32
+        )
+
+    def read_matrix(self) -> np.ndarray:
+        token = self.read_token()
+        if token == "FM":
+            dtype, width = "<f4", 4
+        elif token == "DM":
+            dtype, width = "<f8", 8
+        elif token == "CM":
+            raise KaldiFormatError("compressed matrices (CM) not supported yet")
+        else:
+            raise KaldiFormatError(f"expected FM/DM, got {token!r}")
+        rows = self.read_int()
+        cols = self.read_int()
+        data = np.frombuffer(self.read_bytes(width * rows * cols), dtype=dtype)
+        out = data.reshape(rows, cols)
+        return out.astype(np.float64 if width == 8 else np.float32)
+
+
+class KaldiWriter:
+    """Sequential writer producing Kaldi binary streams (for synthetic test
+    models and artifact export)."""
+
+    def __init__(self, stream: BinaryIO, write_header: bool = True):
+        self._s = stream
+        if write_header:
+            stream.write(b"\x00B")
+
+    def write_token(self, token: str) -> None:
+        self._s.write(token.encode("utf-8") + b" ")
+
+    def write_int(self, value: int) -> None:
+        self._s.write(b"\x04" + struct.pack("<i", int(value)))
+
+    def write_float(self, value: float) -> None:
+        self._s.write(b"\x04" + struct.pack("<f", float(value)))
+
+    def write_double(self, value: float) -> None:
+        self._s.write(b"\x08" + struct.pack("<d", float(value)))
+
+    def write_bool(self, value: bool) -> None:
+        self._s.write(b"T" if value else b"F")
+
+    def write_int_vector(self, values) -> None:
+        arr = np.asarray(values, dtype="<i4")
+        self._s.write(b"\x04" + struct.pack("<i", arr.shape[0]))
+        self._s.write(arr.tobytes())
+
+    def write_vector(self, vec: np.ndarray) -> None:
+        vec = np.asarray(vec)
+        if vec.dtype == np.float64:
+            self.write_token("DV")
+            self._s.write(b"\x04" + struct.pack("<i", vec.shape[0]))
+            self._s.write(vec.astype("<f8").tobytes())
+        else:
+            self.write_token("FV")
+            self._s.write(b"\x04" + struct.pack("<i", vec.shape[0]))
+            self._s.write(vec.astype("<f4").tobytes())
+
+    def write_matrix(self, mat: np.ndarray) -> None:
+        mat = np.asarray(mat)
+        if mat.dtype == np.float64:
+            self.write_token("DM")
+        else:
+            self.write_token("FM")
+        self.write_int(mat.shape[0])
+        self.write_int(mat.shape[1])
+        if mat.dtype == np.float64:
+            self._s.write(np.ascontiguousarray(mat, dtype="<f8").tobytes())
+        else:
+            self._s.write(np.ascontiguousarray(mat, dtype="<f4").tobytes())
+
+    def write_raw(self, data: bytes) -> None:
+        self._s.write(data)
+
+
+def read_kaldi_object(path: str) -> Union[np.ndarray]:
+    """Read a standalone Kaldi object file (e.g. final.mat = one matrix)."""
+    with open(path, "rb") as f:
+        reader = KaldiReader(f)
+        start = reader.peek_token_start()
+        if start in ("F", "D", "C"):
+            pos = f.tell()
+            token = reader.read_token()
+            f.seek(pos)
+            if token in ("FM", "DM", "CM"):
+                return reader.read_matrix()
+            if token in ("FV", "DV"):
+                return reader.read_vector()
+        raise KaldiFormatError(f"cannot infer object type in {path}")
