@@ -1,0 +1,268 @@
+"""Batched dense Viterbi decoding on TPU.
+
+Replaces Kaldi's LatticeFasterDecoder beam search
+(kaldi/src/decoder/lattice-faster-decoder.cc:580-870: per-frame
+ProcessEmitting/ProcessNonemitting over a sparse token frontier) with a
+dense max-plus dynamic program over the whole state set, batched over
+streams: template-grammar HCLGs are small, so keeping every state active is
+cheaper on TPU than managing a sparse frontier, and it removes all
+data-dependent control flow — one ``lax.scan`` over frames, each step a
+gather + scatter-min over the flat arc table.
+
+Epsilon arcs were folded into the arc table / initial / final closures by
+graph/dense.py, so every decode step consumes exactly one acoustic frame.
+
+Two entry points:
+- ``viterbi``: 1-best per stream, backpointers [T, B, S] for host backtrace.
+- ``viterbi_kbest``: K hypotheses per state (track-merge K-best Viterbi),
+  giving n-best word sequences for the fuzzy-match / rescore stages
+  (replaces lattice-to-nbest | nbest-to-linear, latbin/lattice-to-nbest.cc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.dense import NEG_INF_F32, DenseGraph
+
+INF_COST = jnp.float32(NEG_INF_F32)
+
+
+@dataclass(frozen=True)
+class DeviceGraph:
+    """DenseGraph tensors resident on device (jnp arrays)."""
+
+    num_states: int
+    num_pdfs: int
+    arc_src: jnp.ndarray  # int32 [A]
+    arc_dst: jnp.ndarray  # int32 [A]
+    arc_pdf: jnp.ndarray  # int32 [A]
+    arc_weight: jnp.ndarray  # f32 [A]
+    init_weight: jnp.ndarray  # f32 [S]
+    final_weight: jnp.ndarray  # f32 [S]
+
+    @staticmethod
+    def from_dense(g: DenseGraph) -> "DeviceGraph":
+        return DeviceGraph(
+            num_states=g.num_states,
+            num_pdfs=g.num_pdfs,
+            arc_src=jnp.asarray(g.arc_src),
+            arc_dst=jnp.asarray(g.arc_dst),
+            arc_pdf=jnp.asarray(g.arc_pdf),
+            arc_weight=jnp.asarray(g.arc_weight),
+            init_weight=jnp.asarray(g.init_weight),
+            final_weight=jnp.asarray(g.final_weight),
+        )
+
+    @property
+    def num_arcs(self) -> int:
+        return int(self.arc_src.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# 1-best
+# ---------------------------------------------------------------------------
+
+
+def viterbi_step(
+    graph: DeviceGraph, alpha: jnp.ndarray, am_cost: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One decode frame.
+
+    alpha: [B, S] path costs; am_cost: [B, P] = -scale * log p(pdf).
+    Returns (new_alpha [B, S], best_arc [B, S] int32, -1 if unreached).
+    """
+    B = alpha.shape[0]
+    S = graph.num_states
+    A = graph.num_arcs
+    scores = (
+        alpha[:, graph.arc_src] + graph.arc_weight[None, :]
+        + am_cost[:, graph.arc_pdf]
+    )  # [B, A]
+    scores = jnp.minimum(scores, INF_COST)
+    new_alpha = jnp.full((B, S), INF_COST).at[:, graph.arc_dst].min(scores)
+    # winning arc = min arc index among score == new_alpha[dst]
+    is_best = scores <= new_alpha[:, graph.arc_dst]
+    arc_ids = jnp.arange(A, dtype=jnp.int32)
+    cand = jnp.where(is_best, arc_ids[None, :], A)
+    best_arc = jnp.full((B, S), A, dtype=jnp.int32).at[:, graph.arc_dst].min(cand)
+    best_arc = jnp.where(new_alpha >= INF_COST, -1, best_arc)
+    return new_alpha, best_arc
+
+
+def viterbi(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    acoustic_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched dense Viterbi over [B, T, P] log-probs.
+
+    Returns (alpha_final [B, S], backptr [T, B, S] int32). Jittable; the
+    backtrace runs on host (see backtrace_words)."""
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
+    alpha0 = jnp.broadcast_to(
+        graph.init_weight[None, :], (log_probs.shape[0], graph.num_states)
+    )
+
+    def step(alpha, am_t):
+        new_alpha, bp = viterbi_step(graph, alpha, am_t)
+        return new_alpha, bp
+
+    alpha_final, bps = jax.lax.scan(step, alpha0, am_costs)
+    return alpha_final, bps
+
+
+def backtrace_words(
+    graph: DenseGraph,
+    alpha_final: np.ndarray,
+    backptr: np.ndarray,
+    stream: int,
+    num_frames: Optional[int] = None,
+) -> Tuple[Optional[List[int]], float]:
+    """Host-side 1-best backtrace for one stream.
+
+    Returns (word ids, total cost) or (None, inf) when no complete path."""
+    T = backptr.shape[0] if num_frames is None else num_frames
+    alpha = alpha_final[stream]
+    totals = alpha + graph.final_weight
+    state = int(np.argmin(totals))
+    if totals[state] >= NEG_INF_F32:
+        return None, float("inf")
+    cost = float(totals[state])
+
+    words_rev: List[Tuple[int, ...]] = [graph.words_of(int(graph.final_wseq[state]))]
+    for t in range(T - 1, -1, -1):
+        arc = int(backptr[t, stream, state])
+        if arc < 0:
+            return None, float("inf")
+        words_rev.append(graph.words_of(int(graph.arc_wseq[arc])))
+        state = int(graph.arc_src[arc])
+    words_rev.append(graph.words_of(int(graph.init_wseq[state])))
+
+    words: List[int] = []
+    for seq in reversed(words_rev):
+        words.extend(seq)
+    return words, cost
+
+
+# ---------------------------------------------------------------------------
+# K-best (n-best extraction)
+# ---------------------------------------------------------------------------
+
+
+def kbest_step(
+    graph: DeviceGraph, alpha: jnp.ndarray, am_cost: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One frame of K-best Viterbi.
+
+    alpha: [B, S, K]; returns (new_alpha [B, S, K],
+    bp [B, S, K] int32 = winning flat candidate arc*K + k_prev, or -1)."""
+    B, S, K = alpha.shape
+    A = graph.num_arcs
+    # candidate costs for (arc a, prev-rank k): [B, A, K]
+    cand = (
+        alpha[:, graph.arc_src, :]
+        + graph.arc_weight[None, :, None]
+        + am_cost[:, graph.arc_pdf, None]
+    )
+    cand = jnp.minimum(cand, INF_COST).reshape(B, A * K)
+    dst_flat = jnp.repeat(graph.arc_dst, K)  # [A*K]
+    flat_ids = jnp.arange(A * K, dtype=jnp.int32)
+
+    alphas = []
+    bps = []
+    for _ in range(k):
+        m = jnp.full((B, S), INF_COST).at[:, dst_flat].min(cand)  # [B, S]
+        is_best = cand <= m[:, dst_flat]
+        sel = jnp.where(is_best, flat_ids[None, :], A * K)
+        bp = jnp.full((B, S), A * K, dtype=jnp.int32).at[:, dst_flat].min(sel)
+        bp = jnp.where(m >= INF_COST, -1, bp)
+        alphas.append(m)
+        bps.append(bp)
+        # knock out the selected candidate so the next round finds rank+1
+        taken = bp[:, dst_flat] == flat_ids[None, :]
+        cand = jnp.where(taken, INF_COST, cand)
+    return jnp.stack(alphas, axis=-1), jnp.stack(bps, axis=-1)
+
+
+def viterbi_kbest(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    k: int,
+    acoustic_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K-best batched Viterbi. Returns (alpha_final [B, S, K],
+    backptr [T, B, S, K] int32 flat ids arc*K + k_prev)."""
+    B = log_probs.shape[0]
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)
+    alpha0 = jnp.full((B, graph.num_states, k), INF_COST)
+    alpha0 = alpha0.at[:, :, 0].set(
+        jnp.broadcast_to(graph.init_weight[None, :], (B, graph.num_states))
+    )
+
+    def step(alpha, am_t):
+        new_alpha, bp = kbest_step(graph, alpha, am_t, k)
+        return new_alpha, bp
+
+    alpha_final, bps = jax.lax.scan(step, alpha0, am_costs)
+    return alpha_final, bps
+
+
+def backtrace_nbest(
+    graph: DenseGraph,
+    alpha_final: np.ndarray,
+    backptr: np.ndarray,
+    stream: int,
+    n: int,
+    num_frames: Optional[int] = None,
+    dedup: bool = True,
+) -> List[Tuple[List[int], float]]:
+    """Host-side n-best backtrace for one stream from K-best tensors.
+
+    Returns up to n (word ids, cost) pairs sorted by cost; word-sequence
+    duplicates keep the cheapest (like nbest after lattice determinization)."""
+    T = backptr.shape[0] if num_frames is None else num_frames
+    S, K = alpha_final.shape[1], alpha_final.shape[2]
+    totals = alpha_final[stream] + graph.final_weight[:, None]  # [S, K]
+    flat_order = np.argsort(totals, axis=None, kind="stable")
+
+    results: List[Tuple[List[int], float]] = []
+    seen = set()
+    for flat in flat_order:
+        state, rank = divmod(int(flat), K)
+        cost = float(totals[state, rank])
+        if cost >= NEG_INF_F32:
+            break
+        words_rev: List[Tuple[int, ...]] = [
+            graph.words_of(int(graph.final_wseq[state]))
+        ]
+        s, r = state, rank
+        dead = False
+        for t in range(T - 1, -1, -1):
+            entry = int(backptr[t, stream, s, r])
+            if entry < 0:
+                dead = True
+                break
+            arc, r = divmod(entry, K)
+            words_rev.append(graph.words_of(int(graph.arc_wseq[arc])))
+            s = int(graph.arc_src[arc])
+        if dead:
+            continue
+        words_rev.append(graph.words_of(int(graph.init_wseq[s])))
+        words: List[int] = []
+        for seq in reversed(words_rev):
+            words.extend(seq)
+        key = tuple(words)
+        if dedup and key in seen:
+            continue
+        seen.add(key)
+        results.append((words, cost))
+        if len(results) >= n:
+            break
+    return results

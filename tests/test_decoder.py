@@ -1,0 +1,194 @@
+"""TPU dense Viterbi decoder tests vs the NumPy reference DP."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rhasspy_speech_tpu.graph.dense import NEG_INF_F32, DenseGraph, viterbi_numpy
+from rhasspy_speech_tpu.ops.decoder import (
+    DeviceGraph,
+    backtrace_nbest,
+    backtrace_words,
+    viterbi,
+    viterbi_kbest,
+)
+
+
+def _random_graph(rng, num_states=12, num_pdfs=6, extra_arcs=30) -> DenseGraph:
+    """Random connected left-to-right-ish graph; every state final-able."""
+    srcs, dsts, pdfs, weights, wseqs = [], [], [], [], []
+    word_seqs = [()]
+    wseq_ids = {(): 0}
+
+    def intern(seq):
+        if seq not in wseq_ids:
+            wseq_ids[seq] = len(word_seqs)
+            word_seqs.append(seq)
+        return wseq_ids[seq]
+
+    # chain to guarantee connectivity + self loops
+    for s in range(num_states):
+        nxt = (s + 1) % num_states
+        srcs += [s, s]
+        dsts += [nxt, s]
+        pdfs += [int(rng.randint(num_pdfs)), int(rng.randint(num_pdfs))]
+        weights += [float(rng.rand()), float(rng.rand())]
+        wseqs += [intern((s + 1,)), intern(())]
+    for _ in range(extra_arcs):
+        s, d = rng.randint(num_states, size=2)
+        srcs.append(int(s))
+        dsts.append(int(d))
+        pdfs.append(int(rng.randint(num_pdfs)))
+        weights.append(float(rng.rand()))
+        wseqs.append(intern((int(rng.randint(1, 50)),)))
+
+    init = np.full(num_states, NEG_INF_F32, dtype=np.float32)
+    init[0] = 0.0
+    final = np.full(num_states, NEG_INF_F32, dtype=np.float32)
+    final[num_states - 1] = 0.25
+    final[num_states // 2] = 0.5
+    return DenseGraph(
+        num_states=num_states,
+        arc_src=np.asarray(srcs, dtype=np.int32),
+        arc_dst=np.asarray(dsts, dtype=np.int32),
+        arc_pdf=np.asarray(pdfs, dtype=np.int32),
+        arc_wseq=np.asarray(wseqs, dtype=np.int32),
+        arc_weight=np.asarray(weights, dtype=np.float32),
+        final_weight=final,
+        final_wseq=np.zeros(num_states, dtype=np.int32),
+        init_weight=init,
+        init_wseq=np.zeros(num_states, dtype=np.int32),
+        word_seqs=word_seqs,
+        num_pdfs=num_pdfs,
+    )
+
+
+def test_viterbi_matches_numpy():
+    rng = np.random.RandomState(0)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+
+    B, T = 3, 15
+    log_probs = np.log(
+        rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))
+    ).astype(np.float32)
+
+    alpha, bp = viterbi(dev, jnp.asarray(log_probs), acoustic_scale=0.8)
+    alpha = np.asarray(alpha)
+    bp = np.asarray(bp)
+
+    for b in range(B):
+        want_words, want_cost = viterbi_numpy(graph, log_probs[b], 0.8)
+        got_words, got_cost = backtrace_words(graph, alpha, bp, b)
+        assert got_words is not None
+        np.testing.assert_allclose(got_cost, want_cost, rtol=1e-4, atol=1e-4)
+        assert got_words == want_words
+
+
+def test_viterbi_no_path():
+    """A graph whose final states are unreachable yields None."""
+    graph = _random_graph(np.random.RandomState(1), num_states=4, extra_arcs=0)
+    graph.final_weight[:] = NEG_INF_F32
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(np.full((1, 5, graph.num_pdfs), 1.0 / graph.num_pdfs, np.float32))
+    alpha, bp = viterbi(dev, jnp.asarray(lp))
+    words, cost = backtrace_words(graph, np.asarray(alpha), np.asarray(bp), 0)
+    assert words is None and cost == float("inf")
+
+
+def test_kbest_rank0_matches_1best():
+    rng = np.random.RandomState(2)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    B, T = 2, 10
+    log_probs = np.log(
+        rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))
+    ).astype(np.float32)
+
+    alpha1, bp1 = viterbi(dev, jnp.asarray(log_probs))
+    alphak, bpk = viterbi_kbest(dev, jnp.asarray(log_probs), k=4)
+    np.testing.assert_allclose(
+        np.asarray(alphak)[:, :, 0], np.asarray(alpha1), rtol=1e-5, atol=1e-5
+    )
+    for b in range(B):
+        best1 = backtrace_words(graph, np.asarray(alpha1), np.asarray(bp1), b)
+        nbest = backtrace_nbest(graph, np.asarray(alphak), np.asarray(bpk), b, n=4)
+        assert nbest[0][0] == best1[0]
+        np.testing.assert_allclose(nbest[0][1], best1[1], rtol=1e-5, atol=1e-5)
+        # costs must be sorted
+        costs = [c for _, c in nbest]
+        assert costs == sorted(costs)
+
+
+def test_nbest_two_path_graph():
+    """Two-word graph: 'a' (cheap) and 'b' (expensive); n-best ranks them."""
+    #    0 --pdf0/'a'/0.0--> 1(final)
+    #    0 --pdf1/'b'/1.0--> 1
+    graph = DenseGraph(
+        num_states=2,
+        arc_src=np.array([0, 0], dtype=np.int32),
+        arc_dst=np.array([1, 1], dtype=np.int32),
+        arc_pdf=np.array([0, 1], dtype=np.int32),
+        arc_wseq=np.array([1, 2], dtype=np.int32),
+        arc_weight=np.array([0.0, 1.0], dtype=np.float32),
+        final_weight=np.array([NEG_INF_F32, 0.0], dtype=np.float32),
+        final_wseq=np.zeros(2, dtype=np.int32),
+        init_weight=np.array([0.0, NEG_INF_F32], dtype=np.float32),
+        init_wseq=np.zeros(2, dtype=np.int32),
+        word_seqs=[(), (101,), (102,)],
+        num_pdfs=2,
+    )
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(np.array([[[0.5, 0.5]]], dtype=np.float32))  # [1, 1, 2]
+    alphak, bpk = viterbi_kbest(dev, jnp.asarray(lp), k=3)
+    nbest = backtrace_nbest(graph, np.asarray(alphak), np.asarray(bpk), 0, n=3)
+    assert [w for w, _ in nbest] == [[101], [102]]
+    assert abs(nbest[1][1] - nbest[0][1] - 1.0) < 1e-5
+
+
+def test_device_decoder_on_grammar_graph():
+    """TPU decoder decodes the real grammar-built dense graph (same setup as
+    test_graph.py) with oracle posteriors, batched over two streams."""
+    from tests.test_graph import LEXICON, _phone_frames
+    import io as _io
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.graph import Topology, TransitionModel, dense_from_hclg, make_hclg
+    from rhasspy_speech_tpu.lang import make_grammar_g, make_lg, prepare_lang
+    from rhasspy_speech_tpu.lexicon import LexiconDatabase
+
+    intents = Intents.from_dict(
+        {"language": "en",
+         "intents": {"Main": {"data": [{"sentences": ["red alert", "never mind"]}]}}}
+    )
+    lexicon = LexiconDatabase()
+    for word, phones in LEXICON:
+        lexicon.add(word, [phones])
+    ctx = compile_intents(intents, _io.StringIO(), lexicon, number_language="en")
+    lang = prepare_lang(LEXICON, silence_phones=["SIL", "SPN"])
+    g = make_grammar_g(ctx.fst_file, lang.words)
+    lg = make_lg(lang, g)
+    phone_ids = sorted(
+        pid for (_p, pid) in lang.phones if pid != 0 and not _p.startswith("#")
+    )
+    tm = TransitionModel.monophone(Topology.chain(phone_ids))
+    graph = dense_from_hclg(make_hclg(lang, lg, tm), tm.num_pdfs)
+    dev = DeviceGraph.from_dense(graph)
+
+    lp_red = _phone_frames(
+        lang, tm, ["SIL", "r_B", "eh_I", "d_E", "ah_B", "l_I", "er_I", "t_E", "SIL"]
+    )
+    lp_never = _phone_frames(
+        lang, tm, ["n_B", "eh_I", "v_I", "er_E", "m_B", "ay_I", "n_I", "d_E", "SIL"]
+    )
+    lp = np.stack([lp_red, lp_never])  # [2, T, P]
+
+    alpha, bp = viterbi(dev, jnp.asarray(lp))
+    w0, _ = backtrace_words(graph, np.asarray(alpha), np.asarray(bp), 0)
+    w1, _ = backtrace_words(graph, np.asarray(alpha), np.asarray(bp), 1)
+    assert [lang.words.find_id(w) for w in w0] == ["red", "alert"]
+    assert [lang.words.find_id(w) for w in w1] == ["never", "mind"]
+
+    # n-best over the same graph: best hypothesis matches, alternatives exist
+    alphak, bpk = viterbi_kbest(dev, jnp.asarray(lp), k=4)
+    nbest = backtrace_nbest(graph, np.asarray(alphak), np.asarray(bpk), 0, n=4)
+    assert [lang.words.find_id(w) for w in nbest[0][0]] == ["red", "alert"]
