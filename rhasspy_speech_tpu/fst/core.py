@@ -130,6 +130,22 @@ class Fst:
             osymbols=self.osymbols,
         )
 
+    def write_text(self, fileobj: TextIO) -> None:
+        """Emit OpenFST text format (fstprint, numeric labels). The start
+        state is printed first, as fstcompile requires."""
+        if self.start < 0:
+            return
+        order = [self.start] + [s for s in range(self.num_states) if s != self.start]
+        for state in order:
+            for ilabel, olabel, weight, nextstate in self.arcs[state]:
+                print(
+                    state, nextstate, ilabel, olabel, _format_weight(weight),
+                    file=fileobj,
+                )
+        for state in order:
+            if self.finals[state] != INF:
+                print(state, _format_weight(self.finals[state]), file=fileobj)
+
     # -- sorting / projection / relabeling ---------------------------------
 
     def arcsort(self, sort_type: str = "ilabel") -> "Fst":

@@ -45,11 +45,15 @@ def make_fuzzy_g(
     g_fst: Fst,
     vocab: Iterable[str],
     words: SymbolTable,
+    self_loops: bool = True,
 ) -> Fst:
     """Fuzzy-match FST (kaldi.py:343-407): G plus self loops on every state —
     a free <eps> loop and a cost-1.0 word:<eps> deletion loop for each
-    non-meta vocab word."""
+    non-meta vocab word. The grammar lang uses self_loops=False (plain copy,
+    kaldi.py:131-132), the ARPA lang self_loops=True (:134-136)."""
     fuzzy = g_fst.copy()
+    if not self_loops:
+        return fuzzy.arcsort("ilabel")
     word_ids = []
     for word in vocab:
         if word[0] in ("<", "_"):

@@ -33,6 +33,9 @@ from ..graph.dense import NEG_INF_F32, DenseGraph
 
 INF_COST = jnp.float32(NEG_INF_F32)
 
+# Backpointer sentinel for masked (past-end) frames: "stay in state"
+STAY = -2
+
 
 @dataclass(frozen=True)
 class DeviceGraph:
@@ -100,21 +103,38 @@ def viterbi(
     graph: DeviceGraph,
     log_probs: jnp.ndarray,
     acoustic_scale: float = 1.0,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched dense Viterbi over [B, T, P] log-probs.
+
+    lengths: optional [B] int32 per-stream frame counts; frames at or past a
+    stream's length are no-ops (alpha carried, backpointer = STAY = -2), so
+    mixed-length utterances batch into one padded tensor.
 
     Returns (alpha_final [B, S], backptr [T, B, S] int32). Jittable; the
     backtrace runs on host (see backtrace_words)."""
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
-    alpha0 = jnp.broadcast_to(
-        graph.init_weight[None, :], (log_probs.shape[0], graph.num_states)
-    )
+    B = log_probs.shape[0]
+    alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, graph.num_states))
 
-    def step(alpha, am_t):
+    if lengths is None:
+        def step(alpha, am_t):
+            return viterbi_step(graph, alpha, am_t)
+
+        alpha_final, bps = jax.lax.scan(step, alpha0, am_costs)
+        return alpha_final, bps
+
+    ts = jnp.arange(am_costs.shape[0], dtype=jnp.int32)
+
+    def step_masked(alpha, xs):
+        am_t, t = xs
         new_alpha, bp = viterbi_step(graph, alpha, am_t)
-        return new_alpha, bp
+        active = (t < lengths)[:, None]  # [B, 1]
+        out_alpha = jnp.where(active, new_alpha, alpha)
+        out_bp = jnp.where(active, bp, STAY)
+        return out_alpha, out_bp
 
-    alpha_final, bps = jax.lax.scan(step, alpha0, am_costs)
+    alpha_final, bps = jax.lax.scan(step_masked, alpha0, (am_costs, ts))
     return alpha_final, bps
 
 
@@ -139,6 +159,8 @@ def backtrace_words(
     words_rev: List[Tuple[int, ...]] = [graph.words_of(int(graph.final_wseq[state]))]
     for t in range(T - 1, -1, -1):
         arc = int(backptr[t, stream, state])
+        if arc == STAY:
+            continue
         if arc < 0:
             return None, float("inf")
         words_rev.append(graph.words_of(int(graph.arc_wseq[arc])))
@@ -196,21 +218,29 @@ def viterbi_kbest(
     log_probs: jnp.ndarray,
     k: int,
     acoustic_scale: float = 1.0,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K-best batched Viterbi. Returns (alpha_final [B, S, K],
-    backptr [T, B, S, K] int32 flat ids arc*K + k_prev)."""
+    backptr [T, B, S, K] int32 flat ids arc*K + k_prev; STAY for masked
+    frames)."""
     B = log_probs.shape[0]
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)
     alpha0 = jnp.full((B, graph.num_states, k), INF_COST)
     alpha0 = alpha0.at[:, :, 0].set(
         jnp.broadcast_to(graph.init_weight[None, :], (B, graph.num_states))
     )
+    ts = jnp.arange(am_costs.shape[0], dtype=jnp.int32)
 
-    def step(alpha, am_t):
+    def step(alpha, xs):
+        am_t, t = xs
         new_alpha, bp = kbest_step(graph, alpha, am_t, k)
+        if lengths is not None:
+            active = (t < lengths)[:, None, None]
+            new_alpha = jnp.where(active, new_alpha, alpha)
+            bp = jnp.where(active, bp, STAY)
         return new_alpha, bp
 
-    alpha_final, bps = jax.lax.scan(step, alpha0, am_costs)
+    alpha_final, bps = jax.lax.scan(step, alpha0, (am_costs, ts))
     return alpha_final, bps
 
 
@@ -246,6 +276,8 @@ def backtrace_nbest(
         dead = False
         for t in range(T - 1, -1, -1):
             entry = int(backptr[t, stream, s, r])
+            if entry == STAY:
+                continue
             if entry < 0:
                 dead = True
                 break

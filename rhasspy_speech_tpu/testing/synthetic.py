@@ -1,0 +1,280 @@
+"""Synthetic acoustic profiles for hermetic end-to-end testing and benching.
+
+Each base phone gets a distinct two-tone spectral signature. From those
+signatures we derive:
+
+- an audio synthesizer (``synthesize_sentence``): word -> phones ->
+  concatenated signature waveforms at 16 kHz;
+- a matching acoustic model: MFCC centroid c_p per phone; an affine layer
+  with row 2*c_p/tau and bias -|c_p|^2/tau followed by LogSoftmax is exactly
+  a unit-variance Gaussian classifier (log p ~ -|x - c_p|^2 / tau), written
+  as a real Kaldi-format final.mdl (one pdf per phone id, 1-state HMM
+  topology) so the full parser/compiler path is exercised.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..const import SIL, SPN, UNK
+from ..fst.core import SymbolTable
+from ..io.nnet3_file import ComponentSpec, NodeSpec, Nnet3Spec, parse_descriptor, write_nnet3
+from ..io.transition_model import (
+    K_NO_PDF,
+    KaldiHmmTopology,
+    KaldiTransitionModel,
+    TopologyState,
+)
+from ..lang.lexicon_fst import prepare_lang
+from ..ops.frontend import FrontendConfig, mfcc_numpy
+
+SAMPLE_RATE = 16000
+FRAME_SHIFT = 160
+
+
+def _base_phone(name: str) -> str:
+    for suffix in ("_B", "_E", "_I", "_S"):
+        if name.endswith(suffix):
+            return name[: -len(suffix)]
+    return name
+
+
+def _phone_freqs(base_phones: Sequence[str]) -> Dict[str, Tuple[float, float]]:
+    """Assign each base phone a distinct two-tone signature in 300-6000 Hz."""
+    freqs: Dict[str, Tuple[float, float]] = {}
+    n = len(base_phones)
+    for i, p in enumerate(sorted(base_phones)):
+        f1 = 300.0 + 250.0 * i
+        f2 = 500.0 + 173.0 * ((i * 7) % max(n, 1)) + 37.0 * i
+        freqs[p] = (f1, f2)
+    return freqs
+
+
+def _phone_wave(
+    freqs: Tuple[float, float], n_samples: int, rng: np.random.RandomState
+) -> np.ndarray:
+    t = np.arange(n_samples) / SAMPLE_RATE
+    wave = 6000.0 * np.sin(2 * np.pi * freqs[0] * t) + 3000.0 * np.sin(
+        2 * np.pi * freqs[1] * t + 0.7
+    )
+    wave += 50.0 * rng.randn(n_samples)
+    return wave.astype(np.float32)
+
+
+def _silence_wave(n_samples: int, rng: np.random.RandomState) -> np.ndarray:
+    return (20.0 * rng.randn(n_samples)).astype(np.float32)
+
+
+@dataclass
+class SyntheticProfile:
+    """A complete on-disk model profile + synthesis tables."""
+
+    model_dir: Path
+    frontend: FrontendConfig
+    lexicon: Dict[str, List[str]]  # word -> base phones
+    phone_freqs: Dict[str, Tuple[float, float]]
+    sil_phone: str = SIL
+    spn_phone: str = SPN
+
+
+def synthesize_sentence(
+    profile: SyntheticProfile,
+    text: str,
+    frames_per_phone: int = 9,
+    sil_frames: int = 12,
+    seed: int = 0,
+) -> np.ndarray:
+    """Synthesize 16 kHz PCM for a sentence of in-lexicon words."""
+    rng = np.random.RandomState(seed)
+    chunks = [_silence_wave(sil_frames * FRAME_SHIFT, rng)]
+    for word in text.split():
+        phones = profile.lexicon.get(word)
+        if phones is None:
+            raise KeyError(f"word {word!r} not in synthetic lexicon")
+        for phone in phones:
+            chunks.append(
+                _phone_wave(
+                    profile.phone_freqs[phone],
+                    frames_per_phone * FRAME_SHIFT,
+                    rng,
+                )
+            )
+    chunks.append(_silence_wave(sil_frames * FRAME_SHIFT, rng))
+    return np.concatenate(chunks)
+
+
+def build_synthetic_profile(
+    model_dir: Union[str, Path],
+    lexicon: Dict[str, List[str]],
+    frontend: Optional[FrontendConfig] = None,
+    tau: float = 50.0,
+    seed: int = 1234,
+) -> SyntheticProfile:
+    """Write a model dir (config.json, model/final.mdl, model/phones.txt,
+    model/frontend.json) whose AM recognizes audio from synthesize_sentence."""
+    model_dir = Path(model_dir)
+    (model_dir / "model").mkdir(parents=True, exist_ok=True)
+    if frontend is None:
+        frontend = FrontendConfig(num_mel_bins=20, num_ceps=20)
+
+    base_phones = sorted({p for phones in lexicon.values() for p in phones})
+    phone_freqs = _phone_freqs(base_phones)
+    rng = np.random.RandomState(seed)
+
+    # The model's phone inventory must match what prepare_lang produces at
+    # train time: run prepare_lang on the same lexicon (plus unk) to get the
+    # canonical position-dependent phones.txt.
+    entries = [(w, list(p)) for w, p in sorted(lexicon.items())]
+    entries.append((UNK, [SPN]))
+    lang = prepare_lang(entries, silence_phones=[SIL, SPN], optional_silence=SIL)
+    phones: SymbolTable = lang.phones
+
+    # MFCC centroid per base phone (1 second of signature audio)
+    centroids: Dict[str, np.ndarray] = {}
+    for p in base_phones:
+        wave = _phone_wave(phone_freqs[p], SAMPLE_RATE, rng)
+        feats = mfcc_numpy(frontend, wave)
+        centroids[p] = feats.mean(axis=0)
+    centroids[SIL] = mfcc_numpy(
+        frontend, _silence_wave(SAMPLE_RATE, rng)
+    ).mean(axis=0)
+    centroids[SPN] = mfcc_numpy(
+        frontend, (500.0 * rng.randn(SAMPLE_RATE)).astype(np.float32)
+    ).mean(axis=0)
+
+    # One pdf per emitting phone id; 1-state HMM topology (is_hmm)
+    emitting: List[Tuple[str, int]] = []  # (name, phone id)
+    for name, pid in sorted(phones, key=lambda kv: kv[1]):
+        if pid == 0 or name.startswith("#"):
+            continue
+        emitting.append((name, pid))
+
+    phone_ids = [pid for _, pid in emitting]
+    max_phone = max(phone_ids)
+    phone2idx = np.full(max_phone + 1, -1, dtype=np.int64)
+    for pid in phone_ids:
+        phone2idx[pid] = 0
+    topo = KaldiHmmTopology(
+        phones=np.asarray(sorted(phone_ids), dtype=np.int64),
+        phone2idx=phone2idx,
+        entries=[
+            [
+                TopologyState(0, 0, [(0, 0.5), (1, 0.5)]),
+                TopologyState(K_NO_PDF, K_NO_PDF, []),
+            ]
+        ],
+    )
+    tuples = np.zeros((len(emitting), 4), dtype=np.int64)
+    rows = np.zeros((len(emitting), frontend.num_ceps), dtype=np.float32)
+    bias = np.zeros(len(emitting), dtype=np.float32)
+    for pdf, (name, pid) in enumerate(emitting):
+        tuples[pdf] = (pid, 0, pdf, pdf)
+        c = centroids.get(_base_phone(name))
+        assert c is not None, name
+        rows[pdf] = (2.0 * c / tau).astype(np.float32)
+        bias[pdf] = float(-np.dot(c, c) / tau)
+    num_tids = 2 * len(emitting)
+    log_probs = np.full(num_tids + 1, math.log(0.5), dtype=np.float32)
+    log_probs[0] = 0.0
+    ktm = KaldiTransitionModel(topology=topo, tuples=tuples, log_probs=log_probs)
+
+    spec = Nnet3Spec(
+        nodes=[
+            NodeSpec(kind="input", name="input", dim=frontend.num_ceps),
+            NodeSpec(
+                kind="component",
+                name="gauss.affine",
+                component="gauss.affine",
+                input=parse_descriptor("input"),
+            ),
+            NodeSpec(
+                kind="component",
+                name="gauss.logsoftmax",
+                component="gauss.logsoftmax",
+                input=parse_descriptor("gauss.affine"),
+            ),
+            NodeSpec(
+                kind="output",
+                name="output",
+                input=parse_descriptor("gauss.logsoftmax"),
+            ),
+        ],
+        components={
+            "gauss.affine": ComponentSpec(
+                "gauss.affine",
+                "FixedAffineComponent",
+                {"LinearParams": rows, "BiasParams": bias},
+            ),
+            "gauss.logsoftmax": ComponentSpec(
+                "gauss.logsoftmax",
+                "LogSoftmaxComponent",
+                {
+                    "Dim": len(emitting),
+                    "ValueAvg": np.zeros(0, dtype=np.float32),
+                    "DerivAvg": np.zeros(0, dtype=np.float32),
+                    "Count": 0.0,
+                },
+            ),
+        },
+        left_context=0,
+        right_context=0,
+    )
+
+    with open(model_dir / "model" / "final.mdl", "wb") as f:
+        write_nnet3(f, spec, transition_model=ktm)
+    with open(model_dir / "model" / "phones.txt", "w", encoding="utf-8") as f:
+        phones.write_text(f)
+    with open(model_dir / "model" / "frontend.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "num_mel_bins": frontend.num_mel_bins,
+                "num_ceps": frontend.num_ceps,
+                "low_freq": frontend.low_freq,
+                "high_freq": frontend.high_freq,
+                "dither": frontend.dither,
+            },
+            f,
+        )
+    # lexicon.db in the reference schema (g2p.py:23-110: word_phonemes)
+    import sqlite3
+
+    db_path = model_dir / "lexicon.db"
+    if db_path.exists():
+        db_path.unlink()
+    conn = sqlite3.Connection(str(db_path))
+    conn.execute(
+        "CREATE TABLE word_phonemes "
+        "(word TEXT, phonemes TEXT, pron_order INTEGER)"
+    )
+    conn.execute("CREATE TABLE g2p_alignments (word TEXT, alignment TEXT)")
+    for word, phone_seq in sorted(lexicon.items()):
+        conn.execute(
+            "INSERT INTO word_phonemes VALUES (?, ?, 0)",
+            (word, " ".join(phone_seq)),
+        )
+    conn.commit()
+    conn.close()
+
+    with open(model_dir / "config.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "type": "kaldi",
+                "lexicon": {"casing": "lower"},
+                "sil_phone": SIL,
+                "spn_phone": SPN,
+            },
+            f,
+        )
+
+    return SyntheticProfile(
+        model_dir=model_dir,
+        frontend=frontend,
+        lexicon={w: list(p) for w, p in lexicon.items()},
+        phone_freqs=phone_freqs,
+    )

@@ -192,3 +192,33 @@ def test_device_decoder_on_grammar_graph():
     alphak, bpk = viterbi_kbest(dev, jnp.asarray(lp), k=4)
     nbest = backtrace_nbest(graph, np.asarray(alphak), np.asarray(bpk), 0, n=4)
     assert [lang.words.find_id(w) for w in nbest[0][0]] == ["red", "alert"]
+
+
+def test_viterbi_lengths_masking():
+    """Padded frames past a stream's length must not change its result."""
+    rng = np.random.RandomState(7)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    T_real, T_pad = 9, 15
+    lp_real = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(1, T_real))).astype(
+        np.float32
+    )
+    lp_pad = np.concatenate(
+        [lp_real, np.zeros((1, T_pad - T_real, graph.num_pdfs), np.float32)], axis=1
+    )
+
+    a1, b1 = viterbi(dev, jnp.asarray(lp_real))
+    w1, c1 = backtrace_words(graph, np.asarray(a1), np.asarray(b1), 0)
+
+    a2, b2 = viterbi(dev, jnp.asarray(lp_pad), lengths=jnp.asarray([T_real]))
+    w2, c2 = backtrace_words(graph, np.asarray(a2), np.asarray(b2), 0)
+    assert w1 == w2
+    np.testing.assert_allclose(c1, c2, rtol=1e-5)
+
+    ak1, bk1 = viterbi_kbest(dev, jnp.asarray(lp_real), k=3)
+    ak2, bk2 = viterbi_kbest(
+        dev, jnp.asarray(lp_pad), k=3, lengths=jnp.asarray([T_real])
+    )
+    n1 = backtrace_nbest(graph, np.asarray(ak1), np.asarray(bk1), 0, n=3)
+    n2 = backtrace_nbest(graph, np.asarray(ak2), np.asarray(bk2), 0, n=3)
+    assert [w for w, _ in n1] == [w for w, _ in n2]

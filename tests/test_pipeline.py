@@ -1,0 +1,171 @@
+"""End-to-end pipeline tests: train_model + synthetic audio -> transcripts.
+
+This is the hermetic equivalent of the reference's model tests
+(tests/test_en_US-zamia.py:16-59: train on templates, decode each WAV,
+assert exact transcript match) using the synthetic acoustic profile.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from rhasspy_speech_tpu.const import LangSuffix
+from rhasspy_speech_tpu.pipeline import (
+    Nnet3WavTranscriber,
+    lang_dir_name,
+    train_model,
+)
+from rhasspy_speech_tpu.pipeline.train import train_model_sync
+from rhasspy_speech_tpu.testing import build_synthetic_profile, synthesize_sentence
+
+LEXICON = {
+    "turn": ["t", "er", "n"],
+    "on": ["aa", "n"],
+    "off": ["ao", "f"],
+    "the": ["dh", "ah"],
+    "light": ["l", "ay", "t"],
+    "fan": ["f", "ae", "n"],
+    "never": ["n", "eh", "v", "er"],
+    "mind": ["m", "ay", "n", "d"],
+}
+
+SENTENCES = ["turn (on|off) [the] (light|fan)", "never mind"]
+
+
+@pytest.fixture(scope="module")
+def profile_and_train(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthetic_profile")
+    model_dir = root / "model"
+    train_dir = root / "train"
+    profile = build_synthetic_profile(model_dir, LEXICON)
+    intents = {
+        "language": "en",
+        "intents": {"Main": {"data": [{"sentences": SENTENCES}]}},
+    }
+    train_model_sync(
+        "en",
+        intents,
+        train_dir,
+        model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR, LangSuffix.ARPA, LangSuffix.ARPA_RESCORE],
+    )
+    return profile, train_dir
+
+
+def test_train_artifacts_exist(profile_and_train):
+    _profile, train_dir = profile_and_train
+    for suffix in (LangSuffix.GRAMMAR, LangSuffix.ARPA):
+        d = train_dir / lang_dir_name(suffix)
+        assert (d / "words.txt").exists()
+        assert (d / "g.fst").exists()
+        assert (d / "g_fuzzy.fst").exists()
+        assert (d / "graph.npz").exists()
+    rescore = train_dir / lang_dir_name(LangSuffix.ARPA_RESCORE)
+    assert (rescore / "g.fst").exists()
+    assert not (rescore / "graph.npz").exists()
+
+
+def test_transcribe_grammar_exact(profile_and_train):
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    for i, text in enumerate(
+        ["turn on the light", "turn off the fan", "never mind", "turn on fan"]
+    ):
+        pcm = synthesize_sentence(profile, text, seed=i)
+        got = t.transcribe_pcm_batch([pcm], nbest=1)[0]
+        assert got, f"no transcript for {text!r}"
+        assert got[0] == text, (got, text)
+
+
+def test_transcribe_batch_mixed_lengths(profile_and_train):
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    texts = ["never mind", "turn on the light", "turn off light"]
+    pcms = [synthesize_sentence(profile, s, seed=7 + i) for i, s in enumerate(texts)]
+    got = t.transcribe_pcm_batch(pcms, nbest=1)
+    assert [g[0] for g in got] == texts
+
+
+def test_transcribe_arpa_graph(profile_and_train):
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+    pcm = synthesize_sentence(profile, "turn on the light", seed=42)
+    got = t.transcribe_pcm_batch([pcm], nbest=3)[0]
+    assert got
+    assert got[0] == "turn on the light"
+
+
+def test_fuzzy_accept_and_reject(profile_and_train):
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+    grammar_lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    pcm = synthesize_sentence(profile, "turn on the fan", seed=5)
+    # Dual-model OOV design (README.md:50-55): decode with the ARPA graph,
+    # fuzzy-match the n-best against the rigid grammar lang.
+    got = t.transcribe_pcm_batch(
+        [pcm], lang_dir=grammar_lang, nbest=3, max_fuzzy_cost=2.0
+    )[0]
+    assert got == ["turn on the fan"]
+    # require_fuzzy with impossible budget: rejection ("")
+    got = t.transcribe_pcm_batch(
+        [pcm], lang_dir=grammar_lang, nbest=3, max_fuzzy_cost=-1.0,
+        require_fuzzy=True,
+    )[0]
+    assert got == []
+
+
+def test_async_api(profile_and_train):
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    pcm = synthesize_sentence(profile, "never mind", seed=9)
+    import wave as wave_mod
+
+    wav_path = str(profile.model_dir.parent / "never_mind.wav")
+    with wave_mod.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.astype(np.int16).tobytes())
+
+    result = asyncio.get_event_loop().run_until_complete(
+        t.async_transcribe(wav_path)
+    )
+    assert result == ["never mind"]
+
+
+def test_rescore(profile_and_train):
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+    pcm = synthesize_sentence(profile, "turn off the light", seed=11)
+    import wave as wave_mod
+
+    wav_path = str(profile.model_dir.parent / "rescore.wav")
+    with wave_mod.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.astype(np.int16).tobytes())
+
+    got = asyncio.new_event_loop().run_until_complete(
+        t.async_transcribe_rescore(
+            wav_path,
+            old_lang_dir=train_dir / lang_dir_name(LangSuffix.ARPA),
+            new_lang_dir=train_dir / lang_dir_name(LangSuffix.ARPA_RESCORE),
+            nbest=5,
+        )
+    )
+    assert got
+    assert got[0] == "turn off the light"
