@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Throughput benchmark: concurrent-stream decode on one chip.
+
+Builds a real template grammar (from the reference's test_en.yaml), a
+realistic-size TDNN-F chain acoustic model (random weights, honest FLOPs),
+and times the full batched decode program — MFCC -> TDNN-F -> dense Viterbi
+with on-device backtrace -> host word assembly — over B concurrent 3-second
+utterances.
+
+Headline metric: sustainable realtime streams per chip = audio seconds
+processed per wall second. Baseline target (BASELINE.json north star):
+>= 100 streams/chip at RTF < 0.1.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/100}
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+SECONDS = float(os.environ.get("BENCH_SECONDS", "3.0"))
+N_SENTENCES = int(os.environ.get("BENCH_SENTENCES", "120"))
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+
+
+def build_graph():
+    import re
+    import yaml
+
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.graph import (
+        Topology,
+        TransitionModel,
+        dense_from_hclg,
+        make_hclg,
+    )
+    from rhasspy_speech_tpu.lang import make_grammar_g, make_lg, prepare_lang
+    from rhasspy_speech_tpu.lexicon import LexiconDatabase
+
+    yaml_path = "/root/reference/tests/test_en.yaml"
+    if os.path.exists(yaml_path):
+        raw = yaml.safe_load(open(yaml_path, encoding="utf-8"))
+        sentences = raw["sentences"][:N_SENTENCES]
+        lists = raw.get("lists", {})
+    else:  # fallback grammar
+        sentences = ["turn (on|off) [the] (light|fan)", "never mind"]
+        lists = {}
+
+    intents = Intents.from_dict(
+        {
+            "language": "en",
+            "intents": {"All": {"data": [{"sentences": sentences}]}},
+            "lists": lists,
+        }
+    )
+    lexicon = LexiconDatabase()
+    ctx = compile_intents(intents, io.StringIO(), lexicon, number_language="en")
+
+    def pron(w):
+        letters = [c for c in re.sub(r"[^a-z0-9]", "", w.lower())]
+        return letters or ["x"]
+
+    entries = [(w, pron(w)) for w in sorted(ctx.vocab)]
+    lang = prepare_lang(entries, silence_phones=["SIL", "SPN"])
+    g = make_grammar_g(ctx.fst_file, lang.words)
+    lg = make_lg(lang, g)
+    phone_ids = sorted(
+        pid for (p, pid) in lang.phones if pid != 0 and not p.startswith("#")
+    )
+    tm = TransitionModel.monophone(Topology.chain(phone_ids))
+    graph = dense_from_hclg(make_hclg(lang, lg, tm), tm.num_pdfs)
+    return graph, tm
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rhasspy_speech_tpu.models import compile_nnet3
+    from rhasspy_speech_tpu.ops.decoder import (
+        DeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+    from rhasspy_speech_tpu.ops.frontend import (
+        FrontendConfig,
+        make_frontend_params,
+        mfcc_batch,
+        num_frames,
+    )
+    from rhasspy_speech_tpu.testing.tdnnf import build_tdnnf_spec
+
+    t0 = time.time()
+    graph, tm = build_graph()
+    dev_graph = DeviceGraph.from_dense(graph)
+    build_s = time.time() - t0
+
+    spec = build_tdnnf_spec(
+        num_pdfs=tm.num_pdfs, input_dim=40, hidden_dim=768, num_tdnnf_layers=9
+    )
+    cfg = FrontendConfig()
+    params = make_frontend_params(cfg)
+
+    n_samples = int(16000 * SECONDS)
+    T = num_frames(cfg, n_samples)
+    n_out = -(-T // 3)
+    model = compile_nnet3(spec, num_out_frames=n_out, subsampling=3)
+    lo, hi = model.ranges["input"]
+    idx = np.clip(np.arange(lo, hi), 0, T - 1)
+
+    def decode(pcm):
+        feats = mfcc_batch(params, pcm)
+        log_probs = model.forward(feats[:, idx])
+        return viterbi_decode(dev_graph, log_probs)
+
+    jitted = jax.jit(decode)
+
+    rng = np.random.RandomState(0)
+    pcm = (1000.0 * rng.randn(BATCH, n_samples)).astype(np.float32)
+    pcm_dev = jnp.asarray(pcm)
+
+    # Warmup / compile
+    tc = time.time()
+    trace, fstate, cost = jitted(pcm_dev)
+    trace.block_until_ready()
+    compile_s = time.time() - tc
+
+    times = []
+    for _ in range(ITERS):
+        t1 = time.time()
+        trace, fstate, cost = jitted(pcm_dev)
+        trace_np = np.asarray(trace)
+        fstate_np = np.asarray(fstate)
+        cost_np = np.asarray(cost)
+        for b in range(BATCH):
+            trace_to_words(graph, trace_np, fstate_np, cost_np, b)
+        times.append(time.time() - t1)
+
+    avg = float(np.mean(times))
+    streams_xrt = BATCH * SECONDS / avg
+    rtf = avg / SECONDS
+
+    sys.stderr.write(
+        f"graph: {graph.num_states} states / {graph.num_arcs} arcs / "
+        f"{graph.num_pdfs} pdfs; build {build_s:.1f}s compile {compile_s:.1f}s; "
+        f"batch {BATCH} x {SECONDS}s: avg {avg * 1000:.1f} ms, RTF {rtf:.4f}, "
+        f"{streams_xrt:.0f} xRT streams\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "realtime_streams_per_chip",
+                "value": round(streams_xrt, 1),
+                "unit": "concurrent 1x-realtime streams (batch decode, TDNN-F 768x9 + dense HCLG Viterbi)",
+                "vs_baseline": round(streams_xrt / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,75 @@ def backtrace_words(
     return words, cost
 
 
+def viterbi_decode(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    acoustic_scale: float = 1.0,
+    lengths: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward + ON-DEVICE backtrace: only O(B*T) ints leave the chip.
+
+    Returns (arc_trace [B, T] int32 winning arc per frame (STAY/-1 for
+    masked/dead frames), final_state [B] int32, total_cost [B] f32 = best
+    alpha+final, +inf-like NEG_INF if no complete path). Decode words on
+    host with trace_to_words."""
+    alpha_final, bps = viterbi(graph, log_probs, acoustic_scale, lengths)
+    totals = alpha_final + graph.final_weight[None, :]  # [B, S]
+    final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)  # [B]
+    total_cost = jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
+
+    B = log_probs.shape[0]
+    rows = jnp.arange(B)
+
+    def back_step(state, bp_t):
+        arc = bp_t[rows, state]  # [B]
+        is_stay = arc == STAY
+        is_dead = arc == -1
+        src = jnp.where(
+            is_stay | is_dead, state, graph.arc_src[jnp.maximum(arc, 0)]
+        )
+        return src, arc
+
+    # scan over reversed frames
+    _, arcs_rev = jax.lax.scan(back_step, final_state, bps[::-1])
+    arc_trace = arcs_rev[::-1].T  # [B, T]
+    return arc_trace, final_state, total_cost
+
+
+def trace_to_words(
+    graph: DenseGraph,
+    arc_trace: np.ndarray,
+    final_state: np.ndarray,
+    total_cost: np.ndarray,
+    stream: int,
+) -> Tuple[Optional[List[int]], float]:
+    """Host word assembly from a device backtrace."""
+    cost = float(total_cost[stream])
+    if cost >= NEG_INF_F32:
+        return None, float("inf")
+    arcs = arc_trace[stream]
+    words: List[int] = []
+    # first real arc's source state closure gives the init words
+    first_state = None
+    segs: List[Tuple[int, ...]] = []
+    for t in range(arcs.shape[0]):
+        arc = int(arcs[t])
+        if arc == STAY:
+            continue
+        if arc < 0:
+            return None, float("inf")
+        if first_state is None:
+            first_state = int(graph.arc_src[arc])
+        segs.append(graph.words_of(int(graph.arc_wseq[arc])))
+    if first_state is None:
+        first_state = int(final_state[stream])
+    words.extend(graph.words_of(int(graph.init_wseq[first_state])))
+    for seg in segs:
+        words.extend(seg)
+    words.extend(graph.words_of(int(graph.final_wseq[int(final_state[stream])])))
+    return words, cost
+
+
 # ---------------------------------------------------------------------------
 # K-best (n-best extraction)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,9 @@
+"""Multi-chip scaling: stream-parallel decode over a jax.sharding.Mesh."""
+
+from .sharding import (
+    make_stream_mesh,
+    shard_streams,
+    sharded_decode_fn,
+)
+
+__all__ = ["make_stream_mesh", "shard_streams", "sharded_decode_fn"]

@@ -1,0 +1,255 @@
+"""Streaming transcription: chunked PCM -> frame-synchronous decode.
+
+Replaces the reference's long-lived decoder subprocess
+(rhasspy_speech/transcribe_stream.py:38-129: PCM chunks written to
+online2-cli-nnet3-decode-faster stdin, lattice on EOF) with an in-process
+streaming state machine:
+
+- sample ring: carries the (frame_length - frame_shift) overlap samples,
+- feature ring: carries the model's left/right context frames,
+- device alpha [S]: Viterbi state carried across chunks, one jitted chunk
+  program reused for the whole stream (compile once, then ~O(ms) per chunk),
+- per-chunk backpointers accumulate on host; final backtrace on EOF.
+
+Chunking mirrors the reference decodable defaults: 21 input frames per
+chunk with frame_subsampling_factor 3 -> 7 output frames per step
+(nnet3/decodable-simple-looped.h:46-59).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from pathlib import Path
+from typing import AsyncIterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..grammar.fst import decode_meta
+from ..models.nnet3 import compile_nnet3
+from ..ops.decoder import (
+    DeviceGraph,
+    NEG_INF_F32,
+    backtrace_words,
+    viterbi_step,
+)
+from ..ops.frontend import mfcc_batch
+from .artifacts import LangArtifacts
+from .fuzzy import get_fuzzy_text
+from .transcribe import AcousticModel
+
+_LOGGER = logging.getLogger(__name__)
+
+CHUNK_OUT_FRAMES = 7  # 21 input frames / subsampling 3
+
+
+class StreamingDecoderState:
+    """Per-stream state: sample/feature rings + device alpha + host bps."""
+
+    def __init__(self, feat_dim: int):
+        self.samples = np.zeros(0, dtype=np.float32)
+        self.feats = np.zeros((0, feat_dim), dtype=np.float32)
+        self.frames_consumed = 0  # input frames fed to the AM so far
+        self.alpha: Optional[jnp.ndarray] = None
+        self.bps: List[np.ndarray] = []  # [chunk][Tc, S]
+        self.started = False
+        self.out_frames = 0
+
+
+class Nnet3StreamTranscriber:
+    """Reference-compatible streaming transcriber
+    (transcribe_stream.py:25-129)."""
+
+    def __init__(
+        self,
+        model_dir: Union[str, Path],
+        graph_dir: Union[str, Path],
+        tools: Optional[object] = None,
+        max_active: int = 7000,
+        lattice_beam: float = 8.0,
+        acoustic_scale: float = 1.0,
+        beam: float = 24.0,
+    ):
+        self.model_dir = Path(model_dir)
+        self.graph_dir = Path(graph_dir)
+        self.acoustic_scale = acoustic_scale
+
+        self.am = AcousticModel(self.model_dir)
+        self.artifacts = LangArtifacts.load(self.graph_dir)
+        assert self.artifacts.graph is not None
+        self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)
+
+        self._chunk_model = compile_nnet3(
+            self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
+        )
+        self._lc = self._chunk_model.left_context
+        self._rc = self._chunk_model.right_context
+        self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling
+
+        graph = self.device_graph
+
+        def chunk_step(alpha, feats_window, n_valid, ivec):
+            """One streaming step: AM forward on the context window + up to 7
+            Viterbi frames (frames >= n_valid are no-ops).
+            alpha [S] -> (alpha' [S], bp [7, S])."""
+            if ivec is None:
+                log_probs = self._chunk_model.forward(feats_window[None])[0]
+            else:
+                log_probs = self._chunk_model.forward(feats_window[None], ivec)[0]
+            am_costs = -self.acoustic_scale * log_probs  # [7, P]
+            ts = jnp.arange(CHUNK_OUT_FRAMES, dtype=jnp.int32)
+
+            def step(a, xs):
+                am_t, t = xs
+                new_alpha, bp = viterbi_step(graph, a[None], am_t[None])
+                active = t < n_valid
+                return (
+                    jnp.where(active, new_alpha[0], a),
+                    jnp.where(active, bp[0], -3),
+                )
+
+            return jax.lax.scan(step, alpha, (am_costs, ts))
+
+        self._has_ivector = self.am._has_ivector
+        if self._has_ivector:
+            self._chunk_fn = jax.jit(chunk_step)
+        else:
+            self._chunk_fn = jax.jit(lambda a, f, n: chunk_step(a, f, n, None))
+        self._lang_cache = {}
+
+    # -- streaming core ------------------------------------------------------
+
+    def start_stream(self) -> StreamingDecoderState:
+        state = StreamingDecoderState(self.am.frontend_config.num_ceps)
+        state.alpha = jnp.asarray(self.artifacts.graph.init_weight)
+        return state
+
+    def _extract_feats(self, state: StreamingDecoderState, pcm: np.ndarray) -> None:
+        cfg = self.am.frontend_config
+        buf = np.concatenate([state.samples, pcm])
+        if buf.shape[0] < cfg.frame_length:
+            state.samples = buf
+            return
+        n = 1 + (buf.shape[0] - cfg.frame_length) // cfg.frame_shift
+        feats = np.asarray(
+            mfcc_batch(self.am.frontend_params, jnp.asarray(buf[None]))
+        )[0]
+        state.feats = np.concatenate([state.feats, feats], axis=0)
+        state.samples = buf[n * cfg.frame_shift :]
+
+    def _run_chunks(self, state: StreamingDecoderState, flush: bool) -> None:
+        """Consume buffered features in fixed chunks while enough context."""
+        while True:
+            t0 = state.frames_consumed
+            need_hi = t0 + self._chunk_in + self._rc
+            have = state.feats.shape[0]
+            if have < need_hi and not flush:
+                return
+            if flush and t0 >= have:
+                return
+            # window rows: input times [t0 - lc, t0 + chunk + rc), clamped
+            lo, hi = self._chunk_model.ranges["input"]
+            idx = np.arange(t0 + lo, t0 + hi)
+            idx = np.clip(idx, 0, max(have - 1, 0))
+            window = state.feats[idx]
+            # frames past the real feature end are invalid when flushing
+            real_out = min(
+                CHUNK_OUT_FRAMES,
+                max(0, -(-(have - t0) // self.am.subsampling)),
+            )
+            alpha, bp = self._chunk_fn(
+                state.alpha, jnp.asarray(window), jnp.int32(real_out)
+            )
+            state.alpha = alpha
+            bp_np = np.asarray(bp)[:real_out]
+            if bp_np.shape[0]:
+                state.bps.append(bp_np)
+                state.out_frames += bp_np.shape[0]
+            state.frames_consumed += self._chunk_in
+            if flush and state.frames_consumed >= have:
+                return
+
+    def process_chunk(self, state: StreamingDecoderState, pcm: np.ndarray) -> None:
+        self._extract_feats(state, pcm)
+        self._run_chunks(state, flush=False)
+
+    def finish_stream(
+        self,
+        state: StreamingDecoderState,
+        lang_dir: Optional[Union[str, Path]] = None,
+        max_fuzzy_cost: Optional[float] = None,
+        require_fuzzy: bool = False,
+    ) -> List[str]:
+        self._run_chunks(state, flush=True)
+        if not state.bps:
+            return []
+        bp = np.concatenate(state.bps, axis=0)[:, None, :]  # [T, 1, S]
+        alpha = np.asarray(state.alpha)[None, :]
+        words, cost = backtrace_words(
+            self.artifacts.graph, alpha, bp, 0, num_frames=bp.shape[0]
+        )
+        if words is None:
+            return []
+        _LOGGER.debug("stream decode cost %.3f", cost)
+
+        lang = self.artifacts
+        if lang_dir is not None:
+            key = str(lang_dir)
+            if key not in self._lang_cache:
+                self._lang_cache[key] = LangArtifacts.load(lang_dir)
+            lang = self._lang_cache[key]
+
+        if lang.g_fuzzy is not None and max_fuzzy_cost is not None:
+            fuzzy = get_fuzzy_text([words], lang.g_fuzzy, lang.words)
+            if fuzzy is not None and fuzzy[1] <= max_fuzzy_cost:
+                return [decode_meta(fuzzy[0])]
+            if require_fuzzy:
+                return []
+        text_words = []
+        for wid in words:
+            sym = self.artifacts.words.find_id(wid)
+            if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
+                text_words.append(sym)
+        return [decode_meta(" ".join(text_words))]
+
+    # -- public API ------------------------------------------------------------
+
+    async def async_transcribe(
+        self,
+        audio_stream: AsyncIterable[bytes],
+        lang_dir: Optional[Union[str, Path]] = None,
+        max_fuzzy_cost: Optional[float] = None,
+        require_fuzzy: bool = False,
+    ) -> List[str]:
+        """Feed s16le PCM chunks; decode on EOF (transcribe_stream.py:38-129)."""
+        state = self.start_stream()
+        async for chunk in audio_stream:
+            if not chunk:
+                continue
+            pcm = np.frombuffer(chunk, dtype=np.int16).astype(np.float32)
+            await asyncio.to_thread(self.process_chunk, state, pcm)
+        return await asyncio.to_thread(
+            lambda: self.finish_stream(
+                state,
+                lang_dir=lang_dir,
+                max_fuzzy_cost=max_fuzzy_cost,
+                require_fuzzy=require_fuzzy,
+            )
+        )
+
+    def transcribe_pcm(
+        self,
+        pcm: np.ndarray,
+        chunk_samples: int = 1024,
+        **kwargs,
+    ) -> List[str]:
+        """Synchronous helper: stream a PCM array in fixed chunks
+        (online2-cli-nnet3-decode-faster reads 1024-sample chunks,
+        online2bin/online2-cli-nnet3-decode-faster.cc:37)."""
+        state = self.start_stream()
+        for off in range(0, pcm.shape[0], chunk_samples):
+            self.process_chunk(state, pcm[off : off + chunk_samples])
+        return self.finish_stream(state, **kwargs)

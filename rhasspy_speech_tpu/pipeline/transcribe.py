@@ -35,6 +35,8 @@ from ..models.nnet3 import CompiledNnet3, compile_nnet3
 from ..ops.decoder import (
     DeviceGraph,
     backtrace_nbest,
+    trace_to_words,
+    viterbi_decode,
     viterbi_kbest,
 )
 from ..ops.frontend import FrontendConfig, make_frontend_params, mfcc_batch, num_frames
@@ -216,6 +218,23 @@ class Nnet3WavTranscriber:
         log_probs = self.am.log_probs(feats, bucket_out)
         k = max(nbest, 1)
         lengths = jnp.asarray(n_out, dtype=jnp.int32)
+        graph = self.artifacts.graph
+        if k == 1:
+            # 1-best fast path: on-device backtrace, O(B*T) transfer
+            trace, fstate, cost = viterbi_decode(
+                self.device_graph,
+                log_probs,
+                acoustic_scale=self.acoustic_scale,
+                lengths=lengths,
+            )
+            trace = np.asarray(trace)
+            fstate = np.asarray(fstate)
+            cost = np.asarray(cost)
+            out = []
+            for i in range(len(pcm_batch)):
+                words, c = trace_to_words(graph, trace, fstate, cost, i)
+                out.append([] if words is None else [(words, c)])
+            return out
         alphak, bpk = viterbi_kbest(
             self.device_graph,
             log_probs,
@@ -225,7 +244,6 @@ class Nnet3WavTranscriber:
         )
         alphak = np.asarray(alphak)
         bpk = np.asarray(bpk)
-        graph = self.artifacts.graph
         return [
             backtrace_nbest(graph, alphak, bpk, i, n=k)
             for i in range(len(pcm_batch))

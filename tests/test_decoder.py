@@ -222,3 +222,25 @@ def test_viterbi_lengths_masking():
     n1 = backtrace_nbest(graph, np.asarray(ak1), np.asarray(bk1), 0, n=3)
     n2 = backtrace_nbest(graph, np.asarray(ak2), np.asarray(bk2), 0, n=3)
     assert [w for w, _ in n1] == [w for w, _ in n2]
+
+
+def test_device_backtrace_matches_host():
+    from rhasspy_speech_tpu.ops.decoder import trace_to_words, viterbi_decode
+
+    rng = np.random.RandomState(11)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    B, T_real, T_pad = 3, 12, 16
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T_pad))).astype(
+        np.float32
+    )
+    lengths = jnp.asarray([T_real, T_pad, T_real - 2])
+
+    alpha, bp = viterbi(dev, jnp.asarray(lp), lengths=lengths)
+    trace, fstate, cost = viterbi_decode(dev, jnp.asarray(lp), lengths=lengths)
+    trace, fstate, cost = map(np.asarray, (trace, fstate, cost))
+    for b in range(B):
+        want = backtrace_words(graph, np.asarray(alpha), np.asarray(bp), b)
+        got = trace_to_words(graph, trace, fstate, cost, b)
+        assert got[0] == want[0], b
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5)

@@ -169,3 +169,37 @@ def test_rescore(profile_and_train):
     )
     assert got
     assert got[0] == "turn off the light"
+
+
+def test_stream_transcriber(profile_and_train):
+    from rhasspy_speech_tpu.pipeline.stream import Nnet3StreamTranscriber
+
+    profile, train_dir = profile_and_train
+    t = Nnet3StreamTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    for i, text in enumerate(["turn on the light", "never mind"]):
+        pcm = synthesize_sentence(profile, text, seed=20 + i)
+        got = t.transcribe_pcm(pcm, chunk_samples=1024)
+        assert got == [text], (got, text)
+
+
+def test_stream_async_matches_batch(profile_and_train):
+    from rhasspy_speech_tpu.pipeline.stream import Nnet3StreamTranscriber
+
+    profile, train_dir = profile_and_train
+    t = Nnet3StreamTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    pcm = synthesize_sentence(profile, "turn off the fan", seed=33)
+
+    async def stream():
+        data = pcm.astype(np.int16).tobytes()
+        for off in range(0, len(data), 2048):
+            yield data[off : off + 2048]
+
+    async def run():
+        return await t.async_transcribe(stream())
+
+    got = asyncio.new_event_loop().run_until_complete(run())
+    assert got == ["turn off the fan"]
