@@ -40,6 +40,7 @@ from ..ops.decoder import (
     viterbi_kbest,
 )
 from ..ops.frontend import FrontendConfig, make_frontend_params, mfcc_batch, num_frames
+from ..utils.metrics import StageTimer, get_metrics
 from .artifacts import LangArtifacts
 from .fuzzy import get_fuzzy_text, rescore_nbest
 
@@ -214,40 +215,53 @@ class Nnet3WavTranscriber:
         for i, p in enumerate(pcm_batch):
             pcm[i, : p.shape[0]] = p
 
-        feats = self.am.features(pcm)
-        log_probs = self.am.log_probs(feats, bucket_out)
+        metrics = get_metrics()
+        metrics.add_audio(
+            sum(p.shape[0] for p in pcm_batch) / self.am.frontend_config.samp_freq,
+            utterances=len(pcm_batch),
+        )
+        with StageTimer("frontend", metrics):
+            feats = self.am.features(pcm)
+            feats.block_until_ready()
+        with StageTimer("acoustic", metrics):
+            log_probs = self.am.log_probs(feats, bucket_out)
+            log_probs.block_until_ready()
         k = max(nbest, 1)
         lengths = jnp.asarray(n_out, dtype=jnp.int32)
         graph = self.artifacts.graph
         if k == 1:
             # 1-best fast path: on-device backtrace, O(B*T) transfer
-            trace, fstate, cost = viterbi_decode(
+            with StageTimer("decode", metrics):
+                trace, fstate, cost = viterbi_decode(
+                    self.device_graph,
+                    log_probs,
+                    acoustic_scale=self.acoustic_scale,
+                    lengths=lengths,
+                )
+                trace = np.asarray(trace)
+                fstate = np.asarray(fstate)
+                cost = np.asarray(cost)
+            with StageTimer("backtrace", metrics):
+                out = []
+                for i in range(len(pcm_batch)):
+                    words, c = trace_to_words(graph, trace, fstate, cost, i)
+                    out.append([] if words is None else [(words, c)])
+            return out
+        with StageTimer("decode", metrics):
+            alphak, bpk = viterbi_kbest(
                 self.device_graph,
                 log_probs,
+                k=k,
                 acoustic_scale=self.acoustic_scale,
                 lengths=lengths,
             )
-            trace = np.asarray(trace)
-            fstate = np.asarray(fstate)
-            cost = np.asarray(cost)
-            out = []
-            for i in range(len(pcm_batch)):
-                words, c = trace_to_words(graph, trace, fstate, cost, i)
-                out.append([] if words is None else [(words, c)])
-            return out
-        alphak, bpk = viterbi_kbest(
-            self.device_graph,
-            log_probs,
-            k=k,
-            acoustic_scale=self.acoustic_scale,
-            lengths=lengths,
-        )
-        alphak = np.asarray(alphak)
-        bpk = np.asarray(bpk)
-        return [
-            backtrace_nbest(graph, alphak, bpk, i, n=k)
-            for i in range(len(pcm_batch))
-        ]
+            alphak = np.asarray(alphak)
+            bpk = np.asarray(bpk)
+        with StageTimer("backtrace", metrics):
+            return [
+                backtrace_nbest(graph, alphak, bpk, i, n=k)
+                for i in range(len(pcm_batch))
+            ]
 
     # -- public API ----------------------------------------------------------
 

@@ -203,3 +203,21 @@ def test_stream_async_matches_batch(profile_and_train):
 
     got = asyncio.new_event_loop().run_until_complete(run())
     assert got == ["turn off the fan"]
+
+
+def test_metrics_accumulate(profile_and_train):
+    from rhasspy_speech_tpu.utils.metrics import get_metrics, reset_metrics
+
+    profile, train_dir = profile_and_train
+    reset_metrics()
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    pcm = synthesize_sentence(profile, "never mind", seed=50)
+    t.transcribe_pcm_batch([pcm])
+    m = get_metrics()
+    s = m.summary()
+    assert s["utterances"] == 1
+    assert s["audio_seconds"] > 0
+    assert set(s["stages"]) >= {"frontend", "acoustic", "decode", "backtrace"}
+    assert m.rtf > 0
