@@ -144,6 +144,28 @@ class KaldiReader:
             np.float64 if width == 8 else np.float32
         )
 
+    def read_packed_matrix(self) -> np.ndarray:
+        """Symmetric/triangular packed matrix ('FP'/'DP',
+        matrix/packed-matrix.cc:240-251) expanded to a full symmetric
+        [d, d] array."""
+        token = self.read_token()
+        if token == "FP":
+            dtype, width = "<f4", 4
+        elif token == "DP":
+            dtype, width = "<f8", 8
+        else:
+            raise KaldiFormatError(f"expected FP/DP, got {token!r}")
+        dim = self.read_int()
+        n = dim * (dim + 1) // 2
+        data = np.frombuffer(self.read_bytes(width * n), dtype=dtype)
+        out = np.zeros((dim, dim), dtype=np.float64 if width == 8 else np.float32)
+        idx = 0
+        for j in range(dim):
+            out[j, : j + 1] = data[idx : idx + j + 1]
+            idx += j + 1
+        out = out + out.T - np.diag(np.diag(out))
+        return out
+
     def read_matrix(self) -> np.ndarray:
         token = self.read_token()
         if token == "FM":
@@ -213,6 +235,16 @@ class KaldiWriter:
             self._s.write(np.ascontiguousarray(mat, dtype="<f8").tobytes())
         else:
             self._s.write(np.ascontiguousarray(mat, dtype="<f4").tobytes())
+
+    def write_packed_matrix(self, mat: np.ndarray) -> None:
+        """Write a symmetric [d, d] array as an FP packed matrix."""
+        mat = np.asarray(mat)
+        dim = mat.shape[0]
+        rows = [mat[j, : j + 1] for j in range(dim)]
+        flat = np.concatenate(rows) if rows else np.zeros(0)
+        self.write_token("FP")
+        self.write_int(dim)
+        self._s.write(flat.astype("<f4").tobytes())
 
     def write_raw(self, data: bytes) -> None:
         self._s.write(data)

@@ -102,6 +102,29 @@ class AcousticModel:
             n.kind == "input" and n.name == "ivector" for n in self.spec.nodes
         )
 
+        # Online i-vector extractor (model_dir/extractor/: final.ie,
+        # final.dubm, final.mat — export_voice2json_profile layout)
+        self.ivector_params = None
+        ext_dir = model_dir / "extractor"
+        if self._has_ivector and (ext_dir / "final.ie").exists():
+            from ..io.ivector import (
+                DiagGmm,
+                IvectorExtractor,
+                OnlineIvectorConfig,
+                parse_conf,
+            )
+            from ..io.kaldi_io import read_kaldi_object
+            from ..ops.ivector import make_ivector_params
+
+            dubm = DiagGmm.load(str(ext_dir / "final.dubm"))
+            extractor = IvectorExtractor.load(str(ext_dir / "final.ie"))
+            lda = read_kaldi_object(str(ext_dir / "final.mat"))
+            conf_path = ext_dir / "ivector_extractor.conf"
+            cfg = OnlineIvectorConfig()
+            if conf_path.exists():
+                cfg = OnlineIvectorConfig.from_conf(parse_conf(str(conf_path)))
+            self.ivector_params = make_ivector_params(dubm, extractor, lda, cfg)
+
     @property
     def num_pdfs(self) -> int:
         return self.transition_model.num_pdfs
@@ -137,9 +160,14 @@ class AcousticModel:
         feats_in = feats[:, idx]
         ivec = None
         if self._has_ivector:
-            ivec = jnp.zeros(
-                (feats.shape[0], self.spec.ivector_dim), dtype=feats.dtype
-            )
+            if self.ivector_params is not None:
+                from ..ops.ivector import extract_ivectors
+
+                ivec = extract_ivectors(feats, self.ivector_params)
+            else:
+                ivec = jnp.zeros(
+                    (feats.shape[0], self.spec.ivector_dim), dtype=feats.dtype
+                )
         out = bucket.fwd(feats_in, ivec) if ivec is not None else bucket.fwd(feats_in)
         if self.spec.priors is not None and self.spec.priors.shape[0]:
             out = out - jnp.log(jnp.asarray(self.spec.priors))[None, None, :]
