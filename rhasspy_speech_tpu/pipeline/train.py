@@ -141,12 +141,28 @@ def train_model_sync(
                 entries.append((word, list(pron)))
         else:
             missing.append(word)
-    for word in missing:
-        # Reference: phonetisaurus guesses; a no-pronunciation result maps
-        # the word to the silence phone (kaldi.py:211-217). Without a G2P
-        # model we take the fallback directly.
-        _LOGGER.warning("No pronunciation for %r; mapping to %s", word, sil_phone)
-        entries.append((word, [sil_phone]))
+    if missing:
+        # Guess with the profile's G2P model (kaldi.py:196-230); words it
+        # can't phoneticize map to the silence phone like the reference's
+        # no-pronunciation fallback (kaldi.py:211-217).
+        guessed = {}
+        g2p_path = model_dir / "g2p.fst"
+        if g2p_path.exists():
+            from ..lexicon.g2p_decoder import G2PModel, guess_pronunciations
+
+            model = G2PModel.load(str(g2p_path))
+            guessed = guess_pronunciations(missing, model)
+        for word in missing:
+            prons = guessed.get(word)
+            if prons:
+                _LOGGER.warning("Guessed pronunciation for %r: %s", word, prons[0])
+                for pron in prons:
+                    entries.append((word, list(pron)))
+            else:
+                _LOGGER.warning(
+                    "No pronunciation for %r; mapping to %s", word, sil_phone
+                )
+                entries.append((word, [sil_phone]))
     entries.append((UNK, [spn_phone]))
     for meta in sorted(ctx.meta_labels):
         entries.append((meta, [sil_phone]))
