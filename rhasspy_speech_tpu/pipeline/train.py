@@ -106,8 +106,26 @@ def train_model_sync(
     word_casing = WordCasing(
         model_config.get("lexicon", {}).get("casing", "lower")
     )
+    model_type = model_config.get("type", "kaldi")
     sil_phone = model_config.get("sil_phone", SIL)
     spn_phone = model_config.get("spn_phone", SPN)
+
+    if model_type == "coqui":
+        # CTC backend (train.py:85-88): compile the grammar and build the
+        # token->sentence decode cascade; no lexicon/lang step.
+        from ..lexicon.g2p import LexiconDatabase as _LexDb
+        from .coqui import CoquiSttTrainer
+
+        intents_obj = _load_intents(intents)
+        ctx = compile_intents(
+            intents_obj,
+            io.StringIO(),
+            _LexDb(),
+            number_language=language,
+            word_casing=word_casing,
+        )
+        CoquiSttTrainer(model_dir).train(ctx, train_dir)
+        return
 
     # Lexicon + user words (train.py:41-50)
     lexicon_db = model_dir / "lexicon.db"
