@@ -1,0 +1,253 @@
+// rss_runtime: native audio-ingestion + stream-pool runtime.
+//
+// The reference delegates all native work to Kaldi/OpenFST subprocesses and
+// an external sox for resampling (reference: tests/resample.py, and the
+// 16 kHz mono requirement in rhasspy_speech/transcribe_wav.py). This library
+// is the TPU framework's equivalent of that ingestion layer, in-process:
+//
+//  - WAV (RIFF s16le) parsing with channel mixdown,
+//  - windowed-sinc rational resampling to 16 kHz,
+//  - a fixed-slot PCM ring-buffer pool feeding the batched streaming
+//    scheduler (one slot per concurrent stream; the Python side drains
+//    whole 16e3*0.21s chunks for the device decode step).
+//
+// Exposed as a plain C ABI for ctypes.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// WAV parsing
+// ---------------------------------------------------------------------------
+
+// Parse a RIFF/WAVE buffer; returns 0 on success. Fills *out_rate,
+// *out_channels, *out_num_samples (per channel). If out_pcm is non-null it
+// must hold num_samples floats; samples are mixed down to mono float32 in
+// int16 range.
+int rss_wav_info(const uint8_t *data, int64_t size, int32_t *out_rate,
+                 int32_t *out_channels, int64_t *out_num_samples) {
+  if (size < 44 || memcmp(data, "RIFF", 4) != 0 ||
+      memcmp(data + 8, "WAVE", 4) != 0)
+    return -1;
+  int64_t pos = 12;
+  int32_t rate = 0;
+  int16_t channels = 0, bits = 0, format = 0;
+  int64_t data_off = -1, data_len = 0;
+  while (pos + 8 <= size) {
+    const uint8_t *hdr = data + pos;
+    uint32_t chunk_len;
+    memcpy(&chunk_len, hdr + 4, 4);
+    if (memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16) {
+      memcpy(&format, hdr + 8, 2);
+      memcpy(&channels, hdr + 10, 2);
+      memcpy(&rate, hdr + 12, 4);
+      memcpy(&bits, hdr + 22, 2);
+    } else if (memcmp(hdr, "data", 4) == 0) {
+      data_off = pos + 8;
+      data_len = chunk_len;
+      if (data_off + data_len > size) data_len = size - data_off;
+    }
+    pos += 8 + chunk_len + (chunk_len & 1);
+  }
+  if (rate <= 0 || channels <= 0 || data_off < 0) return -2;
+  if (format != 1 || bits != 16) return -3;  // PCM s16le only
+  *out_rate = rate;
+  *out_channels = channels;
+  *out_num_samples = data_len / (2 * channels);
+  return 0;
+}
+
+int rss_wav_decode(const uint8_t *data, int64_t size, float *out_pcm,
+                   int64_t max_samples) {
+  int32_t rate, channels;
+  int64_t num_samples;
+  int rc = rss_wav_info(data, size, &rate, &channels, &num_samples);
+  if (rc != 0) return rc;
+  if (num_samples > max_samples) return -4;
+
+  // find data chunk again
+  int64_t pos = 12, data_off = -1;
+  while (pos + 8 <= size) {
+    const uint8_t *hdr = data + pos;
+    uint32_t chunk_len;
+    memcpy(&chunk_len, hdr + 4, 4);
+    if (memcmp(hdr, "data", 4) == 0) {
+      data_off = pos + 8;
+      break;
+    }
+    pos += 8 + chunk_len + (chunk_len & 1);
+  }
+  const int16_t *pcm16 = reinterpret_cast<const int16_t *>(data + data_off);
+  if (channels == 1) {
+    for (int64_t i = 0; i < num_samples; i++) out_pcm[i] = (float)pcm16[i];
+  } else {
+    for (int64_t i = 0; i < num_samples; i++) {
+      int32_t acc = 0;
+      for (int32_t c = 0; c < channels; c++) acc += pcm16[i * channels + c];
+      out_pcm[i] = (float)acc / (float)channels;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Windowed-sinc rational resampler
+// ---------------------------------------------------------------------------
+
+static int64_t gcd64(int64_t a, int64_t b) {
+  while (b) {
+    int64_t t = a % b;
+    a = b;
+    b = t;
+  }
+  return a;
+}
+
+// Output length for resampling n samples from in_rate to out_rate.
+int64_t rss_resample_out_len(int64_t n, int32_t in_rate, int32_t out_rate) {
+  return (n * (int64_t)out_rate) / in_rate;
+}
+
+// Polyphase windowed-sinc resampler (Hann window, zero-phase), cutoff at
+// 0.9 * min(in, out) Nyquist. out must hold rss_resample_out_len samples.
+int rss_resample(const float *in, int64_t n, int32_t in_rate,
+                 int32_t out_rate, float *out) {
+  if (in_rate == out_rate) {
+    memcpy(out, in, sizeof(float) * n);
+    return 0;
+  }
+  const int64_t g = gcd64(in_rate, out_rate);
+  const int64_t up = out_rate / g, down = in_rate / g;
+  const double cutoff = 0.45 * std::min(in_rate, out_rate);  // Hz
+  const int half_taps = 16;  // zero crossings per side at the LOWER rate
+  const double fc = cutoff / in_rate;        // normalized to input rate
+  const double support = half_taps / (2.0 * fc);  // input samples per side
+
+  const int64_t out_len = rss_resample_out_len(n, in_rate, out_rate);
+  for (int64_t j = 0; j < out_len; j++) {
+    // center position in input samples: j * down / up
+    const double center = (double)(j * down) / (double)up;
+    const int64_t lo = (int64_t)std::ceil(center - support);
+    const int64_t hi = (int64_t)std::floor(center + support);
+    double acc = 0.0, norm = 0.0;
+    for (int64_t i = std::max<int64_t>(lo, 0);
+         i <= std::min<int64_t>(hi, n - 1); i++) {
+      const double x = (double)i - center;
+      const double arg = 2.0 * M_PI * fc * x;
+      const double sinc = (std::fabs(arg) < 1e-9) ? 1.0 : std::sin(arg) / arg;
+      const double win =
+          0.5 + 0.5 * std::cos(M_PI * x / (support + 1e-9));
+      const double w = sinc * win;
+      acc += w * (double)in[i];
+      norm += w;
+    }
+    out[j] = (norm > 1e-12) ? (float)(acc / norm) : 0.0f;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Stream ring-buffer pool
+// ---------------------------------------------------------------------------
+
+struct StreamSlot {
+  std::vector<float> ring;
+  int64_t write_pos = 0;   // total samples ever written
+  int64_t read_pos = 0;    // total samples ever consumed
+  bool active = false;
+  bool finished = false;   // EOF signalled
+};
+
+struct StreamPool {
+  std::vector<StreamSlot> slots;
+  int64_t capacity;  // per-slot ring capacity in samples
+  std::mutex mu;
+};
+
+void *rss_pool_create(int32_t num_slots, int64_t capacity_samples) {
+  auto *pool = new StreamPool();
+  pool->slots.resize(num_slots);
+  pool->capacity = capacity_samples;
+  for (auto &s : pool->slots) s.ring.resize(capacity_samples);
+  return pool;
+}
+
+void rss_pool_destroy(void *p) { delete static_cast<StreamPool *>(p); }
+
+// Claim a free slot; returns slot id or -1.
+int32_t rss_pool_open(void *p) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  for (size_t i = 0; i < pool->slots.size(); i++) {
+    if (!pool->slots[i].active) {
+      auto &s = pool->slots[i];
+      s.active = true;
+      s.finished = false;
+      s.write_pos = s.read_pos = 0;
+      return (int32_t)i;
+    }
+  }
+  return -1;
+}
+
+// Append PCM; returns samples accepted (may be < n when the ring is full).
+int64_t rss_pool_feed(void *p, int32_t slot, const float *pcm, int64_t n) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  auto &s = pool->slots[slot];
+  if (!s.active || s.finished) return -1;
+  const int64_t free_space = pool->capacity - (s.write_pos - s.read_pos);
+  const int64_t take = std::min(free_space, n);
+  for (int64_t i = 0; i < take; i++)
+    s.ring[(s.write_pos + i) % pool->capacity] = pcm[i];
+  s.write_pos += take;
+  return take;
+}
+
+void rss_pool_finish(void *p, int32_t slot) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  pool->slots[slot].finished = true;
+}
+
+// Samples available to read.
+int64_t rss_pool_available(void *p, int32_t slot) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  auto &s = pool->slots[slot];
+  return s.write_pos - s.read_pos;
+}
+
+int32_t rss_pool_is_finished(void *p, int32_t slot) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  return pool->slots[slot].finished ? 1 : 0;
+}
+
+// Pop up to n samples into out; returns count actually read.
+int64_t rss_pool_read(void *p, int32_t slot, float *out, int64_t n) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  auto &s = pool->slots[slot];
+  const int64_t avail = s.write_pos - s.read_pos;
+  const int64_t take = std::min(avail, n);
+  for (int64_t i = 0; i < take; i++)
+    out[i] = s.ring[(s.read_pos + i) % pool->capacity];
+  s.read_pos += take;
+  return take;
+}
+
+// Release a slot back to the pool.
+void rss_pool_close(void *p, int32_t slot) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  pool->slots[slot].active = false;
+}
+
+}  // extern "C"

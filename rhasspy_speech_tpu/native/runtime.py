@@ -1,0 +1,260 @@
+"""ctypes bindings for librss_runtime.so with NumPy fallbacks."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LOGGER = logging.getLogger(__name__)
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_NATIVE_DIR = _REPO_ROOT / "native"
+_LIB_PATH = _NATIVE_DIR / "build" / "librss_runtime.so"
+
+
+def _build_library() -> Optional[Path]:
+    """Compile the shared library with g++ (no cmake round-trip needed)."""
+    src = _NATIVE_DIR / "rss_runtime.cpp"
+    if not src.exists():
+        return None
+    _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        str(src), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return _LIB_PATH
+    except (subprocess.CalledProcessError, FileNotFoundError) as err:
+        _LOGGER.warning("native build failed (%s); using NumPy fallbacks", err)
+        return None
+
+
+class NativeRuntime:
+    """Lazy-loaded library handle."""
+
+    def __init__(self):
+        self._lib = None
+        self._tried = False
+        self._lock = threading.Lock()
+
+    @property
+    def lib(self):
+        with self._lock:
+            if self._lib is None and not self._tried:
+                self._tried = True
+                path = _LIB_PATH if _LIB_PATH.exists() else _build_library()
+                if path is not None:
+                    lib = ctypes.CDLL(str(path))
+                    self._configure(lib)
+                    self._lib = lib
+            return self._lib
+
+    @staticmethod
+    def _configure(lib) -> None:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.rss_wav_info.restype = ctypes.c_int
+        lib.rss_wav_info.argtypes = [
+            u8p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rss_wav_decode.restype = ctypes.c_int
+        lib.rss_wav_decode.argtypes = [u8p, ctypes.c_int64, f32p, ctypes.c_int64]
+        lib.rss_resample_out_len.restype = ctypes.c_int64
+        lib.rss_resample_out_len.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32
+        ]
+        lib.rss_resample.restype = ctypes.c_int
+        lib.rss_resample.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, f32p
+        ]
+        lib.rss_pool_create.restype = ctypes.c_void_p
+        lib.rss_pool_create.argtypes = [ctypes.c_int32, ctypes.c_int64]
+        lib.rss_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.rss_pool_open.restype = ctypes.c_int32
+        lib.rss_pool_open.argtypes = [ctypes.c_void_p]
+        lib.rss_pool_feed.restype = ctypes.c_int64
+        lib.rss_pool_feed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, f32p, ctypes.c_int64
+        ]
+        lib.rss_pool_finish.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.rss_pool_available.restype = ctypes.c_int64
+        lib.rss_pool_available.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.rss_pool_is_finished.restype = ctypes.c_int32
+        lib.rss_pool_is_finished.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.rss_pool_read.restype = ctypes.c_int64
+        lib.rss_pool_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, f32p, ctypes.c_int64
+        ]
+        lib.rss_pool_close.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+
+
+_RUNTIME = NativeRuntime()
+
+
+def get_runtime() -> NativeRuntime:
+    return _RUNTIME
+
+
+def _f32p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def load_wav(path: str, target_rate: int = 16000) -> np.ndarray:
+    """WAV file -> mono float32 at target_rate (native parse + resample;
+    stdlib-wave fallback)."""
+    lib = _RUNTIME.lib
+    data = np.fromfile(path, dtype=np.uint8)
+    if lib is not None:
+        rate = ctypes.c_int32()
+        channels = ctypes.c_int32()
+        num_samples = ctypes.c_int64()
+        rc = lib.rss_wav_info(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            data.shape[0],
+            ctypes.byref(rate), ctypes.byref(channels), ctypes.byref(num_samples),
+        )
+        if rc == 0:
+            pcm = np.empty(num_samples.value, dtype=np.float32)
+            rc = lib.rss_wav_decode(
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                data.shape[0], _f32p(pcm), num_samples.value,
+            )
+            if rc == 0:
+                if rate.value != target_rate:
+                    pcm = resample(pcm, rate.value, target_rate)
+                return pcm
+        _LOGGER.warning("native WAV parse failed rc=%s for %s", rc, path)
+
+    import wave
+
+    with wave.open(path, "rb") as w:
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+        if w.getnchannels() > 1:
+            raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
+        pcm = raw.astype(np.float32)
+        if w.getframerate() != target_rate:
+            pcm = resample(pcm, w.getframerate(), target_rate)
+        return pcm
+
+
+def resample(pcm: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
+    """Windowed-sinc rational resampling (native; NumPy fallback)."""
+    if in_rate == out_rate:
+        return pcm
+    pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+    lib = _RUNTIME.lib
+    if lib is not None:
+        out_len = lib.rss_resample_out_len(pcm.shape[0], in_rate, out_rate)
+        out = np.empty(out_len, dtype=np.float32)
+        rc = lib.rss_resample(_f32p(pcm), pcm.shape[0], in_rate, out_rate, _f32p(out))
+        if rc == 0:
+            return out
+
+    # NumPy fallback: same windowed-sinc math
+    import math
+
+    g = math.gcd(in_rate, out_rate)
+    up, down = out_rate // g, in_rate // g
+    n = pcm.shape[0]
+    out_len = (n * out_rate) // in_rate
+    fc = 0.45 * min(in_rate, out_rate) / in_rate
+    support = 16 / (2 * fc)
+    out = np.zeros(out_len, dtype=np.float32)
+    for j in range(out_len):
+        center = j * down / up
+        lo = max(int(np.ceil(center - support)), 0)
+        hi = min(int(np.floor(center + support)), n - 1)
+        x = np.arange(lo, hi + 1) - center
+        arg = 2 * np.pi * fc * x
+        safe_arg = np.where(np.abs(arg) < 1e-9, 1.0, arg)
+        sinc = np.where(np.abs(arg) < 1e-9, 1.0, np.sin(safe_arg) / safe_arg)
+        win = 0.5 + 0.5 * np.cos(np.pi * x / (support + 1e-9))
+        w = sinc * win
+        norm = w.sum()
+        out[j] = float((w * pcm[lo : hi + 1]).sum() / norm) if norm > 1e-12 else 0.0
+    return out
+
+
+class StreamPool:
+    """Fixed-slot PCM ring-buffer pool (native; NumPy fallback)."""
+
+    def __init__(self, num_slots: int, capacity_samples: int = 16000 * 30):
+        self._lib = _RUNTIME.lib
+        self.num_slots = num_slots
+        self.capacity = capacity_samples
+        if self._lib is not None:
+            self._handle = ctypes.c_void_p(
+                self._lib.rss_pool_create(num_slots, capacity_samples)
+            )
+        else:
+            self._buffers = [None] * num_slots
+            self._finished = [False] * num_slots
+            self._lock = threading.Lock()
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and getattr(self, "_handle", None):
+            self._lib.rss_pool_destroy(self._handle)
+
+    def open(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.rss_pool_open(self._handle))
+        with self._lock:
+            for i, buf in enumerate(self._buffers):
+                if buf is None:
+                    self._buffers[i] = np.zeros(0, dtype=np.float32)
+                    self._finished[i] = False
+                    return i
+            return -1
+
+    def feed(self, slot: int, pcm: np.ndarray) -> int:
+        pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+        if self._lib is not None:
+            return int(self._lib.rss_pool_feed(self._handle, slot, _f32p(pcm), pcm.shape[0]))
+        with self._lock:
+            self._buffers[slot] = np.concatenate([self._buffers[slot], pcm])
+            return pcm.shape[0]
+
+    def finish(self, slot: int) -> None:
+        if self._lib is not None:
+            self._lib.rss_pool_finish(self._handle, slot)
+        else:
+            self._finished[slot] = True
+
+    def available(self, slot: int) -> int:
+        if self._lib is not None:
+            return int(self._lib.rss_pool_available(self._handle, slot))
+        with self._lock:
+            return self._buffers[slot].shape[0]
+
+    def is_finished(self, slot: int) -> bool:
+        if self._lib is not None:
+            return bool(self._lib.rss_pool_is_finished(self._handle, slot))
+        return self._finished[slot]
+
+    def read(self, slot: int, n: int) -> np.ndarray:
+        if self._lib is not None:
+            out = np.empty(n, dtype=np.float32)
+            got = int(self._lib.rss_pool_read(self._handle, slot, _f32p(out), n))
+            return out[:got]
+        with self._lock:
+            buf = self._buffers[slot]
+            out = buf[:n].copy()
+            self._buffers[slot] = buf[n:]
+            return out
+
+    def close(self, slot: int) -> None:
+        if self._lib is not None:
+            self._lib.rss_pool_close(self._handle, slot)
+        else:
+            with self._lock:
+                self._buffers[slot] = None

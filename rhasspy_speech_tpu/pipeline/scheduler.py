@@ -1,0 +1,285 @@
+"""Batched streaming scheduler: many concurrent PCM streams, one device
+program.
+
+The throughput-serving design (SURVEY §7.9, BASELINE north star >=100
+streams/chip): a fixed pool of stream slots backed by the native ring
+buffers (native/runtime.py StreamPool). Every ``step()`` runs ONE jitted
+chunk program over the whole slot batch [max_streams, ...]; slots without a
+ready chunk run masked (n_valid=0), so the compiled shape never changes and
+admission/retirement of utterances costs nothing on device.
+
+Per chunk each active slot advances 21 input frames -> 7 subsampled Viterbi
+frames (decodable-simple-looped.h:46-59 chunking), with per-slot device
+alpha rows carried between steps.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..grammar.fst import decode_meta
+from ..models.nnet3 import compile_nnet3
+from ..native import StreamPool
+from ..ops.decoder import DeviceGraph, backtrace_words, viterbi_step
+from ..ops.frontend import mfcc_batch
+from ..utils.metrics import StageTimer, get_metrics
+from .artifacts import LangArtifacts
+from .fuzzy import get_fuzzy_text
+from .transcribe import AcousticModel
+
+_LOGGER = logging.getLogger(__name__)
+
+CHUNK_OUT_FRAMES = 7
+
+
+@dataclass
+class _SlotState:
+    active: bool = False
+    feats: Optional[np.ndarray] = None
+    samples_left: np.ndarray = None  # leftover < frame window samples
+    frames_consumed: int = 0
+    out_frames: int = 0
+    bps: List[np.ndarray] = field(default_factory=list)
+    done: bool = False
+    result: Optional[List[str]] = None
+
+
+class StreamScheduler:
+    """Admit/feed/step/poll interface over a fixed stream batch."""
+
+    def __init__(
+        self,
+        model_dir: Union[str, Path],
+        graph_dir: Union[str, Path],
+        max_streams: int = 32,
+        acoustic_scale: float = 1.0,
+        max_fuzzy_cost: Optional[float] = None,
+        lang_dir: Optional[Union[str, Path]] = None,
+        pool_capacity_samples: int = 16000 * 60,
+    ):
+        self.am = AcousticModel(Path(model_dir))
+        self.artifacts = LangArtifacts.load(graph_dir)
+        assert self.artifacts.graph is not None
+        self.graph = self.artifacts.graph
+        self.device_graph = DeviceGraph.from_dense(self.graph)
+        self.max_streams = max_streams
+        self.acoustic_scale = acoustic_scale
+        self.max_fuzzy_cost = max_fuzzy_cost
+        self.fuzzy_lang = (
+            LangArtifacts.load(lang_dir) if lang_dir is not None else self.artifacts
+        )
+
+        self.pool = StreamPool(max_streams, pool_capacity_samples)
+        self.slots: List[_SlotState] = [_SlotState() for _ in range(max_streams)]
+
+        self._chunk_model = compile_nnet3(
+            self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
+        )
+        lo, hi = self._chunk_model.ranges["input"]
+        self._win_lo, self._win_hi = lo, hi
+        self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling
+
+        graph = self.device_graph
+        scale = acoustic_scale
+
+        def batch_chunk(alpha, windows, n_valid):
+            """alpha [N, S]; windows [N, W, D]; n_valid [N] ->
+            (alpha' [N, S], bp [7, N, S])."""
+            log_probs = self._chunk_model.forward(windows)  # [N, 7, P]
+            am_costs = -scale * jnp.swapaxes(log_probs, 0, 1)  # [7, N, P]
+            ts = jnp.arange(CHUNK_OUT_FRAMES, dtype=jnp.int32)
+
+            def step(a, xs):
+                am_t, t = xs
+                new_alpha, bp = viterbi_step(graph, a, am_t)
+                active = (t < n_valid)[:, None]
+                return (
+                    jnp.where(active, new_alpha, a),
+                    jnp.where(active, bp, -3),
+                )
+
+            return jax.lax.scan(step, alpha, (am_costs, ts))
+
+        self._batch_chunk = jax.jit(batch_chunk)
+
+        S = self.graph.num_states
+        self._alpha = jnp.broadcast_to(
+            jnp.asarray(self.graph.init_weight)[None, :], (max_streams, S)
+        ).copy()
+        cfg = self.am.frontend_config
+        self._frame_len = cfg.frame_length
+        self._frame_shift = cfg.frame_shift
+
+    # -- stream lifecycle ------------------------------------------------------
+
+    def open_stream(self) -> int:
+        sid = self.pool.open()
+        if sid < 0:
+            return -1
+        state = self.slots[sid]
+        state.active = True
+        state.feats = np.zeros((0, self.am.frontend_config.num_ceps), np.float32)
+        state.samples_left = np.zeros(0, dtype=np.float32)
+        state.frames_consumed = 0
+        state.out_frames = 0
+        state.bps = []
+        state.done = False
+        state.result = None
+        self._alpha = self._alpha.at[sid].set(
+            jnp.asarray(self.graph.init_weight)
+        )
+        return sid
+
+    def feed(self, sid: int, pcm: np.ndarray) -> int:
+        return self.pool.feed(sid, pcm)
+
+    def finish(self, sid: int) -> None:
+        self.pool.finish(sid)
+
+    def poll(self, sid: int) -> Optional[List[str]]:
+        """Result once the stream is fully decoded; None while in flight."""
+        state = self.slots[sid]
+        if state.done:
+            return state.result
+        return None
+
+    def close(self, sid: int) -> None:
+        self.slots[sid].active = False
+        self.pool.close(sid)
+
+    @property
+    def active_streams(self) -> int:
+        return sum(1 for s in self.slots if s.active and not s.done)
+
+    # -- scheduling -------------------------------------------------------------
+
+    def _drain_features(self, sid: int) -> None:
+        """Move pool PCM into per-slot feature buffers."""
+        state = self.slots[sid]
+        avail = self.pool.available(sid)
+        if avail <= 0:
+            return
+        pcm = self.pool.read(sid, avail)
+        buf = np.concatenate([state.samples_left, pcm])
+        if buf.shape[0] < self._frame_len:
+            state.samples_left = buf
+            return
+        n = 1 + (buf.shape[0] - self._frame_len) // self._frame_shift
+        feats = np.asarray(
+            mfcc_batch(self.am.frontend_params, jnp.asarray(buf[None]))
+        )[0]
+        state.feats = np.concatenate([state.feats, feats], axis=0)
+        state.samples_left = buf[n * self._frame_shift :]
+
+    def step(self) -> int:
+        """One scheduling tick: run the batched chunk program over every
+        slot with work. Returns the number of active chunk lanes."""
+        metrics = get_metrics()
+        N = self.max_streams
+        W = self._win_hi - self._win_lo
+        D = self.am.frontend_config.num_ceps
+        windows = np.zeros((N, W, D), dtype=np.float32)
+        n_valid = np.zeros(N, dtype=np.int32)
+        flushed: List[int] = []
+
+        for sid, state in enumerate(self.slots):
+            if not state.active or state.done:
+                continue
+            self._drain_features(sid)
+            t0 = state.frames_consumed
+            have = state.feats.shape[0]
+            finished = self.pool.is_finished(sid)
+            ready = have >= t0 + self._chunk_in + max(self._win_hi - self._chunk_in, 0)
+            if not ready and not (finished and t0 < have):
+                if finished and t0 >= have:
+                    flushed.append(sid)
+                continue
+            idx = np.clip(np.arange(t0 + self._win_lo, t0 + self._win_hi), 0,
+                          max(have - 1, 0))
+            windows[sid] = state.feats[idx]
+            real_out = min(
+                CHUNK_OUT_FRAMES,
+                max(0, -(-(have - t0) // self.am.subsampling)),
+            )
+            if not finished:
+                real_out = CHUNK_OUT_FRAMES  # full chunk guaranteed by `ready`
+            n_valid[sid] = real_out
+
+        lanes = int((n_valid > 0).sum())
+        if lanes:
+            with StageTimer("stream_chunk", metrics):
+                alpha, bps = self._batch_chunk(
+                    self._alpha, jnp.asarray(windows), jnp.asarray(n_valid)
+                )
+                self._alpha = alpha
+                bps_np = np.asarray(bps)  # [7, N, S]
+            for sid, state in enumerate(self.slots):
+                k = int(n_valid[sid])
+                if k <= 0:
+                    continue
+                state.bps.append(bps_np[:k, sid])
+                state.out_frames += k
+                state.frames_consumed += self._chunk_in
+                if self.pool.is_finished(sid) and state.frames_consumed >= state.feats.shape[0]:
+                    flushed.append(sid)
+
+        for sid in flushed:
+            self._finalize(sid)
+        return lanes
+
+    def run_until_idle(self, max_steps: int = 10000) -> None:
+        for _ in range(max_steps):
+            lanes = self.step()
+            if lanes == 0 and all(
+                s.done or not s.active for s in self.slots
+            ):
+                return
+            if lanes == 0:
+                # nothing ready and nothing finished this tick
+                pending = any(
+                    s.active and not s.done for s in self.slots
+                )
+                if not pending:
+                    return
+                # streams stalled awaiting more PCM
+                return
+
+    def _finalize(self, sid: int) -> None:
+        state = self.slots[sid]
+        if state.done:
+            return
+        state.done = True
+        metrics = get_metrics()
+        metrics.add_audio(
+            state.frames_consumed * self._frame_shift / 16000.0, utterances=1
+        )
+        if not state.bps:
+            state.result = []
+            return
+        bp = np.concatenate(state.bps, axis=0)[:, None, :]
+        alpha = np.asarray(self._alpha[sid])[None, :]
+        words, _cost = backtrace_words(self.graph, alpha, bp, 0,
+                                       num_frames=bp.shape[0])
+        if words is None:
+            state.result = []
+            return
+        lang = self.fuzzy_lang
+        if lang.g_fuzzy is not None and self.max_fuzzy_cost is not None:
+            fuzzy = get_fuzzy_text([words], lang.g_fuzzy, lang.words)
+            if fuzzy is not None and fuzzy[1] <= self.max_fuzzy_cost:
+                state.result = [decode_meta(fuzzy[0])]
+                return
+        text = []
+        for wid in words:
+            sym = self.artifacts.words.find_id(wid)
+            if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
+                text.append(sym)
+        state.result = [decode_meta(" ".join(text))]

@@ -1,0 +1,108 @@
+"""Native runtime tests: WAV parse, resampler, stream pool."""
+
+import wave
+
+import numpy as np
+import pytest
+
+from rhasspy_speech_tpu.native import StreamPool, get_runtime, load_wav, resample
+
+
+def _write_wav(path, pcm, rate=16000, channels=1):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(pcm, dtype=np.int16).tobytes())
+
+
+def test_native_library_builds():
+    assert get_runtime().lib is not None, "g++ build of librss_runtime failed"
+
+
+def test_load_wav_mono(tmp_path):
+    t = np.arange(16000) / 16000.0
+    pcm = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    path = tmp_path / "tone.wav"
+    _write_wav(path, pcm)
+    got = load_wav(str(path))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, pcm.astype(np.float32), atol=0.5)
+
+
+def test_load_wav_stereo_mixdown(tmp_path):
+    left = np.full(1000, 1000, dtype=np.int16)
+    right = np.full(1000, 3000, dtype=np.int16)
+    inter = np.empty(2000, dtype=np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    path = tmp_path / "stereo.wav"
+    _write_wav(path, inter, channels=2)
+    got = load_wav(str(path))
+    assert got.shape[0] == 1000
+    np.testing.assert_allclose(got, 2000.0, atol=1.0)
+
+
+@pytest.mark.parametrize("in_rate", [8000, 22050, 44100, 48000])
+def test_resample_preserves_tone(in_rate):
+    """A 440 Hz tone resampled to 16 kHz stays a 440 Hz tone."""
+    dur = 0.5
+    t_in = np.arange(int(in_rate * dur)) / in_rate
+    tone = np.sin(2 * np.pi * 440 * t_in).astype(np.float32)
+    out = resample(tone, in_rate, 16000)
+    expected_len = int(len(tone) * 16000 / in_rate)
+    assert abs(out.shape[0] - expected_len) <= 1
+
+    # dominant frequency via FFT
+    spec = np.abs(np.fft.rfft(out * np.hanning(out.shape[0])))
+    freq = np.fft.rfftfreq(out.shape[0], 1 / 16000.0)
+    peak = freq[np.argmax(spec)]
+    assert abs(peak - 440) < 5, peak
+    # amplitude roughly preserved (ignore edges)
+    mid = out[out.shape[0] // 4 : -out.shape[0] // 4]
+    assert 0.9 < np.abs(mid).max() < 1.1
+
+
+def test_resample_wav_to_16k(tmp_path):
+    rate = 44100
+    t = np.arange(rate) / rate
+    pcm = (8000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)
+    path = tmp_path / "hi.wav"
+    _write_wav(path, pcm, rate=rate)
+    got = load_wav(str(path))
+    assert abs(got.shape[0] - 16000) <= 1
+
+
+def test_stream_pool_lifecycle():
+    pool = StreamPool(num_slots=2, capacity_samples=1000)
+    a = pool.open()
+    b = pool.open()
+    assert {a, b} == {0, 1}
+    assert pool.open() == -1  # full
+
+    data = np.arange(300, dtype=np.float32)
+    assert pool.feed(a, data) == 300
+    assert pool.available(a) == 300
+    out = pool.read(a, 100)
+    np.testing.assert_array_equal(out, data[:100])
+    assert pool.available(a) == 200
+
+    # ring wrap: feed more than remaining capacity in pieces
+    assert pool.feed(a, np.arange(700, dtype=np.float32)) == 700
+    assert pool.available(a) == 900
+    rest = pool.read(a, 900)
+    np.testing.assert_array_equal(rest[:200], data[100:])
+    np.testing.assert_array_equal(rest[200:], np.arange(700, dtype=np.float32))
+
+    assert not pool.is_finished(a)
+    pool.finish(a)
+    assert pool.is_finished(a)
+    pool.close(a)
+    assert pool.open() == a  # slot recycled
+
+
+def test_stream_pool_backpressure():
+    pool = StreamPool(num_slots=1, capacity_samples=100)
+    s = pool.open()
+    taken = pool.feed(s, np.zeros(150, dtype=np.float32))
+    assert taken == 100  # ring full: partial accept

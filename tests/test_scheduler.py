@@ -1,0 +1,80 @@
+"""Batched streaming scheduler tests."""
+
+import numpy as np
+
+from rhasspy_speech_tpu.const import LangSuffix
+from rhasspy_speech_tpu.pipeline import lang_dir_name
+from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+from rhasspy_speech_tpu.testing import synthesize_sentence
+
+from tests.test_pipeline import profile_and_train  # fixture reuse  # noqa: F401
+
+
+def test_scheduler_many_streams(profile_and_train):  # noqa: F811
+    profile, train_dir = profile_and_train
+    sched = StreamScheduler(
+        profile.model_dir,
+        train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        max_streams=8,
+    )
+
+    texts = [
+        "turn on the light",
+        "never mind",
+        "turn off the fan",
+        "turn on fan",
+        "turn off light",
+        "never mind",
+    ]
+    pcms = [synthesize_sentence(profile, t, seed=100 + i) for i, t in enumerate(texts)]
+    sids = [sched.open_stream() for _ in texts]
+    assert all(s >= 0 for s in sids)
+
+    # interleaved feeding in 1024-sample chunks (like the reference's online
+    # decoder, online2-cli-nnet3-decode-faster.cc:37)
+    offsets = [0] * len(texts)
+    while any(offsets[i] < pcms[i].shape[0] for i in range(len(texts))):
+        for i, sid in enumerate(sids):
+            if offsets[i] < pcms[i].shape[0]:
+                sched.feed(sid, pcms[i][offsets[i] : offsets[i] + 1024])
+                offsets[i] += 1024
+        sched.step()
+    for sid in sids:
+        sched.finish(sid)
+
+    for _ in range(200):
+        if all(sched.poll(sid) is not None for sid in sids):
+            break
+        sched.step()
+
+    for i, sid in enumerate(sids):
+        result = sched.poll(sid)
+        assert result == [texts[i]], (i, result, texts[i])
+        sched.close(sid)
+
+    # slots are recyclable
+    sid = sched.open_stream()
+    assert sid >= 0
+    pcm = synthesize_sentence(profile, "never mind", seed=200)
+    sched.feed(sid, pcm)
+    sched.finish(sid)
+    for _ in range(100):
+        if sched.poll(sid) is not None:
+            break
+        sched.step()
+    assert sched.poll(sid) == ["never mind"]
+
+
+def test_scheduler_admission_limit(profile_and_train):  # noqa: F811
+    profile, train_dir = profile_and_train
+    sched = StreamScheduler(
+        profile.model_dir,
+        train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        max_streams=2,
+    )
+    a = sched.open_stream()
+    b = sched.open_stream()
+    assert a >= 0 and b >= 0
+    assert sched.open_stream() == -1
+    sched.close(a)
+    assert sched.open_stream() == a
