@@ -33,7 +33,9 @@ from ..models.nnet3 import compile_nnet3
 from ..ops.decoder import (
     DeviceGraph,
     NEG_INF_F32,
+    backtrace_nbest,
     backtrace_words,
+    kbest_step,
     viterbi_step,
 )
 from ..ops.frontend import mfcc_batch
@@ -72,10 +74,12 @@ class Nnet3StreamTranscriber:
         lattice_beam: float = 8.0,
         acoustic_scale: float = 1.0,
         beam: float = 24.0,
+        nbest: int = 1,
     ):
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
         self.acoustic_scale = acoustic_scale
+        self.nbest = max(1, nbest)
 
         self.am = AcousticModel(self.model_dir)
         self.artifacts = LangArtifacts.load(self.graph_dir)
@@ -91,10 +95,15 @@ class Nnet3StreamTranscriber:
 
         graph = self.device_graph
 
+        k = self.nbest
+
         def chunk_step(alpha, feats_window, n_valid, ivec):
             """One streaming step: AM forward on the context window + up to 7
             Viterbi frames (frames >= n_valid are no-ops).
-            alpha [S] -> (alpha' [S], bp [7, S])."""
+
+            nbest == 1: alpha [S] -> (alpha' [S], bp [7, S]).
+            nbest > 1 (K-best track merge for the rescore path,
+            transcribe_stream.py:131-274): alpha [S, K] -> bp [7, S, K]."""
             if ivec is None:
                 log_probs = self._chunk_model.forward(feats_window[None])[0]
             else:
@@ -102,14 +111,24 @@ class Nnet3StreamTranscriber:
             am_costs = -self.acoustic_scale * log_probs  # [7, P]
             ts = jnp.arange(CHUNK_OUT_FRAMES, dtype=jnp.int32)
 
-            def step(a, xs):
-                am_t, t = xs
-                new_alpha, bp = viterbi_step(graph, a[None], am_t[None])
-                active = t < n_valid
-                return (
-                    jnp.where(active, new_alpha[0], a),
-                    jnp.where(active, bp[0], -3),
-                )
+            if k == 1:
+                def step(a, xs):
+                    am_t, t = xs
+                    new_alpha, bp = viterbi_step(graph, a[None], am_t[None])
+                    active = t < n_valid
+                    return (
+                        jnp.where(active, new_alpha[0], a),
+                        jnp.where(active, bp[0], -3),
+                    )
+            else:
+                def step(a, xs):
+                    am_t, t = xs
+                    new_alpha, bp = kbest_step(graph, a[None], am_t[None], k)
+                    active = t < n_valid
+                    return (
+                        jnp.where(active, new_alpha[0], a),
+                        jnp.where(active, bp[0], -3),
+                    )
 
             return jax.lax.scan(step, alpha, (am_costs, ts))
 
@@ -124,7 +143,14 @@ class Nnet3StreamTranscriber:
 
     def start_stream(self) -> StreamingDecoderState:
         state = StreamingDecoderState(self.am.frontend_config.num_ceps)
-        state.alpha = jnp.asarray(self.artifacts.graph.init_weight)
+        init = jnp.asarray(self.artifacts.graph.init_weight)
+        if self.nbest == 1:
+            state.alpha = init
+        else:
+            alpha = jnp.full(
+                (init.shape[0], self.nbest), jnp.float32(NEG_INF_F32)
+            )
+            state.alpha = alpha.at[:, 0].set(init)
         return state
 
     def _extract_feats(self, state: StreamingDecoderState, pcm: np.ndarray) -> None:
@@ -176,6 +202,62 @@ class Nnet3StreamTranscriber:
         self._extract_feats(state, pcm)
         self._run_chunks(state, flush=False)
 
+    def finish_nbest(
+        self, state: StreamingDecoderState
+    ) -> List[tuple]:
+        """Flush and return the n-best [(word ids, cost)] list."""
+        self._run_chunks(state, flush=True)
+        if not state.bps:
+            return []
+        if self.nbest == 1:
+            bp = np.concatenate(state.bps, axis=0)[:, None, :]
+            alpha = np.asarray(state.alpha)[None, :]
+            words, cost = backtrace_words(
+                self.artifacts.graph, alpha, bp, 0, num_frames=bp.shape[0]
+            )
+            return [] if words is None else [(words, cost)]
+        bp = np.concatenate(state.bps, axis=0)[:, None, :, :]  # [T, 1, S, K]
+        alpha = np.asarray(state.alpha)[None, :, :]
+        return backtrace_nbest(
+            self.artifacts.graph, alpha, bp, 0, n=self.nbest,
+            num_frames=bp.shape[0],
+        )
+
+    def finish_stream_rescore(
+        self,
+        state: StreamingDecoderState,
+        old_lang_dir: Union[str, Path],
+        new_lang_dir: Union[str, Path],
+    ) -> List[str]:
+        """Dual-graph stream rescore (transcribe_stream.py:131-274): n-best
+        from this stream's decode, LM scores swapped for the higher-order
+        model's."""
+        from .fuzzy import rescore_nbest
+
+        nbest = self.finish_nbest(state)
+        if not nbest:
+            return []
+        old_lang = self._load_lang(old_lang_dir)
+        new_lang = self._load_lang(new_lang_dir)
+        rescored = rescore_nbest(
+            nbest, old_lang.g_fst, new_lang.g_fst, self.artifacts.words
+        )
+        out = []
+        for word_ids, _cost in rescored:
+            text = []
+            for wid in word_ids:
+                sym = self.artifacts.words.find_id(wid)
+                if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
+                    text.append(sym)
+            out.append(decode_meta(" ".join(text)))
+        return out
+
+    def _load_lang(self, lang_dir: Union[str, Path]) -> LangArtifacts:
+        key = str(lang_dir)
+        if key not in self._lang_cache:
+            self._lang_cache[key] = LangArtifacts.load(lang_dir)
+        return self._lang_cache[key]
+
     def finish_stream(
         self,
         state: StreamingDecoderState,
@@ -183,27 +265,18 @@ class Nnet3StreamTranscriber:
         max_fuzzy_cost: Optional[float] = None,
         require_fuzzy: bool = False,
     ) -> List[str]:
-        self._run_chunks(state, flush=True)
-        if not state.bps:
+        nbest = self.finish_nbest(state)
+        if not nbest:
             return []
-        bp = np.concatenate(state.bps, axis=0)[:, None, :]  # [T, 1, S]
-        alpha = np.asarray(state.alpha)[None, :]
-        words, cost = backtrace_words(
-            self.artifacts.graph, alpha, bp, 0, num_frames=bp.shape[0]
-        )
-        if words is None:
-            return []
+        words, cost = nbest[0]
         _LOGGER.debug("stream decode cost %.3f", cost)
 
-        lang = self.artifacts
-        if lang_dir is not None:
-            key = str(lang_dir)
-            if key not in self._lang_cache:
-                self._lang_cache[key] = LangArtifacts.load(lang_dir)
-            lang = self._lang_cache[key]
+        lang = self.artifacts if lang_dir is None else self._load_lang(lang_dir)
 
         if lang.g_fuzzy is not None and max_fuzzy_cost is not None:
-            fuzzy = get_fuzzy_text([words], lang.g_fuzzy, lang.words)
+            fuzzy = get_fuzzy_text(
+                [ids for ids, _ in nbest], lang.g_fuzzy, lang.words
+            )
             if fuzzy is not None and fuzzy[1] <= max_fuzzy_cost:
                 return [decode_meta(fuzzy[0])]
             if require_fuzzy:

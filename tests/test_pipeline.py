@@ -221,3 +221,25 @@ def test_metrics_accumulate(profile_and_train):
     assert s["audio_seconds"] > 0
     assert set(s["stages"]) >= {"frontend", "acoustic", "decode", "backtrace"}
     assert m.rtf > 0
+
+
+def test_stream_nbest_and_rescore(profile_and_train):
+    from rhasspy_speech_tpu.pipeline.stream import Nnet3StreamTranscriber
+
+    profile, train_dir = profile_and_train
+    t = Nnet3StreamTranscriber(
+        profile.model_dir,
+        train_dir / lang_dir_name(LangSuffix.ARPA),
+        nbest=4,
+    )
+    pcm = synthesize_sentence(profile, "turn on the light", seed=60)
+    state = t.start_stream()
+    for off in range(0, pcm.shape[0], 1024):
+        t.process_chunk(state, pcm[off : off + 1024])
+    got = t.finish_stream_rescore(
+        state,
+        old_lang_dir=train_dir / lang_dir_name(LangSuffix.ARPA),
+        new_lang_dir=train_dir / lang_dir_name(LangSuffix.ARPA_RESCORE),
+    )
+    assert got
+    assert got[0] == "turn on the light"
