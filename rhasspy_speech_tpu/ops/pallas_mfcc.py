@@ -106,15 +106,20 @@ def _kernel(frames_ref, cos_ref, sin_ref, mel_ref, dct_ref, lift_ref, win_ref,
     # windowing also re-zeroes the padded tail (window tail is zero)
     frames = frames * win_ref[0, :][None, :]
 
-    re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST  # f32 MXU passes: feature numerics
+    re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32,
+                 precision=hp)
+    im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32,
+                 precision=hp)
     power = re * re + im * im  # [T, n_freq_pad]
 
     eps = jnp.float32(np.finfo(np.float32).eps)
-    mel = jnp.dot(power, mel_ref[:, :], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, mel_ref[:, :], preferred_element_type=jnp.float32,
+                  precision=hp)
     # padded mel columns are exactly zero; the floor keeps their log finite
     logmel = jnp.log(jnp.maximum(mel, eps))
-    feats = jnp.dot(logmel, dct_ref[:, :], preferred_element_type=jnp.float32)
+    feats = jnp.dot(logmel, dct_ref[:, :], preferred_element_type=jnp.float32,
+                    precision=hp)
     if cfg.cepstral_lifter != 0.0:
         feats = feats * lift_ref[0, :][None, :]
     out_ref[0, :, :] = feats

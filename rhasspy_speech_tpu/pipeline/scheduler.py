@@ -64,6 +64,7 @@ class StreamScheduler:
         max_fuzzy_cost: Optional[float] = None,
         lang_dir: Optional[Union[str, Path]] = None,
         pool_capacity_samples: int = 16000 * 60,
+        endpointing: Optional["EndpointConfig"] = None,
     ):
         self.am = AcousticModel(Path(model_dir))
         self.artifacts = LangArtifacts.load(graph_dir)
@@ -117,6 +118,21 @@ class StreamScheduler:
         cfg = self.am.frontend_config
         self._frame_len = cfg.frame_length
         self._frame_shift = cfg.frame_shift
+
+        # Endpointing (online-endpoint.h rules over decode-state signals)
+        self.endpointing = endpointing
+        self._silence_pdfs = set()
+        if endpointing is not None:
+            from ..fst.core import SymbolTable
+            from .endpoint import silence_pdfs_from_model
+
+            phones_path = Path(model_dir) / "model" / "phones.txt"
+            if phones_path.exists():
+                with open(phones_path, "r", encoding="utf-8") as f:
+                    model_phones = SymbolTable.read_text(f)
+                self._silence_pdfs = silence_pdfs_from_model(
+                    self.am.transition_model, model_phones
+                )
 
     # -- stream lifecycle ------------------------------------------------------
 
@@ -221,6 +237,9 @@ class StreamScheduler:
                 )
                 self._alpha = alpha
                 bps_np = np.asarray(bps)  # [7, N, S]
+            alpha_np = (
+                np.asarray(alpha) if self.endpointing is not None else None
+            )
             for sid, state in enumerate(self.slots):
                 k = int(n_valid[sid])
                 if k <= 0:
@@ -229,6 +248,11 @@ class StreamScheduler:
                 state.out_frames += k
                 state.frames_consumed += self._chunk_in
                 if self.pool.is_finished(sid) and state.frames_consumed >= state.feats.shape[0]:
+                    flushed.append(sid)
+                elif self.endpointing is not None and self._check_endpoint(
+                    sid, alpha_np[sid]
+                ):
+                    _LOGGER.debug("endpoint fired for stream %d", sid)
                     flushed.append(sid)
 
         for sid in flushed:
@@ -251,6 +275,32 @@ class StreamScheduler:
                     return
                 # streams stalled awaiting more PCM
                 return
+
+    def _check_endpoint(self, sid: int, alpha_row: np.ndarray) -> bool:
+        """Evaluate the endpoint rules for one stream after a chunk."""
+        from .endpoint import trailing_silence_frames
+
+        state = self.slots[sid]
+        totals = alpha_row + self.graph.final_weight
+        best_final = float(totals.min())
+        best_any = float(alpha_row.min())
+        if best_final < 1.0e29:
+            relative_cost = best_final - best_any
+            best_state = int(np.argmin(totals))
+        else:
+            relative_cost = float("inf")
+            best_state = int(np.argmin(alpha_row))
+        trailing, nonsil = trailing_silence_frames(
+            state.bps, best_state, self.graph.arc_pdf, self.graph.arc_src,
+            self._silence_pdfs,
+        )
+        out_frame_sec = self.am.subsampling * self._frame_shift / 16000.0
+        return self.endpointing.should_endpoint(
+            contains_nonsilence=nonsil,
+            trailing_silence=trailing * out_frame_sec,
+            relative_cost=relative_cost,
+            utterance_length=state.out_frames * out_frame_sec,
+        )
 
     def _finalize(self, sid: int) -> None:
         state = self.slots[sid]

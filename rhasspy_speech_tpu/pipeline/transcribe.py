@@ -140,7 +140,19 @@ class AcousticModel:
         return bucket
 
     def features(self, pcm_batch: np.ndarray) -> jnp.ndarray:
-        """[B, samples] -> [B, T, D] MFCCs."""
+        """[B, samples] -> [B, T, D] MFCCs.
+
+        On TPU the fused Pallas kernel (ops/pallas_mfcc.py) computes the
+        whole chain in VMEM; elsewhere the XLA rfft path runs."""
+        default_dev = jax.config.jax_default_device
+        platform = (
+            default_dev.platform if default_dev is not None
+            else jax.default_backend()
+        )
+        if platform == "tpu" and self.frontend_config.dither == 0.0:
+            from ..ops.pallas_mfcc import mfcc_pallas
+
+            return mfcc_pallas(self.frontend_config, jnp.asarray(pcm_batch))
         return mfcc_batch(self.frontend_params, jnp.asarray(pcm_batch))
 
     def log_probs(

@@ -78,3 +78,33 @@ def test_scheduler_admission_limit(profile_and_train):  # noqa: F811
     assert sched.open_stream() == -1
     sched.close(a)
     assert sched.open_stream() == a
+
+
+def test_scheduler_endpointing(profile_and_train):  # noqa: F811
+    """A stream with trailing silence endpoints without an explicit EOF."""
+    from rhasspy_speech_tpu.pipeline.endpoint import EndpointConfig
+    from rhasspy_speech_tpu.testing.synthetic import _silence_wave
+
+    profile, train_dir = profile_and_train
+    sched = StreamScheduler(
+        profile.model_dir,
+        train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        max_streams=2,
+        endpointing=EndpointConfig(),
+    )
+    assert sched._silence_pdfs, "silence pdfs must be derived from the model"
+
+    rng = np.random.RandomState(0)
+    speech = synthesize_sentence(profile, "never mind", seed=77)
+    silence = _silence_wave(16000 * 3, rng)  # 3 s of trailing silence
+    pcm = np.concatenate([speech, silence])
+
+    sid = sched.open_stream()
+    sched.feed(sid, pcm)
+    # never call finish(): the endpoint rules must close the utterance
+    for _ in range(100):
+        if sched.poll(sid) is not None:
+            break
+        sched.step()
+    result = sched.poll(sid)
+    assert result == ["never mind"], result
