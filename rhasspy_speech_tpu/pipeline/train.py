@@ -191,9 +191,17 @@ def train_model_sync(
         optional_silence=sil_phone,
     )
 
-    # Acoustic model pdf mapping
+    # Acoustic model pdf mapping. A decision tree (context-dependent
+    # models) takes precedence over the monophone tuple mapping.
     ktm, model_phones = _load_model_transition_model(model_dir)
-    if ktm is not None:
+    tree = None
+    tree_path = model_dir / "model" / "tree"
+    if ktm is not None and tree_path.exists():
+        from ..io.tree import ContextDependencyTree
+
+        tree = ContextDependencyTree.load(str(tree_path))
+        tm = None
+    elif ktm is not None:
         tm = transition_model_from_kaldi(ktm, model_phones, lang.phones)
     else:
         _LOGGER.warning(
@@ -240,8 +248,16 @@ def train_model_sync(
         graph = None
         if suffix != LangSuffix.ARPA_RESCORE:
             lg = make_lg(lang, g)
-            hclg = make_hclg(lang, lg, tm)
-            graph = dense_from_hclg(hclg, tm.num_pdfs)
+            if tree is not None:
+                from ..graph.context import make_hclg_from_tree
+
+                hclg, num_pdfs = make_hclg_from_tree(
+                    lang, lg, tree, ktm, model_phones
+                )
+            else:
+                hclg = make_hclg(lang, lg, tm)
+                num_pdfs = tm.num_pdfs
+            graph = dense_from_hclg(hclg, num_pdfs)
 
         artifacts = LangArtifacts(
             words=lang.words, g_fst=g, g_fuzzy=fuzzy, graph=graph

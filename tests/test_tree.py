@@ -1,0 +1,168 @@
+"""ContextDependency tree tests: parsing, lookup, triphone HCLG expansion."""
+
+import io
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rhasspy_speech_tpu.io.kaldi_io import KaldiReader, KaldiWriter
+from rhasspy_speech_tpu.io.tree import (
+    PDF_CLASS_KEY,
+    ContextDependencyTree,
+    read_event_map,
+    write_event_map,
+)
+
+
+def test_event_map_roundtrip():
+    node = (
+        "se", 1, frozenset({2, 3}),
+        ("ce", 7),
+        ("te", PDF_CLASS_KEY, [("ce", 1), None, ("ce", 2)]),
+    )
+    tree = ContextDependencyTree(N=3, P=1, root=node)
+    buf = io.BytesIO()
+    tree.write(KaldiWriter(buf))
+    buf.seek(0)
+    tree2 = ContextDependencyTree.read(KaldiReader(buf))
+    assert tree2.N == 3 and tree2.P == 1
+    assert tree2.root == node
+
+
+def test_tree_compute_split_on_left_context():
+    # pdf depends on whether the LEFT phone is in {2, 3}
+    root = (
+        "te", 1,  # split on center phone
+        [
+            None,
+            ("se", 0, frozenset({2, 3}), ("ce", 10), ("ce", 11)),  # phone 1
+            ("ce", 20),  # phone 2
+        ],
+    )
+    tree = ContextDependencyTree(N=3, P=1, root=root)
+    assert tree.compute((2, 1, 0), 0) == 10  # left in yes-set
+    assert tree.compute((5, 1, 0), 0) == 11
+    assert tree.compute((0, 2, 1), 0) == 20
+    assert tree.compute((0, 3, 1), 0) is None  # phone 3 unmapped
+
+
+def test_monophone_tree_matches_tuples():
+    from rhasspy_speech_tpu.io.transition_model import KaldiTransitionModel
+
+    ktm = KaldiTransitionModel.from_monophone_chain(4)
+    tree = ContextDependencyTree.monophone_from_tuples(
+        ktm.tuples, max_phone=4
+    )
+    for row in ktm.tuples:
+        phone, _s, fwd, slf = (int(x) for x in row)
+        assert tree.compute((phone,), 0) == fwd
+        assert tree.compute((phone,), 1) == slf
+
+
+def test_triphone_hclg_decodes(tmp_path):
+    """Tree-based expansion on a synthetic profile decodes exactly like the
+    monophone path when the tree is context-independent."""
+    from rhasspy_speech_tpu.graph.context import make_hclg_from_tree
+    from rhasspy_speech_tpu.graph.dense import dense_from_hclg
+    from rhasspy_speech_tpu.io.nnet3_file import read_am_nnet3
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+    from rhasspy_speech_tpu.ops.decoder import (
+        DeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+    from rhasspy_speech_tpu.pipeline import lang_dir_name
+    from rhasspy_speech_tpu.pipeline.transcribe import AcousticModel
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.testing import build_synthetic_profile, synthesize_sentence
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.lang import make_grammar_g, make_lg, prepare_lang
+    from rhasspy_speech_tpu.lexicon.g2p import LexiconDatabase
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+
+    # tree equivalent to the profile's transition model, as a real N=3 tree
+    # that ignores context (TE on center position only)
+    ktm, _spec = read_am_nnet3(str(tmp_path / "model" / "model" / "final.mdl"))
+    with open(tmp_path / "model" / "model" / "phones.txt", encoding="utf-8") as f:
+        model_phones = SymbolTable.read_text(f)
+    tree = ContextDependencyTree.monophone_from_tuples(
+        ktm.tuples, max_phone=int(ktm.tuples[:, 0].max()), n=3, p=1
+    )
+
+    # build LG for the grammar
+    import io as _io
+
+    intents = Intents.from_dict(
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["yes", "no"]}]}}}
+    )
+    lex = LexiconDatabase()
+    for w, p in lexicon.items():
+        lex.add(w, [p])
+    ctx = compile_intents(intents, _io.StringIO(), lex, number_language="en")
+    entries = [(w, p) for w, p in sorted(lexicon.items())]
+    entries.append(("<unk>", ["SPN"]))
+    lang = prepare_lang(entries, silence_phones=["SIL", "SPN"])
+    g = make_grammar_g(ctx.fst_file, lang.words)
+    lg = make_lg(lang, g)
+
+    hclg, num_pdfs = make_hclg_from_tree(lang, lg, tree, ktm, model_phones)
+    graph = dense_from_hclg(hclg, num_pdfs)
+    dev = DeviceGraph.from_dense(graph)
+
+    am = AcousticModel(tmp_path / "model")
+    for i, text in enumerate(["yes", "no"]):
+        pcm = synthesize_sentence(profile, text, seed=i)
+        feats = am.features(pcm[None])
+        n_out = feats.shape[1] // 3
+        lp = am.log_probs(feats, n_out)
+        trace, fstate, cost = viterbi_decode(dev, lp)
+        words, _ = trace_to_words(
+            graph, np.asarray(trace), np.asarray(fstate), np.asarray(cost), 0
+        )
+        assert words is not None
+        got = " ".join(
+            lang.words.find_id(w) for w in words
+            if lang.words.find_id(w) not in ("<eps>",)
+        )
+        assert got == text, (got, text)
+
+
+def test_train_model_uses_tree(tmp_path):
+    """train_model picks up model/tree and produces a working graph."""
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.io.nnet3_file import read_am_nnet3
+    from rhasspy_speech_tpu.pipeline import Nnet3WavTranscriber, lang_dir_name
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+
+    lexicon = {"open": ["ow", "p"], "close": ["k", "l", "z"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    ktm, _ = read_am_nnet3(str(tmp_path / "model" / "model" / "final.mdl"))
+    tree = ContextDependencyTree.monophone_from_tuples(
+        ktm.tuples, max_phone=int(ktm.tuples[:, 0].max()), n=3, p=1
+    )
+    tree.save(str(tmp_path / "model" / "model" / "tree"))
+
+    train_dir = tmp_path / "train"
+    train_model_sync(
+        "en",
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["(open|close)"]}]}}},
+        train_dir,
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    for i, text in enumerate(["open", "close"]):
+        pcm = synthesize_sentence(profile, text, seed=i)
+        assert t.transcribe_pcm_batch([pcm])[0] == [text]
