@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 SECONDS = float(os.environ.get("BENCH_SECONDS", "3.0"))
 N_SENTENCES = int(os.environ.get("BENCH_SENTENCES", "120"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
@@ -87,7 +87,7 @@ def main():
     from rhasspy_speech_tpu.models import compile_nnet3
     from rhasspy_speech_tpu.ops.decoder import (
         DeviceGraph,
-        trace_to_words,
+        traces_to_words_batch,
         viterbi_decode,
     )
     from rhasspy_speech_tpu.ops.frontend import (
@@ -96,6 +96,7 @@ def main():
         mfcc_batch,
         num_frames,
     )
+    from rhasspy_speech_tpu.ops.pallas_mfcc import mfcc_pallas
     from rhasspy_speech_tpu.testing.tdnnf import build_tdnnf_spec
 
     t0 = time.time()
@@ -116,8 +117,13 @@ def main():
     lo, hi = model.ranges["input"]
     idx = np.clip(np.arange(lo, hi), 0, T - 1)
 
+    on_tpu = jax.default_backend() == "tpu"
+
     def decode(pcm):
-        feats = mfcc_batch(params, pcm)
+        if on_tpu:
+            feats = mfcc_pallas(cfg, pcm, interpret=False)
+        else:
+            feats = mfcc_batch(params, pcm)
         log_probs = model.forward(feats[:, idx])
         return viterbi_decode(dev_graph, log_probs)
 
@@ -140,8 +146,7 @@ def main():
         trace_np = np.asarray(trace)
         fstate_np = np.asarray(fstate)
         cost_np = np.asarray(cost)
-        for b in range(BATCH):
-            trace_to_words(graph, trace_np, fstate_np, cost_np, b)
+        traces_to_words_batch(graph, trace_np, fstate_np, cost_np)
         times.append(time.time() - t1)
 
     avg = float(np.mean(times))

@@ -12,6 +12,7 @@ runtime configuration).
 """
 
 from .const import LangSuffix, ModelType, WordCasing
+from .tools import KaldiTools
 from .pipeline import (
     KaldiNnet3WavTranscriber,
     Nnet3WavTranscriber,
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 __all__ = [
     "KaldiNnet3StreamTranscriber",
     "KaldiNnet3WavTranscriber",
+    "KaldiTools",
     "LangSuffix",
     "ModelType",
     "Nnet3StreamTranscriber",

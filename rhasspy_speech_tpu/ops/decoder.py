@@ -121,7 +121,7 @@ def viterbi(
         def step(alpha, am_t):
             return viterbi_step(graph, alpha, am_t)
 
-        alpha_final, bps = jax.lax.scan(step, alpha0, am_costs)
+        alpha_final, bps = jax.lax.scan(step, alpha0, am_costs, unroll=4)
         return alpha_final, bps
 
     ts = jnp.arange(am_costs.shape[0], dtype=jnp.int32)
@@ -134,7 +134,9 @@ def viterbi(
         out_bp = jnp.where(active, bp, STAY)
         return out_alpha, out_bp
 
-    alpha_final, bps = jax.lax.scan(step_masked, alpha0, (am_costs, ts))
+    alpha_final, bps = jax.lax.scan(
+        step_masked, alpha0, (am_costs, ts), unroll=4
+    )
     return alpha_final, bps
 
 
@@ -206,6 +208,47 @@ def viterbi_decode(
     _, arcs_rev = jax.lax.scan(back_step, final_state, bps[::-1])
     arc_trace = arcs_rev[::-1].T  # [B, T]
     return arc_trace, final_state, total_cost
+
+
+def traces_to_words_batch(
+    graph: DenseGraph,
+    arc_trace: np.ndarray,
+    final_state: np.ndarray,
+    total_cost: np.ndarray,
+) -> List[Tuple[Optional[List[int]], float]]:
+    """Vectorized word assembly for a whole batch (NumPy per stream, no
+    per-frame Python loop): the hot host-tail of batched decode."""
+    B, T = arc_trace.shape
+    arc_wseq = graph.arc_wseq
+    arc_src = graph.arc_src
+    out: List[Tuple[Optional[List[int]], float]] = []
+    for b in range(B):
+        cost = float(total_cost[b])
+        if cost >= NEG_INF_F32:
+            out.append((None, float("inf")))
+            continue
+        arcs = arc_trace[b]
+        valid = arcs >= 0
+        if not valid.any():
+            fs = int(final_state[b])
+            words = list(graph.words_of(int(graph.init_wseq[fs])))
+            words.extend(graph.words_of(int(graph.final_wseq[fs])))
+            out.append((words, cost))
+            continue
+        real = arcs[valid]
+        if (arcs == -1).any():
+            out.append((None, float("inf")))
+            continue
+        first_state = int(arc_src[real[0]])
+        words: List[int] = list(graph.words_of(int(graph.init_wseq[first_state])))
+        wseqs = arc_wseq[real]
+        for wid in wseqs[wseqs != 0]:
+            words.extend(graph.words_of(int(wid)))
+        words.extend(
+            graph.words_of(int(graph.final_wseq[int(final_state[b])]))
+        )
+        out.append((words, cost))
+    return out
 
 
 def trace_to_words(
@@ -311,6 +354,94 @@ def viterbi_kbest(
 
     alpha_final, bps = jax.lax.scan(step, alpha0, (am_costs, ts))
     return alpha_final, bps
+
+
+def viterbi_kbest_decode(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    k: int,
+    acoustic_scale: float = 1.0,
+    lengths: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """K-best forward + ON-DEVICE backtrace of the global top-k hypotheses.
+
+    Returns (arc_traces [B, K, T] int32 (STAY/-1 sentinels), seed_states
+    [B, K] int32, seed_costs [B, K] f32). Only O(B*K*T) ints leave the chip
+    (vs the full [T, B, S, K] backpointer tensor)."""
+    alpha_final, bps = viterbi_kbest(graph, log_probs, k, acoustic_scale, lengths)
+    B = log_probs.shape[0]
+    S = graph.num_states
+    totals = alpha_final + graph.final_weight[None, :, None]  # [B, S, K]
+    flat = totals.reshape(B, S * k)
+    seed_costs, seed_flat = jax.lax.top_k(-flat, k)  # top-k smallest
+    seed_costs = -seed_costs
+    seed_states = (seed_flat // k).astype(jnp.int32)  # [B, K]
+    seed_ranks = (seed_flat % k).astype(jnp.int32)
+
+    rows = jnp.arange(B)[:, None]
+
+    def back_step(carry, bp_t):
+        states, ranks = carry  # [B, K] each
+        entry = bp_t[rows, states, ranks]  # [B, K]
+        is_stay = entry == STAY
+        is_dead = entry == -1
+        arc = jnp.where(is_stay | is_dead, 0, jnp.maximum(entry, 0)) // k
+        new_states = jnp.where(
+            is_stay | is_dead, states, graph.arc_src[arc]
+        )
+        new_ranks = jnp.where(
+            is_stay | is_dead, ranks, jnp.maximum(entry, 0) % k
+        )
+        emit = jnp.where(is_stay, STAY, jnp.where(is_dead, -1, arc))
+        return (new_states, new_ranks), emit
+
+    (_, _), arcs_rev = jax.lax.scan(
+        back_step, (seed_states, seed_ranks), bps[::-1]
+    )
+    arc_traces = jnp.transpose(arcs_rev[::-1], (1, 2, 0))  # [B, K, T]
+    return arc_traces, seed_states, seed_costs
+
+
+def kbest_traces_to_nbest(
+    graph: DenseGraph,
+    arc_traces: np.ndarray,
+    seed_states: np.ndarray,
+    seed_costs: np.ndarray,
+    stream: int,
+    n: int,
+    dedup: bool = True,
+) -> List[Tuple[List[int], float]]:
+    """Host word assembly for viterbi_kbest_decode outputs."""
+    results: List[Tuple[List[int], float]] = []
+    seen = set()
+    K = arc_traces.shape[1]
+    for kk in range(K):
+        cost = float(seed_costs[stream, kk])
+        if cost >= NEG_INF_F32:
+            continue
+        arcs = arc_traces[stream, kk]
+        if (arcs == -1).any():
+            continue
+        real = arcs[arcs >= 0]
+        if real.shape[0]:
+            first_state = int(graph.arc_src[real[0]])
+        else:
+            first_state = int(seed_states[stream, kk])
+        words: List[int] = list(graph.words_of(int(graph.init_wseq[first_state])))
+        wseqs = graph.arc_wseq[real]
+        for wid in wseqs[wseqs != 0]:
+            words.extend(graph.words_of(int(wid)))
+        words.extend(
+            graph.words_of(int(graph.final_wseq[int(seed_states[stream, kk])]))
+        )
+        key = tuple(words)
+        if dedup and key in seen:
+            continue
+        seen.add(key)
+        results.append((words, cost))
+        if len(results) >= n:
+            break
+    return results
 
 
 def backtrace_nbest(

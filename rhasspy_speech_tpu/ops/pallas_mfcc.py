@@ -78,15 +78,9 @@ def _constants(cfg: FrontendConfig):
     # input can be pre-padded to the FFT size
     window = np.zeros((1, padded), np.float32)
     window[0, : cfg.frame_length] = _window_function(cfg)
-    return (
-        jnp.asarray(cos_m),
-        jnp.asarray(sin_m),
-        jnp.asarray(mel_pad),
-        jnp.asarray(dct_pad),
-        jnp.asarray(lifter),
-        jnp.asarray(window),
-        n_ceps_pad,
-    )
+    # NumPy, not jnp: this cache may first fill inside a jit trace, and
+    # caching traced arrays would leak tracers into later traces.
+    return (cos_m, sin_m, mel_pad, dct_pad, lifter, window, n_ceps_pad)
 
 
 def _kernel(frames_ref, cos_ref, sin_ref, mel_ref, dct_ref, lift_ref, win_ref,

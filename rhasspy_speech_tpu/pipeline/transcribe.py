@@ -34,10 +34,11 @@ from ..io.nnet3_file import read_am_nnet3
 from ..models.nnet3 import CompiledNnet3, compile_nnet3
 from ..ops.decoder import (
     DeviceGraph,
-    backtrace_nbest,
+    kbest_traces_to_nbest,
     trace_to_words,
+    traces_to_words_batch,
     viterbi_decode,
-    viterbi_kbest,
+    viterbi_kbest_decode,
 )
 from ..ops.frontend import FrontendConfig, make_frontend_params, mfcc_batch, num_frames
 from ..utils.metrics import StageTimer, get_metrics
@@ -282,24 +283,26 @@ class Nnet3WavTranscriber:
                 fstate = np.asarray(fstate)
                 cost = np.asarray(cost)
             with StageTimer("backtrace", metrics):
-                out = []
-                for i in range(len(pcm_batch)):
-                    words, c = trace_to_words(graph, trace, fstate, cost, i)
-                    out.append([] if words is None else [(words, c)])
+                assembled = traces_to_words_batch(graph, trace, fstate, cost)
+                out = [
+                    [] if words is None else [(words, c)]
+                    for words, c in assembled
+                ]
             return out
         with StageTimer("decode", metrics):
-            alphak, bpk = viterbi_kbest(
+            traces, seed_states, seed_costs = viterbi_kbest_decode(
                 self.device_graph,
                 log_probs,
                 k=k,
                 acoustic_scale=self.acoustic_scale,
                 lengths=lengths,
             )
-            alphak = np.asarray(alphak)
-            bpk = np.asarray(bpk)
+            traces = np.asarray(traces)
+            seed_states = np.asarray(seed_states)
+            seed_costs = np.asarray(seed_costs)
         with StageTimer("backtrace", metrics):
             return [
-                backtrace_nbest(graph, alphak, bpk, i, n=k)
+                kbest_traces_to_nbest(graph, traces, seed_states, seed_costs, i, n=k)
                 for i in range(len(pcm_batch))
             ]
 

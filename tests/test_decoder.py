@@ -244,3 +244,54 @@ def test_device_backtrace_matches_host():
         got = trace_to_words(graph, trace, fstate, cost, b)
         assert got[0] == want[0], b
         np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
+
+
+def test_traces_to_words_batch_matches_single():
+    from rhasspy_speech_tpu.ops.decoder import (
+        trace_to_words,
+        traces_to_words_batch,
+        viterbi_decode,
+    )
+
+    rng = np.random.RandomState(21)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    B, T = 4, 14
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+    trace, fstate, cost = map(
+        np.asarray, viterbi_decode(dev, jnp.asarray(lp))
+    )
+    batch = traces_to_words_batch(graph, trace, fstate, cost)
+    for b in range(B):
+        single = trace_to_words(graph, trace, fstate, cost, b)
+        assert batch[b][0] == single[0]
+        np.testing.assert_allclose(batch[b][1], single[1], rtol=1e-6)
+
+
+def test_kbest_device_backtrace_matches_host():
+    from rhasspy_speech_tpu.ops.decoder import (
+        kbest_traces_to_nbest,
+        viterbi_kbest_decode,
+    )
+
+    rng = np.random.RandomState(23)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    B, T, K = 2, 12, 4
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+
+    alphak, bpk = viterbi_kbest(dev, jnp.asarray(lp), k=K)
+    traces, seeds, costs = map(
+        np.asarray, viterbi_kbest_decode(dev, jnp.asarray(lp), k=K)
+    )
+    for b in range(B):
+        want = backtrace_nbest(graph, np.asarray(alphak), np.asarray(bpk), b, n=K)
+        got = kbest_traces_to_nbest(graph, traces, seeds, costs, b, n=K)
+        assert [w for w, _ in got] == [w for w, _ in want], b
+        np.testing.assert_allclose(
+            [c for _, c in got], [c for _, c in want], rtol=1e-5
+        )
