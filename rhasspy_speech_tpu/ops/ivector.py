@@ -144,13 +144,20 @@ def accumulate_stats(
     lda_feats: jnp.ndarray,
     post: jnp.ndarray,
     lengths: Optional[jnp.ndarray] = None,
+    frame_weights: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Zeroth/first-order stats: gamma [B, I], X [B, I, D]
-    (IvectorExtractorUtteranceStats::AccStats)."""
+    (IvectorExtractorUtteranceStats::AccStats).
+
+    frame_weights [B, T] implements OnlineSilenceWeighting's effect
+    (online-ivector-feature.h:511-512): per-frame posterior scaling, e.g.
+    down-weighting frames the decoder aligned to silence."""
     if lengths is not None:
         T = lda_feats.shape[1]
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(post.dtype)
         post = post * mask[:, :, None]
+    if frame_weights is not None:
+        post = post * frame_weights[:, :, None]
     gamma = jnp.sum(post, axis=1)  # [B, I]
     X = jnp.einsum("bti,btd->bid", post, lda_feats)
     return gamma, X
@@ -179,13 +186,14 @@ def extract_ivectors(
     feats: jnp.ndarray,
     params: IvectorParams,
     lengths: Optional[jnp.ndarray] = None,
+    frame_weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Whole-utterance mode: [B, T, D] base features -> [B, K] ivectors."""
     spliced = splice_frames(feats, params.splice_left, params.splice_right)
     lda_feats = apply_lda(spliced, params)
     ll = gmm_log_likes(lda_feats, params)
     post = gselect_posteriors(ll, params)
-    gamma, X = accumulate_stats(lda_feats, post, lengths)
+    gamma, X = accumulate_stats(lda_feats, post, lengths, frame_weights)
     return solve_ivector(gamma, X, params)
 
 

@@ -125,6 +125,14 @@ class AcousticModel:
             if conf_path.exists():
                 cfg = OnlineIvectorConfig.from_conf(parse_conf(str(conf_path)))
             self.ivector_params = make_ivector_params(dubm, extractor, lda, cfg)
+            # OnlineCmvn in the ivector branch (prepare_online_decoding.sh
+            # writes global_cmvn.stats; MFCC -> cmvn -> splice -> LDA)
+            self.ivector_cmvn_stats = None
+            cmvn_path = ext_dir / "global_cmvn.stats"
+            if cmvn_path.exists():
+                self.ivector_cmvn_stats = np.asarray(
+                    read_kaldi_object(str(cmvn_path))
+                )
 
     @property
     def num_pdfs(self) -> int:
@@ -176,7 +184,12 @@ class AcousticModel:
             if self.ivector_params is not None:
                 from ..ops.ivector import extract_ivectors
 
-                ivec = extract_ivectors(feats, self.ivector_params)
+                iv_feats = feats
+                if getattr(self, "ivector_cmvn_stats", None) is not None:
+                    from ..ops.cmvn import online_cmvn
+
+                    iv_feats = online_cmvn(feats, self.ivector_cmvn_stats)
+                ivec = extract_ivectors(iv_feats, self.ivector_params)
             else:
                 ivec = jnp.zeros(
                     (feats.shape[0], self.spec.ivector_dim), dtype=feats.dtype

@@ -214,3 +214,30 @@ def _output_paths(fst):
             new_path = path if arc.out_label == "<eps>" else path + [arc.out_label]
             stack.append((arc.to_state, new_path))
     return results
+
+
+def test_full_reference_template_coverage():
+    """The real test_en.yaml expands to exactly its reference sentence count
+    (template-coverage parity guard; SURVEY §7 'bit-identical coverage')."""
+    import os
+
+    import yaml
+
+    from rhasspy_speech_tpu.grammar import Intents, intents_to_fst
+
+    path = "/root/reference/tests/test_en.yaml"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference fixture unavailable")
+    raw = yaml.safe_load(open(path, encoding="utf-8"))
+    intents = Intents.from_dict(
+        {
+            "language": raw["language"],
+            "intents": {"All": {"data": [{"sentences": raw["sentences"]}]}},
+            "lists": raw.get("lists", {}),
+        }
+    )
+    fst = intents_to_fst(intents, number_language="en").remove_spaces()
+    fst.prune()
+    assert len(fst.to_strings(True)) == 3763

@@ -177,3 +177,76 @@ def test_acoustic_model_uses_extractor(tmp_path):
     out = am.log_probs(feats, num_out_frames=8)
     assert out.shape == (2, 8, 20)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_frame_weights_silence_downweighting():
+    """Frames with zero weight contribute nothing to the ivector
+    (OnlineSilenceWeighting effect)."""
+    rng = np.random.RandomState(9)
+    dubm, extractor, lda = _synthetic_system(rng)
+    cfg = OnlineIvectorConfig()
+    params = make_ivector_params(dubm, extractor, lda, cfg)
+    speech = rng.randn(1, 10, 6).astype(np.float32)
+    noise = 5.0 + rng.randn(1, 10, 6).astype(np.float32)
+    both = np.concatenate([speech, noise], axis=1)
+
+    iv_speech_only = np.asarray(extract_ivectors(jnp.asarray(speech), params))
+    weights = np.concatenate(
+        [np.ones((1, 10), np.float32), np.zeros((1, 10), np.float32)], axis=1
+    )
+    iv_weighted = np.asarray(
+        extract_ivectors(
+            jnp.asarray(both), params, frame_weights=jnp.asarray(weights)
+        )
+    )
+    iv_unweighted = np.asarray(extract_ivectors(jnp.asarray(both), params))
+    # splice context at the 10-frame boundary leaks a little; the weighted
+    # estimate must sit far closer to the speech-only one
+    d_weighted = np.abs(iv_weighted - iv_speech_only).max()
+    d_unweighted = np.abs(iv_unweighted - iv_speech_only).max()
+    assert d_weighted < 0.5 * d_unweighted, (d_weighted, d_unweighted)
+
+
+def test_acoustic_model_ivector_cmvn(tmp_path):
+    """global_cmvn.stats in the extractor dir changes the ivector input."""
+    import json
+
+    from rhasspy_speech_tpu.io import write_nnet3
+    from rhasspy_speech_tpu.io.kaldi_io import KaldiWriter
+    from rhasspy_speech_tpu.io.transition_model import KaldiTransitionModel
+    from rhasspy_speech_tpu.ops.cmvn import matrix_from_stats
+    from rhasspy_speech_tpu.pipeline.transcribe import AcousticModel
+    from rhasspy_speech_tpu.testing.tdnnf import build_tdnnf_spec
+
+    rng = np.random.RandomState(11)
+    spec = build_tdnnf_spec(
+        num_pdfs=20, input_dim=6, ivector_dim=8,
+        hidden_dim=32, bottleneck_dim=8, num_tdnnf_layers=2,
+    )
+    tm = KaldiTransitionModel.from_monophone_chain(10)
+    (tmp_path / "model").mkdir()
+    with open(tmp_path / "model" / "final.mdl", "wb") as f:
+        write_nnet3(f, spec, transition_model=tm)
+    with open(tmp_path / "model" / "frontend.json", "w") as f:
+        json.dump({"num_mel_bins": 7, "num_ceps": 6}, f)
+
+    dubm, extractor, lda = _synthetic_system(rng, ivec_dim=8, base_dim=6)
+    ext = tmp_path / "extractor"
+    ext.mkdir()
+    with open(ext / "final.dubm", "wb") as f:
+        dubm.write(KaldiWriter(f))
+    with open(ext / "final.ie", "wb") as f:
+        extractor.write(KaldiWriter(f))
+    with open(ext / "final.mat", "wb") as f:
+        KaldiWriter(f).write_matrix(lda)
+    stats = matrix_from_stats(
+        np.full(6, 500.0), np.full(6, 2600.0), 100.0
+    )
+    with open(ext / "global_cmvn.stats", "wb") as f:
+        KaldiWriter(f).write_matrix(stats.astype(np.float64))
+
+    am = AcousticModel(tmp_path)
+    assert am.ivector_cmvn_stats is not None
+    pcm = (1000 * rng.randn(1, 8000)).astype(np.float32)
+    out = am.log_probs(am.features(pcm), num_out_frames=8)
+    assert np.isfinite(np.asarray(out)).all()
