@@ -68,6 +68,134 @@ class DeviceGraph:
         return int(self.arc_src.shape[0])
 
 
+@dataclass(frozen=True)
+class PaddedDeviceGraph:
+    """Scatter-free decode layout: incoming arcs grouped per destination
+    state into fixed-width slot rows, so one frame's relaxation is a gather
+    + reshape + min — no scatter.
+
+    Regular states use width D (p99 in-degree); the few hub states with
+    larger in-degree get their own padded table and a static index update.
+
+    Measured on TPU v5e this is 7-15x SLOWER than the scatter-min step
+    (XLA lowers the alpha[:, slot_src] gathers poorly while the scatter-min
+    lowers well), so DeviceGraph remains the default; this layout is kept
+    as the numerically-identical alternative for future XLA versions and
+    as the natural layout for a hand-written Pallas decode kernel."""
+
+    base: DeviceGraph
+    width: int
+    slot_src: jnp.ndarray  # int32 [S * D]
+    slot_pdf: jnp.ndarray  # int32 [S * D]
+    slot_weight: jnp.ndarray  # f32 [S * D]  (INF for padding)
+    slot_arc: jnp.ndarray  # int32 [S * D]  (-1 for padding)
+    hub_states: jnp.ndarray  # int32 [H]
+    hub_src: jnp.ndarray  # int32 [H * DH]
+    hub_pdf: jnp.ndarray  # int32 [H * DH]
+    hub_weight: jnp.ndarray  # f32 [H * DH]
+    hub_arc: jnp.ndarray  # int32 [H * DH]
+    hub_width: int
+
+    @staticmethod
+    def from_dense(g: DenseGraph, width: Optional[int] = None) -> "PaddedDeviceGraph":
+        S = g.num_states
+        indeg = np.bincount(g.arc_dst, minlength=S)
+        if width is None:
+            width = max(int(np.percentile(indeg, 99)), 2)
+        order = np.argsort(g.arc_dst, kind="stable")
+        regular = indeg <= width
+        hub_states = np.where(~regular)[0].astype(np.int32)
+        hub_width = int(indeg[hub_states].max()) if hub_states.size else 1
+
+        def build(n_rows, row_of_state, w):
+            src = np.zeros(n_rows * w, dtype=np.int32)
+            pdf = np.zeros(n_rows * w, dtype=np.int32)
+            wt = np.full(n_rows * w, NEG_INF_F32, dtype=np.float32)
+            arc = np.full(n_rows * w, -1, dtype=np.int32)
+            fill = np.zeros(n_rows, dtype=np.int64)
+            for a in order:
+                d = int(g.arc_dst[a])
+                row = row_of_state.get(d)
+                if row is None:
+                    continue
+                k = fill[row]
+                if k >= w:
+                    continue
+                slot = row * w + k
+                src[slot] = g.arc_src[a]
+                pdf[slot] = g.arc_pdf[a]
+                wt[slot] = g.arc_weight[a]
+                arc[slot] = a
+                fill[row] = k + 1
+            return src, pdf, wt, arc
+
+        reg_rows = {s: s for s in range(S) if regular[s]}
+        src, pdf, wt, arc = build(S, reg_rows, width)
+        hub_rows = {int(s): i for i, s in enumerate(hub_states)}
+        if hub_states.size:
+            hsrc, hpdf, hwt, harc = build(len(hub_states), hub_rows, hub_width)
+        else:
+            hsrc = np.zeros(1, np.int32)
+            hpdf = np.zeros(1, np.int32)
+            hwt = np.full(1, NEG_INF_F32, np.float32)
+            harc = np.full(1, -1, np.int32)
+            hub_width = 1
+
+        return PaddedDeviceGraph(
+            base=DeviceGraph.from_dense(g),
+            width=width,
+            slot_src=jnp.asarray(src),
+            slot_pdf=jnp.asarray(pdf),
+            slot_weight=jnp.asarray(wt),
+            slot_arc=jnp.asarray(arc),
+            hub_states=jnp.asarray(
+                hub_states if hub_states.size else np.zeros(0, np.int32)
+            ),
+            hub_src=jnp.asarray(hsrc),
+            hub_pdf=jnp.asarray(hpdf),
+            hub_weight=jnp.asarray(hwt),
+            hub_arc=jnp.asarray(harc),
+            hub_width=hub_width,
+        )
+
+
+def viterbi_step_padded(
+    graph: PaddedDeviceGraph, alpha: jnp.ndarray, am_cost: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free decode frame: (new_alpha [B, S], best_arc [B, S])."""
+    B = alpha.shape[0]
+    S = graph.base.num_states
+    D = graph.width
+    scores = (
+        alpha[:, graph.slot_src]
+        + graph.slot_weight[None, :]
+        + am_cost[:, graph.slot_pdf]
+    ).reshape(B, S, D)
+    scores = jnp.minimum(scores, INF_COST)
+    new_alpha = jnp.min(scores, axis=-1)
+    kmin = jnp.argmin(scores, axis=-1)  # [B, S]
+    slot = jnp.arange(S)[None, :] * D + kmin
+    best_arc = graph.slot_arc[slot]
+    best_arc = jnp.where(new_alpha >= INF_COST, -1, best_arc)
+
+    H = graph.hub_states.shape[0]
+    if H:
+        DH = graph.hub_width
+        hscores = (
+            alpha[:, graph.hub_src]
+            + graph.hub_weight[None, :]
+            + am_cost[:, graph.hub_pdf]
+        ).reshape(B, H, DH)
+        hscores = jnp.minimum(hscores, INF_COST)
+        h_alpha = jnp.min(hscores, axis=-1)
+        h_k = jnp.argmin(hscores, axis=-1)
+        h_arc = graph.hub_arc[jnp.arange(H)[None, :] * DH + h_k]
+        h_arc = jnp.where(h_alpha >= INF_COST, -1, h_arc)
+        new_alpha = new_alpha.at[:, graph.hub_states].set(h_alpha)
+        best_arc = best_arc.at[:, graph.hub_states].set(h_arc)
+    return new_alpha, best_arc
+
+
 # ---------------------------------------------------------------------------
 # 1-best
 # ---------------------------------------------------------------------------
@@ -113,13 +241,16 @@ def viterbi(
 
     Returns (alpha_final [B, S], backptr [T, B, S] int32). Jittable; the
     backtrace runs on host (see backtrace_words)."""
+    padded = isinstance(graph, PaddedDeviceGraph)
+    base = graph.base if padded else graph
+    step_fn = viterbi_step_padded if padded else viterbi_step
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
     B = log_probs.shape[0]
-    alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, graph.num_states))
+    alpha0 = jnp.broadcast_to(base.init_weight[None, :], (B, base.num_states))
 
     if lengths is None:
         def step(alpha, am_t):
-            return viterbi_step(graph, alpha, am_t)
+            return step_fn(graph, alpha, am_t)
 
         alpha_final, bps = jax.lax.scan(step, alpha0, am_costs, unroll=4)
         return alpha_final, bps
@@ -128,7 +259,7 @@ def viterbi(
 
     def step_masked(alpha, xs):
         am_t, t = xs
-        new_alpha, bp = viterbi_step(graph, alpha, am_t)
+        new_alpha, bp = step_fn(graph, alpha, am_t)
         active = (t < lengths)[:, None]  # [B, 1]
         out_alpha = jnp.where(active, new_alpha, alpha)
         out_bp = jnp.where(active, bp, STAY)
@@ -187,8 +318,9 @@ def viterbi_decode(
     masked/dead frames), final_state [B] int32, total_cost [B] f32 = best
     alpha+final, +inf-like NEG_INF if no complete path). Decode words on
     host with trace_to_words."""
+    base = graph.base if isinstance(graph, PaddedDeviceGraph) else graph
     alpha_final, bps = viterbi(graph, log_probs, acoustic_scale, lengths)
-    totals = alpha_final + graph.final_weight[None, :]  # [B, S]
+    totals = alpha_final + base.final_weight[None, :]  # [B, S]
     final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)  # [B]
     total_cost = jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
 
@@ -200,7 +332,7 @@ def viterbi_decode(
         is_stay = arc == STAY
         is_dead = arc == -1
         src = jnp.where(
-            is_stay | is_dead, state, graph.arc_src[jnp.maximum(arc, 0)]
+            is_stay | is_dead, state, base.arc_src[jnp.maximum(arc, 0)]
         )
         return src, arc
 

@@ -295,3 +295,63 @@ def test_kbest_device_backtrace_matches_host():
         np.testing.assert_allclose(
             [c for _, c in got], [c for _, c in want], rtol=1e-5
         )
+
+
+def test_padded_graph_matches_scatter():
+    from rhasspy_speech_tpu.ops.decoder import (
+        PaddedDeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+
+    rng = np.random.RandomState(31)
+    graph = _random_graph(rng, num_states=20, extra_arcs=80)
+    dev = DeviceGraph.from_dense(graph)
+    pad = PaddedDeviceGraph.from_dense(graph)
+    B, T = 3, 12
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+    lengths = jnp.asarray([T, T - 3, T])
+
+    r1 = viterbi_decode(dev, jnp.asarray(lp), lengths=lengths)
+    r2 = viterbi_decode(pad, jnp.asarray(lp), lengths=lengths)
+    a1 = [np.asarray(x) for x in r1]
+    a2 = [np.asarray(x) for x in r2]
+    np.testing.assert_allclose(a1[2], a2[2], rtol=1e-5)  # costs
+    for b in range(B):
+        w1 = trace_to_words(graph, a1[0], a1[1], a1[2], b)
+        w2 = trace_to_words(graph, a2[0], a2[1], a2[2], b)
+        assert w1[0] == w2[0], b
+
+
+def test_padded_graph_hub_states():
+    """A graph with one huge-in-degree hub still decodes exactly."""
+    from rhasspy_speech_tpu.ops.decoder import PaddedDeviceGraph, viterbi_decode, trace_to_words
+
+    rng = np.random.RandomState(32)
+    graph = _random_graph(rng, num_states=10, extra_arcs=0)
+    # add 30 arcs all into state 0 (hub)
+    extra_src = rng.randint(10, size=30)
+    graph.arc_src = np.concatenate([graph.arc_src, extra_src.astype(np.int32)])
+    graph.arc_dst = np.concatenate([graph.arc_dst, np.zeros(30, np.int32)])
+    graph.arc_pdf = np.concatenate(
+        [graph.arc_pdf, rng.randint(graph.num_pdfs, size=30).astype(np.int32)]
+    )
+    graph.arc_weight = np.concatenate(
+        [graph.arc_weight, rng.rand(30).astype(np.float32)]
+    )
+    graph.arc_wseq = np.concatenate([graph.arc_wseq, np.zeros(30, np.int32)])
+
+    pad = PaddedDeviceGraph.from_dense(graph, width=4)
+    assert pad.hub_states.shape[0] >= 1
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(
+        np.random.RandomState(33).dirichlet(
+            np.ones(graph.num_pdfs), size=(1, 8)
+        )
+    ).astype(np.float32)
+    r1 = [np.asarray(x) for x in viterbi_decode(dev, jnp.asarray(lp))]
+    r2 = [np.asarray(x) for x in viterbi_decode(pad, jnp.asarray(lp))]
+    np.testing.assert_allclose(r1[2], r2[2], rtol=1e-5)
+    assert trace_to_words(graph, *r1, 0)[0] == trace_to_words(graph, *r2, 0)[0]
