@@ -17,9 +17,9 @@ kaldi.py:321-341, transcribe_wav.py:131-142):
 
 from __future__ import annotations
 
-from typing import Dict, FrozenSet, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
-from .core import EPS_ID, INF, Arc, Fst
+from .core import EPS_ID, INF, Fst
 from .ops import push as push_weights
 
 # Subset member: (state, weight residual, output-string residual)

@@ -14,7 +14,6 @@ import sqlite3
 from pathlib import Path
 from typing import Dict, Iterable, List, Optional, Tuple, Union
 
-from .intents import Intents
 from .sentences import generate_sentences
 
 

@@ -20,7 +20,7 @@ convention matches graph/hclg.py: ilabel = pdf + 1, olabel = word id.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, Optional, Set, Tuple
 
 import math
 

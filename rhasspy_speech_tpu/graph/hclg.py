@@ -14,7 +14,7 @@ The product uses ilabel = pdf_id + 1 (0 stays epsilon) and olabel = word id.
 
 from __future__ import annotations
 
-from typing import Optional, Set
+from typing import Set
 
 from ..fst.core import EPS_ID, Fst
 from ..lang.lexicon_fst import Lang

@@ -10,12 +10,12 @@ Covers the files prepare_online_decoding.sh wires into online.conf
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Union
+from dataclasses import dataclass
+from typing import Dict, Union
 
 import numpy as np
 
-from .kaldi_io import KaldiFormatError, KaldiReader, KaldiWriter
+from .kaldi_io import KaldiReader, KaldiWriter
 
 
 @dataclass

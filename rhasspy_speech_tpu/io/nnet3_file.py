@@ -16,7 +16,6 @@ parameter dict); the JAX forward compiler lives in models/nnet3.py.
 
 from __future__ import annotations
 
-import io
 import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple

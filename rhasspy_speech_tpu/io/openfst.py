@@ -18,7 +18,7 @@ user-supplied FSTs — and to export ours back.
 from __future__ import annotations
 
 import struct
-from typing import BinaryIO, Optional, Tuple
+from typing import BinaryIO
 
 from ..fst.core import INF, Fst, SymbolTable
 

@@ -15,7 +15,7 @@ Replaces the reference's G-building pipelines
 from __future__ import annotations
 
 import io
-from typing import Iterable, Optional, Set, TextIO, Union
+from typing import Iterable, TextIO, Union
 
 from ..fst.core import EPS_ID, Fst, SymbolTable
 from ..fst.determinize import determinize, determinize_star, minimize, minimize_encoded

@@ -14,7 +14,7 @@ hermetic tests is the same code path with zero LSTM layers.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -22,7 +22,7 @@ testing the JAX path, written independently from first principles.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

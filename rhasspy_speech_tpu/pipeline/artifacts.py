@@ -8,8 +8,6 @@ as DenseGraph npz tensors ready for device upload.
 
 from __future__ import annotations
 
-import io
-import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Union

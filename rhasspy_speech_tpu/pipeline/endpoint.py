@@ -15,7 +15,7 @@ Signals per stream, derived from decode state (not raw energy):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence, Set
 
 import numpy as np

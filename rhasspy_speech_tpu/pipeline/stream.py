@@ -21,7 +21,7 @@ from __future__ import annotations
 import asyncio
 import logging
 from pathlib import Path
-from typing import AsyncIterable, List, Optional, Sequence, Tuple, Union
+from typing import AsyncIterable, List, Optional, Union
 
 import numpy as np
 

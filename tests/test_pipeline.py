@@ -243,3 +243,57 @@ def test_stream_nbest_and_rescore(profile_and_train):
     )
     assert got
     assert got[0] == "turn on the light"
+
+
+def test_oov_rejection_dual_model(profile_and_train):
+    """The reference's dual-model design (README.md:50-55): in-grammar
+    audio is accepted via the grammar fuzzy match; audio of a sentence the
+    grammar cannot produce (but whose words exist acoustically) is
+    rejected ('')."""
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+    grammar_lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+
+    # in-grammar: accepted with the exact text
+    pcm = synthesize_sentence(profile, "turn off the light", seed=90)
+    got = t.transcribe_pcm_batch(
+        [pcm], lang_dir=grammar_lang, nbest=3, max_fuzzy_cost=1.0,
+        require_fuzzy=True,
+    )[0]
+    assert got == ["turn off the light"]
+
+    # out-of-grammar word order: "light the turn on" uses known words but
+    # no grammar path produces it; the fuzzy compose fails -> rejection
+    pcm_oov = synthesize_sentence(profile, "light the never on", seed=91)
+    got = t.transcribe_pcm_batch(
+        [pcm_oov], lang_dir=grammar_lang, nbest=3, max_fuzzy_cost=1.0,
+        require_fuzzy=True,
+    )[0]
+    assert got == []
+
+
+def test_sentences_db_scoring_flow(profile_and_train):
+    """Reference test flow (test_en.py:45-65): decode, score against
+    sentences.db, accept at norm_score <= 0.15."""
+    from rhasspy_speech_tpu.grammar.sentences_db import (
+        best_matching_score,
+        build_sentences_db,
+        load_sentences,
+    )
+
+    profile, train_dir = profile_and_train
+    db = train_dir / "sentences.db"
+    build_sentences_db({"sentences": SENTENCES}, db)
+    rows = load_sentences(db)
+
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+    pcm = synthesize_sentence(profile, "turn on the fan", seed=92)
+    texts = t.transcribe_pcm_batch([pcm], nbest=1)[0]
+    assert texts
+    score, output = best_matching_score(texts[0], rows)
+    assert score <= 0.15
+    assert output == "turn on the fan"
