@@ -177,23 +177,36 @@ class StreamScheduler:
 
     # -- scheduling -------------------------------------------------------------
 
-    def _drain_features(self, sid: int) -> None:
-        """Move pool PCM into per-slot feature buffers."""
-        state = self.slots[sid]
-        avail = self.pool.available(sid)
-        if avail <= 0:
+    def _drain_features_all(self) -> None:
+        """Move pool PCM into per-slot feature buffers — ONE padded batched
+        MFCC call per tick for every slot with new audio."""
+        pending = []  # (sid, buf, n_frames)
+        for sid, state in enumerate(self.slots):
+            if not state.active or state.done:
+                continue
+            avail = self.pool.available(sid)
+            if avail <= 0:
+                continue
+            pcm = self.pool.read(sid, avail)
+            buf = np.concatenate([state.samples_left, pcm])
+            if buf.shape[0] < self._frame_len:
+                state.samples_left = buf
+                continue
+            n = 1 + (buf.shape[0] - self._frame_len) // self._frame_shift
+            pending.append((sid, buf, n))
+        if not pending:
             return
-        pcm = self.pool.read(sid, avail)
-        buf = np.concatenate([state.samples_left, pcm])
-        if buf.shape[0] < self._frame_len:
-            state.samples_left = buf
-            return
-        n = 1 + (buf.shape[0] - self._frame_len) // self._frame_shift
-        feats = np.asarray(
-            mfcc_batch(self.am.frontend_params, jnp.asarray(buf[None]))
-        )[0]
-        state.feats = np.concatenate([state.feats, feats], axis=0)
-        state.samples_left = buf[n * self._frame_shift :]
+        # stable compiled shapes: fixed row count, 0.5 s length buckets
+        max_len = max(b.shape[0] for _, b, _ in pending)
+        max_len = -(-max_len // 8000) * 8000
+        batch = np.zeros((self.max_streams, max_len), dtype=np.float32)
+        for i, (_sid, buf, _n) in enumerate(pending):
+            batch[i, : buf.shape[0]] = buf
+        feats = np.asarray(self.am.features(batch))
+        for i, (sid, buf, n) in enumerate(pending):
+            state = self.slots[sid]
+            state.feats = np.concatenate([state.feats, feats[i, :n]], axis=0)
+            state.samples_left = buf[n * self._frame_shift :]
 
     def step(self) -> int:
         """One scheduling tick: run the batched chunk program over every
@@ -206,10 +219,11 @@ class StreamScheduler:
         n_valid = np.zeros(N, dtype=np.int32)
         flushed: List[int] = []
 
+        with StageTimer("stream_features", metrics):
+            self._drain_features_all()
         for sid, state in enumerate(self.slots):
             if not state.active or state.done:
                 continue
-            self._drain_features(sid)
             t0 = state.frames_consumed
             have = state.feats.shape[0]
             finished = self.pool.is_finished(sid)

@@ -260,11 +260,14 @@ class Nnet3WavTranscriber:
         cfg = self.am.frontend_config
         sub = self.am.subsampling
         n_frames = [num_frames(cfg, p.shape[0]) for p in pcm_batch]
-        n_out = [max(1, -(-t // sub)) for t in n_frames]
-        max_out = max(n_out)
+        # streams without a single full frame decode zero frames (masked)
+        n_out = [-(-t // sub) for t in n_frames]
+        max_out = max(max(n_out), 1)
         bucket_out = -(-max_out // _BUCKET) * _BUCKET
 
-        max_samples = max(p.shape[0] for p in pcm_batch)
+        max_samples = max(
+            max(p.shape[0] for p in pcm_batch), cfg.frame_length
+        )
         pcm = np.zeros((len(pcm_batch), max_samples), dtype=np.float32)
         for i, p in enumerate(pcm_batch):
             pcm[i, : p.shape[0]] = p

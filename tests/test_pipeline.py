@@ -297,3 +297,23 @@ def test_sentences_db_scoring_flow(profile_and_train):
     score, output = best_matching_score(texts[0], rows)
     assert score <= 0.15
     assert output == "turn on the fan"
+
+
+def test_edge_cases(profile_and_train):
+    """Short/empty audio and unusual inputs don't crash the pipeline."""
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    # sub-frame audio: no frames -> no transcript, no crash
+    tiny = np.zeros(100, dtype=np.float32)
+    got = t.transcribe_pcm_batch([tiny])[0]
+    assert isinstance(got, list)
+    # pure silence: decodes to something in-grammar or nothing; no crash
+    silence = np.zeros(16000, dtype=np.float32)
+    got = t.transcribe_pcm_batch([silence], nbest=2)
+    assert isinstance(got[0], list)
+    # mixed batch of tiny + real audio
+    pcm = synthesize_sentence(profile, "never mind", seed=70)
+    got = t.transcribe_pcm_batch([tiny, pcm])
+    assert got[1] == ["never mind"]
