@@ -168,19 +168,56 @@ class KaldiReader:
 
     def read_matrix(self) -> np.ndarray:
         token = self.read_token()
+        if token in ("CM", "CM2", "CM3"):
+            return self._read_compressed_matrix(token)
         if token == "FM":
             dtype, width = "<f4", 4
         elif token == "DM":
             dtype, width = "<f8", 8
-        elif token == "CM":
-            raise KaldiFormatError("compressed matrices (CM) not supported yet")
         else:
-            raise KaldiFormatError(f"expected FM/DM, got {token!r}")
+            raise KaldiFormatError(f"expected FM/DM/CM*, got {token!r}")
         rows = self.read_int()
         cols = self.read_int()
         data = np.frombuffer(self.read_bytes(width * rows * cols), dtype=dtype)
         out = data.reshape(rows, cols)
         return out.astype(np.float64 if width == 8 else np.float32)
+
+    def _read_compressed_matrix(self, token: str) -> np.ndarray:
+        """CompressedMatrix (matrix/compressed-matrix.cc Write/CopyToMat):
+        'CM' = one byte with per-column percentile headers (piecewise
+        linear), 'CM2' = uint16 linear, 'CM3' = uint8 linear. The header
+        omits the leading 'format' int when written."""
+        min_value = struct.unpack("<f", self.read_bytes(4))[0]
+        value_range = struct.unpack("<f", self.read_bytes(4))[0]
+        rows = struct.unpack("<i", self.read_bytes(4))[0]
+        cols = struct.unpack("<i", self.read_bytes(4))[0]
+        if rows == 0 or cols == 0:
+            return np.zeros((rows, cols), dtype=np.float32)
+        if token == "CM2":
+            data = np.frombuffer(self.read_bytes(2 * rows * cols), dtype="<u2")
+            return (
+                min_value + value_range * data.astype(np.float32) / 65535.0
+            ).reshape(rows, cols)
+        if token == "CM3":
+            data = np.frombuffer(self.read_bytes(rows * cols), dtype=np.uint8)
+            return (
+                min_value + value_range * data.astype(np.float32) / 255.0
+            ).reshape(rows, cols)
+        # 'CM': per-column uint16 percentile headers, then uint8 data stored
+        # column-major
+        headers = np.frombuffer(self.read_bytes(8 * cols), dtype="<u2").reshape(
+            cols, 4
+        )
+        p = min_value + value_range * headers.astype(np.float32) / 65535.0
+        p0, p25, p75, p100 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+        bytes_cm = np.frombuffer(self.read_bytes(rows * cols), dtype=np.uint8)
+        v = bytes_cm.reshape(cols, rows).astype(np.float32)  # column-major
+        # CharToFloat (compressed-matrix.cc:490-500)
+        low = p0[:, None] + (p25 - p0)[:, None] * v / 64.0
+        mid = p25[:, None] + (p75 - p25)[:, None] * (v - 64.0) / 128.0
+        high = p75[:, None] + (p100 - p75)[:, None] * (v - 192.0) / 63.0
+        out = np.where(v <= 64, low, np.where(v <= 192, mid, high))
+        return out.T.astype(np.float32)
 
 
 class KaldiWriter:
@@ -235,6 +272,55 @@ class KaldiWriter:
             self._s.write(np.ascontiguousarray(mat, dtype="<f8").tobytes())
         else:
             self._s.write(np.ascontiguousarray(mat, dtype="<f4").tobytes())
+
+    def write_compressed_matrix(self, mat: np.ndarray, method: str = "CM") -> None:
+        """Write a CompressedMatrix ('CM' percentile/piecewise or 'CM2'
+        uint16 linear), mirroring matrix/compressed-matrix.cc CompressColumn
+        / FloatToUint16."""
+        mat = np.asarray(mat, dtype=np.float32)
+        rows, cols = mat.shape
+        min_value = float(mat.min()) if mat.size else 0.0
+        value_range = float(mat.max() - min_value) if mat.size else 0.0
+        if value_range == 0.0:
+            value_range = 1.0e-5
+
+        def to_u16(x):
+            f = np.clip((x - min_value) / value_range, 0.0, 1.0)
+            return (f * 65535 + 0.499).astype(np.uint16)
+
+        self.write_token(method)
+        self._s.write(struct.pack("<ffii", min_value, value_range, rows, cols))
+        if method == "CM2":
+            self._s.write(to_u16(mat).astype("<u2").tobytes())
+            return
+        if method != "CM":
+            raise KaldiFormatError(f"unsupported compression method {method}")
+        headers = np.zeros((cols, 4), dtype="<u2")
+        data = np.zeros((cols, rows), dtype=np.uint8)
+        for j in range(cols):
+            col = np.sort(mat[:, j])
+            if rows >= 5:
+                q = rows // 4
+                percs = np.array([col[0], col[q], col[3 * q], col[-1]])
+            else:
+                percs = np.array([col[0], col[0], col[-1], col[-1]])
+            u16 = to_u16(percs)
+            # Kaldi separates equal percentiles by at least 1 (ComputeColHeader)
+            for k in range(1, 4):
+                if u16[k] <= u16[k - 1]:
+                    u16[k] = min(u16[k - 1] + 1, 65535)
+            headers[j] = u16
+            p = min_value + value_range * u16.astype(np.float64) / 65535.0
+            p0, p25, p75, p100 = p
+            x = mat[:, j].astype(np.float64)
+            low = np.clip((x - p0) / max(p25 - p0, 1e-20) * 64 + 0.5, 0, 64)
+            midv = 64 + np.clip((x - p25) / max(p75 - p25, 1e-20) * 128 + 0.5, 0, 128)
+            high = 192 + np.clip((x - p75) / max(p100 - p75, 1e-20) * 63 + 0.5, 0, 63)
+            data[j] = np.where(
+                x < p25, low, np.where(x < p75, midv, high)
+            ).astype(np.uint8)
+        self._s.write(headers.tobytes())
+        self._s.write(data.tobytes())
 
     def write_packed_matrix(self, mat: np.ndarray) -> None:
         """Write a symmetric [d, d] array as an FP packed matrix."""

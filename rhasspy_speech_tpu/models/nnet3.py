@@ -82,6 +82,24 @@ def _desc_ranges(
         raise ValueError(f"unknown descriptor kind {kind}")
 
 
+def _collect_node_refs(desc: Descriptor, out: set) -> None:
+    kind = desc[0]
+    if kind == "node":
+        out.add(desc[1])
+    elif kind in ("append", "sum", "switch"):
+        for sub in desc[1]:
+            _collect_node_refs(sub, out)
+    elif kind in ("offset", "ifdefined"):
+        _collect_node_refs(desc[1], out)
+    elif kind == "scale":
+        _collect_node_refs(desc[2], out)
+    elif kind in ("replace_index", "round"):
+        _collect_node_refs(desc[1], out)
+    elif kind == "failover":
+        _collect_node_refs(desc[1], out)
+        _collect_node_refs(desc[2], out)
+
+
 def _component_time_offsets(comp: ComponentSpec) -> List[int]:
     if comp.type == "TdnnComponent":
         return [int(x) for x in comp.attrs["TimeOffsets"]]
@@ -462,6 +480,23 @@ def compile_nnet3(
     node_by_name = {n.name: n for n in spec.nodes}
     if output_name not in node_by_name:
         raise KeyError(f"no output node {output_name!r}")
+
+    # Reject recurrent graphs loudly: a descriptor referencing a node
+    # defined LATER in config order is a back-edge (LSTM-style recurrence),
+    # which this feedforward planner cannot evaluate.
+    seen_names = set()
+    for node in spec.nodes:
+        if node.kind in ("component", "output") and node.input is not None:
+            refs: set = set()
+            _collect_node_refs(node.input, refs)
+            later = refs - seen_names - {node.name}
+            if later:
+                raise NotImplementedError(
+                    f"node {node.name!r} references {sorted(later)} defined "
+                    "later in the graph — recurrent nnet3 models (LSTMs) are "
+                    "not supported by the feedforward planner yet"
+                )
+        seen_names.add(node.name)
 
     # Node dims (forward pass over config order)
     node_dims: Dict[str, int] = {}

@@ -257,3 +257,28 @@ def test_am_nnet3_full_mdl(tmp_path):
     assert spec2.right_context == 2
     np.testing.assert_array_equal(tm2.id2pdf, tm.id2pdf)
     assert set(spec2.components) == set(spec.components)
+
+
+def test_compressed_matrix_roundtrip():
+    rng = np.random.RandomState(5)
+    mat = (rng.randn(30, 7) * 3.0).astype(np.float32)
+
+    for method, tol in (("CM2", 3e-4), ("CM", 0.12)):
+        buf = io.BytesIO()
+        w = KaldiWriter(buf)
+        w.write_compressed_matrix(mat, method=method)
+        buf.seek(0)
+        got = KaldiReader(buf).read_matrix()
+        assert got.shape == mat.shape
+        # quantized: CM2 is 16-bit linear; CM is 8-bit piecewise
+        err = np.abs(got - mat).max() / (mat.max() - mat.min())
+        assert err < tol, (method, err)
+
+
+def test_compressed_matrix_small_rows():
+    mat = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    buf = io.BytesIO()
+    KaldiWriter(buf).write_compressed_matrix(mat, method="CM")
+    buf.seek(0)
+    got = KaldiReader(buf).read_matrix()
+    assert np.abs(got - mat).max() < 0.2

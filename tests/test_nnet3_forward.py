@@ -127,3 +127,30 @@ def test_subsampling_one():
     ivec = jnp.asarray(rng.randn(1, 8).astype(np.float32))
     out = model.forward(feats, ivec)
     assert out.shape == (1, 5, 20)
+
+
+def test_recurrent_graph_rejected():
+    """LSTM-style back-edges raise NotImplementedError, not silent garbage."""
+    import pytest
+
+    from rhasspy_speech_tpu.io import ComponentSpec, NodeSpec, Nnet3Spec, parse_descriptor
+
+    spec = Nnet3Spec(
+        nodes=[
+            NodeSpec(kind="input", name="input", dim=4),
+            NodeSpec(
+                kind="component", name="a", component="a",
+                # references 'b', which is defined after 'a': recurrence
+                input=parse_descriptor("Sum(input, IfDefined(Offset(b, -1)))"),
+            ),
+            NodeSpec(kind="component", name="b", component="b",
+                     input=parse_descriptor("a")),
+            NodeSpec(kind="output", name="output", input=parse_descriptor("b")),
+        ],
+        components={
+            "a": ComponentSpec("a", "NoOpComponent", {"Dim": 4}),
+            "b": ComponentSpec("b", "NoOpComponent", {"Dim": 4}),
+        },
+    )
+    with pytest.raises(NotImplementedError, match="recurrent"):
+        compile_nnet3(spec, num_out_frames=2, subsampling=1)
