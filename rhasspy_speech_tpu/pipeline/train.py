@@ -110,6 +110,13 @@ def train_model_sync(
     sil_phone = model_config.get("sil_phone", SIL)
     spn_phone = model_config.get("spn_phone", SPN)
 
+    if model_type == "gmm":
+        # The reference's GMM decode path is dead code (transcribe_wav.py:
+        # 238-484 is commented out); fail loudly rather than half-working.
+        raise NotImplementedError(
+            "GMM acoustic models are not supported (the reference's GMM "
+            "path is disabled there too); use nnet3 chain models"
+        )
     if model_type == "coqui":
         # CTC backend (train.py:85-88): compile the grammar and build the
         # token->sentence decode cascade; no lexicon/lang step.
@@ -235,7 +242,13 @@ def train_model_sync(
         elif suffix == LangSuffix.ARPA:
             arpa = make_arpa_from_fst(g_grammar, order=3, symbols=lang.words)
             g = arpa_to_fst(arpa, lang.words)
-            fuzzy = make_fuzzy_g(g, ctx.vocab, lang.words, self_loops=True)
+            # The reference's ARPA fuzzy also copies the raw template
+            # transducer (kaldi.py:343-349 finds G.arpa.fst.txt, written
+            # from fst_context at :259-261), with deletion self-loops —
+            # so fuzzy matches carry meta output labels here too.
+            fuzzy = make_fuzzy_g(
+                g_text_transducer, ctx.vocab, lang.words, self_loops=True
+            )
         elif suffix == LangSuffix.ARPA_RESCORE:
             arpa = make_arpa_from_fst(
                 g_grammar, order=rescore_order, symbols=lang.words

@@ -274,3 +274,77 @@ def test_make_lg(grammar_ctx):
     _, owords, _ = paths[0]
     out = [lang.words.find_id(w) for w in owords if w != EPS_ID]
     assert out in (["red", "alert"], ["read", "a"], ["read", "a", "reader"])
+
+
+def test_lm_score_matches_phi_composition():
+    """The rescorer's backoff walk (pipeline/fuzzy.py lm_score) must agree
+    with full phi-composition + shortest path through the same G."""
+    from rhasspy_speech_tpu.fst.core import EPS_ID, Fst, INF
+    from rhasspy_speech_tpu.fst.ops import compose, shortest_path
+    from rhasspy_speech_tpu.lang import arpa_to_fst, count_ngrams, witten_bell
+    from rhasspy_speech_tpu.pipeline.fuzzy import lm_score
+
+    # corpus FST: weighted union of sentences
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+
+    words = SymbolTable()
+    for w in ["a", "b", "c"]:
+        words.add(w)
+    phi = words.add("#0")
+    words.add("<s>")
+    words.add("</s>")
+
+    corpus = Fst(isymbols=words, osymbols=words)
+    start = corpus.add_state()
+    corpus.start = start
+    for sentence in (["a", "b"], ["a", "c"], ["b", "c", "a"], ["a", "b"]):
+        cur = start
+        for w in sentence:
+            nxt = corpus.add_state()
+            corpus.add_arc(cur, words.find(w), words.find(w), 0.0, nxt)
+            cur = nxt
+        corpus.set_final(cur, 0.0)
+
+    arpa = witten_bell(count_ngrams(corpus, 2, symbols=words), 2)
+    g = arpa_to_fst(arpa, words)
+
+    import itertools
+
+    for seq_words in itertools.product(["a", "b", "c"], repeat=2):
+        seq = [words.find(w) for w in seq_words]
+        walk = lm_score(g, seq, phi)
+
+        # reference: compose a linear acceptor with G treating #0 as an
+        # epsilon-like backoff that must only fire when no match exists.
+        # Build the linear FST allowing free #0 self-loops on the G side by
+        # adding #0:eps loops to the input automaton and composing.
+        lin = Fst(isymbols=words, osymbols=words)
+        s0 = lin.add_state()
+        lin.start = s0
+        cur = s0
+        for wid in seq:
+            nxt = lin.add_state()
+            lin.add_arc(cur, wid, wid, 0.0, nxt)
+            cur = nxt
+        lin.set_final(cur, 0.0)
+        for s in range(lin.num_states):
+            lin.add_arc(s, phi, phi, 0.0, s)  # allow G's backoff arcs
+        lin.arcsort("olabel")
+        composed = compose(lin, g)
+        best = shortest_path(composed, nshortest=1)
+        total = INF
+        if best.start >= 0 and best.num_states:
+            # sum the single path
+            cost, state = 0.0, best.start
+            while best.finals[state] == INF and best.arcs[state]:
+                _il, _ol, w, state = (
+                    best.arcs[state][0][0], best.arcs[state][0][1],
+                    best.arcs[state][0][2], best.arcs[state][0][3],
+                )
+                cost += w
+            if best.finals[state] != INF:
+                total = cost + best.finals[state]
+        # The phi walk is at least as costly as the unconstrained-backoff
+        # shortest path, and equal when backoff is forced (no double match)
+        if walk != float("inf") and total != INF:
+            assert walk >= total - 1e-4, (seq_words, walk, total)
