@@ -144,6 +144,18 @@ class KaldiReader:
             np.float64 if width == 8 else np.float32
         )
 
+    def read_vector_or_matrix(self) -> np.ndarray:
+        """Dispatch on the next object token: FV/DV -> vector, FM/DM/CM* ->
+        matrix (some tags hold either depending on the component, e.g.
+        <ValueAvg> is a vector in NonlinearComponent but a matrix in
+        LstmNonlinearityComponent)."""
+        pos = self._s.tell()
+        token = self.read_token()
+        self._s.seek(pos)
+        if token in ("FV", "DV"):
+            return self.read_vector()
+        return self.read_matrix()
+
     def read_packed_matrix(self) -> np.ndarray:
         """Symmetric/triangular packed matrix ('FP'/'DP',
         matrix/packed-matrix.cc:240-251) expanded to a full symmetric

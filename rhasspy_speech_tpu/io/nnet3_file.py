@@ -265,8 +265,8 @@ _TAG_KINDS: Dict[str, str] = {
     "<InputDim>": "i",
     "<OutputDim>": "i",
     "<BlockDim>": "i",
-    "<ValueAvg>": "v",
-    "<DerivAvg>": "v",
+    "<ValueAvg>": "vm",
+    "<DerivAvg>": "vm",
     "<ValueSum>": "v",
     "<DerivSum>": "v",
     "<OderivRms>": "v",
@@ -304,6 +304,9 @@ _TAG_KINDS: Dict[str, str] = {
     "<NumClipped>": "f",
     "<NumBackpropped>": "f",
     "<NumElementsClipped>": "f",
+    "<SelfRepairConfig>": "v",
+    "<SelfRepairProb>": "v",
+    "<UseDropout>": "b",
 }
 
 # Component types whose params don't matter at inference (identity at test
@@ -343,6 +346,9 @@ class ComponentSpec:
             return a["Params"].shape[0]
         if t == "PerElementOffsetComponent":
             return a["Offsets"].shape[0]
+        if t == "LstmNonlinearityComponent":
+            cell = a["Params"].shape[1]
+            return 5 * cell + (3 if a.get("UseDropout") else 0)
         if "Dim" in a:
             return a["Dim"]
         if "InputDim" in a:
@@ -364,6 +370,8 @@ class ComponentSpec:
             return a["OutputDim"]
         if t == "NormalizeComponent":
             return a["InputDim"] + (1 if a.get("AddLogStddev") else 0)
+        if t == "LstmNonlinearityComponent":
+            return 2 * a["Params"].shape[1]
         return self.input_dim
 
 
@@ -392,6 +400,8 @@ def _read_component_body(r: KaldiReader, type_token: str) -> Dict[str, Any]:
             attrs[key] = r.read_vector()
         elif kind == "m":
             attrs[key] = r.read_matrix()
+        elif kind == "vm":
+            attrs[key] = r.read_vector_or_matrix()
         elif kind == "iv":
             attrs[key] = r.read_int_vector()
         elif kind == "i2":
@@ -556,8 +566,12 @@ def _write_component(w: KaldiWriter, comp: ComponentSpec) -> None:
             w.write_bool(value)
         elif kind == "v":
             w.write_vector(np.asarray(value, dtype=np.float32))
-        elif kind == "m":
-            w.write_matrix(np.asarray(value, dtype=np.float32))
+        elif kind in ("m", "vm"):
+            arr = np.asarray(value, dtype=np.float32)
+            if arr.ndim == 1:
+                w.write_vector(arr)
+            else:
+                w.write_matrix(arr)
         elif kind == "iv":
             w.write_int_vector(value)
         elif kind == "i2":

@@ -82,6 +82,65 @@ def _desc_ranges(
         raise ValueError(f"unknown descriptor kind {kind}")
 
 
+def _collect_back_refs(desc: Descriptor, out: set, cur_off: int) -> None:
+    """Collect (node name, accumulated time offset) for every reference."""
+    kind = desc[0]
+    if kind == "node":
+        out.add((desc[1], cur_off))
+    elif kind in ("append", "sum", "switch"):
+        for sub in desc[1]:
+            _collect_back_refs(sub, out, cur_off)
+    elif kind == "offset":
+        _collect_back_refs(desc[1], out, cur_off + desc[2])
+    elif kind == "ifdefined":
+        _collect_back_refs(desc[1], out, cur_off)
+    elif kind == "scale":
+        _collect_back_refs(desc[2], out, cur_off)
+    elif kind in ("replace_index", "round"):
+        _collect_back_refs(desc[1], out, cur_off)
+    elif kind == "failover":
+        _collect_back_refs(desc[1], out, cur_off)
+        _collect_back_refs(desc[2], out, cur_off)
+
+
+def _prune_back_edges(desc: Descriptor, later_names: set):
+    """Copy of a descriptor with references to later-defined nodes removed
+    (for range planning; those reads come from the scan carry). Returns
+    None when the whole descriptor is a back-edge."""
+    kind = desc[0]
+    if kind == "node":
+        return None if desc[1] in later_names else desc
+    if kind in ("append", "sum", "switch"):
+        subs = [_prune_back_edges(s, later_names) for s in desc[1]]
+        kept = [s for s in subs if s is not None]
+        if not kept:
+            return None
+        return (kind, kept)
+    if kind in ("offset",):
+        sub = _prune_back_edges(desc[1], later_names)
+        return None if sub is None else ("offset", sub, desc[2])
+    if kind == "ifdefined":
+        sub = _prune_back_edges(desc[1], later_names)
+        return None if sub is None else ("ifdefined", sub)
+    if kind == "scale":
+        sub = _prune_back_edges(desc[2], later_names)
+        return None if sub is None else ("scale", desc[1], sub)
+    if kind in ("replace_index", "round"):
+        sub = _prune_back_edges(desc[1], later_names)
+        return None if sub is None else (kind, sub) + tuple(desc[2:])
+    if kind == "failover":
+        a = _prune_back_edges(desc[1], later_names)
+        b = _prune_back_edges(desc[2], later_names)
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return ("failover", a, b)
+    if kind == "const":
+        return desc
+    raise ValueError(kind)
+
+
 def _collect_node_refs(desc: Descriptor, out: set) -> None:
     kind = desc[0]
     if kind == "node":
@@ -166,6 +225,8 @@ def _extract_params(comp: ComponentSpec) -> Dict[str, np.ndarray]:
         return {"scale": a["Params"]}
     if t == "PerElementOffsetComponent":
         return {"offset": a["Offsets"]}
+    if t == "LstmNonlinearityComponent":
+        return {"lstm_params": a["Params"]}  # [3, C]: w_ic, w_fc, w_oc
     return {}
 
 
@@ -242,6 +303,23 @@ def _component_forward(
         return x * params["scale"]
     if t == "PerElementOffsetComponent":
         return x + params["offset"]
+    if t == "LstmNonlinearityComponent":
+        # cu-math.h ComputeLstmNonlinearity: input [.., 5C] =
+        # (i_part, f_part, c_part, o_part, c_prev); params [3, C] =
+        # (w_ic, w_fc, w_oc); output [.., 2C] = (c_t, m_t)
+        w = params["lstm_params"]
+        cell = w.shape[1]
+        i_part = x[..., 0:cell]
+        f_part = x[..., cell : 2 * cell]
+        c_part = x[..., 2 * cell : 3 * cell]
+        o_part = x[..., 3 * cell : 4 * cell]
+        c_prev = x[..., 4 * cell : 5 * cell]
+        i_t = jax.nn.sigmoid(i_part + w[0] * c_prev)
+        f_t = jax.nn.sigmoid(f_part + w[1] * c_prev)
+        c_t = f_t * c_prev + i_t * jnp.tanh(c_part)
+        o_t = jax.nn.sigmoid(o_part + w[2] * c_t)
+        m_t = o_t * jnp.tanh(c_t)
+        return jnp.concatenate([c_t, m_t], axis=-1)
     if t in ("NoOpComponent", "DropoutComponent", "GeneralDropoutComponent",
              "SpecAugmentTimeMaskComponent", "BackpropTruncationComponent",
              "ClipGradientComponent"):
@@ -277,9 +355,17 @@ class CompiledNnet3:
     params: Dict[str, Dict[str, jnp.ndarray]]
     node_dims: Dict[str, int]
     ivector_period: int = 0  # 0 = single ivector at t=0
+    # Recurrent mode (LSTM-style back-edges): evaluate one step per
+    # `recurrence` frames via lax.scan, carrying the back-referenced nodes.
+    recurrent: bool = False
+    recurrence: int = 0
+    carried: Tuple[str, ...] = ()
+    step_input_range: Tuple[int, int] = (0, 0)
 
     @property
     def left_context(self) -> int:
+        if self.recurrent:
+            return -self.step_input_range[0]
         return -self.ranges["input"][0]
 
     @property
@@ -313,6 +399,9 @@ class CompiledNnet3:
         Returns:
           [B, num_out_frames, output_dim]
         """
+        if self.recurrent:
+            return self._forward_recurrent(feats, ivector)
+
         values: Dict[str, jnp.ndarray] = {}
         origins: Dict[str, int] = {}
 
@@ -464,6 +553,135 @@ class CompiledNnet3:
         return out[:, idx]
 
 
+    def _forward_recurrent(
+        self, feats: jnp.ndarray, ivector: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """Stepwise evaluation for recurrent graphs: one lax.scan step per
+        `recurrence` frames, carrying each back-referenced node's value from
+        the previous step (Kaldi zero-initializes recurrences the same way)."""
+        r = self.recurrence
+        lo, hi = self.step_input_range
+        win = hi - lo
+        B = feats.shape[0]
+        carried = set(self.carried)
+
+        in_lo_global = lo
+        expected = (self.num_out_frames - 1) * r + win
+        if feats.shape[1] != expected:
+            raise ValueError(
+                f"feats must have {expected} frames (got {feats.shape[1]})"
+            )
+
+        ivec_row = None
+        if "ivector" in self.ranges:
+            if ivector is None:
+                raise ValueError("model requires an ivector input")
+            if ivector.ndim == 3:
+                ivector = ivector[:, 0]
+            ivec_row = ivector  # [B, D]: whole-utterance mode
+
+        def step(carry, i):
+            start = i * r
+            window = jax.lax.dynamic_slice_in_dim(feats, start, win, axis=1)
+            values: Dict[str, jnp.ndarray] = {"input": window}
+            origins: Dict[str, int] = {"input": lo}
+            if ivec_row is not None and "ivector" in self.ranges:
+                iv_lo, iv_hi = self.ranges["ivector"]
+                values["ivector"] = jnp.broadcast_to(
+                    ivec_row[:, None, :],
+                    (B, iv_hi - iv_lo, ivec_row.shape[-1]),
+                )
+                origins["ivector"] = iv_lo
+
+            def eval_desc(desc: Descriptor, lo_t: int, hi_t: int) -> jnp.ndarray:
+                kind = desc[0]
+                if kind == "node":
+                    name = desc[1]
+                    if name not in values and name in carried:
+                        if (lo_t, hi_t) != (-r, -r + 1):
+                            raise NotImplementedError(
+                                f"back-reference to {name!r} at times "
+                                f"[{lo_t},{hi_t}) (only -{r} supported)"
+                            )
+                        return carry[name][:, None, :]
+                    arr = values[name]
+                    org = origins[name]
+                    return arr[:, lo_t - org : hi_t - org]
+                if kind == "offset":
+                    return eval_desc(desc[1], lo_t + desc[2], hi_t + desc[2])
+                if kind == "append":
+                    return jnp.concatenate(
+                        [eval_desc(s, lo_t, hi_t) for s in desc[1]], axis=-1
+                    )
+                if kind == "sum":
+                    parts = [eval_desc(s, lo_t, hi_t) for s in desc[1]]
+                    out = parts[0]
+                    for p in parts[1:]:
+                        out = out + p
+                    return out
+                if kind == "scale":
+                    return desc[1] * eval_desc(desc[2], lo_t, hi_t)
+                if kind == "const":
+                    return jnp.full(
+                        (B, hi_t - lo_t, desc[2]), desc[1], dtype=feats.dtype
+                    )
+                if kind == "replace_index":
+                    one = eval_desc(desc[1], desc[3], desc[3] + 1)
+                    return jnp.broadcast_to(
+                        one, (one.shape[0], hi_t - lo_t, one.shape[2])
+                    )
+                if kind == "ifdefined":
+                    refs: set = set()
+                    _collect_node_refs(desc[1], refs)
+                    if refs & carried:
+                        # carried recurrences are always "defined" (zeros at
+                        # step 0 reproduce the undefined-frame semantics)
+                        return eval_desc(desc[1], lo_t, hi_t)
+                    return eval_desc(desc[1], lo_t, hi_t)
+                raise NotImplementedError(
+                    f"descriptor {kind!r} inside a recurrent graph"
+                )
+
+            for node in self.order:
+                if node.kind == "input":
+                    continue
+                n_lo, n_hi = self.ranges[node.name]
+                if node.kind == "component":
+                    comp = self.spec.components[node.component]
+                    offs = _component_time_offsets(comp)
+                    x = eval_desc(node.input, n_lo + offs[0], n_hi + offs[-1])
+                    y = _component_forward(
+                        comp, self.params.get(node.component, {}), x, offs
+                    )
+                elif node.kind == "output":
+                    y = eval_desc(node.input, n_lo, n_hi)
+                elif node.kind == "dim-range":
+                    src = values[node.input_node]
+                    src_lo = origins[node.input_node]
+                    y = src[:, n_lo - src_lo : n_hi - src_lo,
+                            node.dim_offset : node.dim_offset + node.dim]
+                else:  # pragma: no cover
+                    raise ValueError(node.kind)
+                values[node.name] = y
+                origins[node.name] = n_lo
+
+            new_carry = {
+                name: values[name][:, 0 - origins[name]] for name in carried
+            }
+            out_org = origins[self.output_name]
+            return new_carry, values[self.output_name][:, 0 - out_org]
+
+        carry0 = {
+            name: jnp.zeros((B, self.node_dims[name]), dtype=feats.dtype)
+            for name in carried
+        }
+        _, outs = jax.lax.scan(
+            step, carry0, jnp.arange(self.num_out_frames, dtype=jnp.int32)
+        )
+        _ = in_lo_global
+        return jnp.swapaxes(outs, 0, 1)  # [B, N, out_dim]
+
+
 def compile_nnet3(
     spec: Nnet3Spec,
     num_out_frames: int,
@@ -481,22 +699,35 @@ def compile_nnet3(
     if output_name not in node_by_name:
         raise KeyError(f"no output node {output_name!r}")
 
-    # Reject recurrent graphs loudly: a descriptor referencing a node
-    # defined LATER in config order is a back-edge (LSTM-style recurrence),
-    # which this feedforward planner cannot evaluate.
+    # Back-edges (descriptor references to nodes defined LATER in config
+    # order) mark LSTM-style recurrences: collect them with their time
+    # offsets and switch to the stepwise evaluator.
     seen_names = set()
+    back_refs: Dict[str, set] = {}  # carried node -> set of offsets
     for node in spec.nodes:
         if node.kind in ("component", "output") and node.input is not None:
             refs: set = set()
-            _collect_node_refs(node.input, refs)
-            later = refs - seen_names - {node.name}
-            if later:
-                raise NotImplementedError(
-                    f"node {node.name!r} references {sorted(later)} defined "
-                    "later in the graph — recurrent nnet3 models (LSTMs) are "
-                    "not supported by the feedforward planner yet"
-                )
+            _collect_back_refs(node.input, refs, 0)
+            for name, off in refs:
+                if name not in seen_names and name != node.name:
+                    back_refs.setdefault(name, set()).add(off)
         seen_names.add(node.name)
+
+    recurrent = bool(back_refs)
+    recurrence = 0
+    if recurrent:
+        offsets = {off for offs in back_refs.values() for off in offs}
+        if len(offsets) != 1 or next(iter(offsets)) >= 0:
+            raise NotImplementedError(
+                f"recurrent offsets {sorted(offsets)} — only a single "
+                "negative recurrence delay is supported"
+            )
+        recurrence = -next(iter(offsets))
+        if recurrence != subsampling:
+            raise NotImplementedError(
+                f"recurrence delay {recurrence} != frame subsampling "
+                f"{subsampling} is not supported"
+            )
 
     # Node dims (forward pass over config order)
     node_dims: Dict[str, int] = {}
@@ -510,22 +741,55 @@ def compile_nnet3(
         elif node.kind == "output":
             node_dims[node.name] = _desc_dim(node.input, node_dims)
 
-    # Backward range planning (reverse config order = reverse topological)
+    # Backward range planning (reverse config order = reverse topological).
+    # Recurrent graphs plan a SINGLE step (output time 0); back-references
+    # into carried nodes are excluded (they read the previous step's carry).
     ranges: Dict[str, Tuple[int, int]] = {}
-    last_t = (num_out_frames - 1) * subsampling
+    if recurrent:
+        last_t = 0
+        for name in back_refs:
+            ranges[name] = (0, 1)  # carried nodes computed at the step time
+    else:
+        last_t = (num_out_frames - 1) * subsampling
     _accumulate(ranges, output_name, 0, last_t + 1)
+
+    def _plan_desc(desc, lo, hi, later_names):
+        if not recurrent or not later_names:
+            _desc_ranges(desc, lo, hi, ranges)
+            return
+        # strip contributions through back-edges
+        pruned = _prune_back_edges(desc, later_names)
+        if pruned is not None:
+            _desc_ranges(pruned, lo, hi, ranges)
+
+    names_after: Dict[str, set] = {}
+    if recurrent:
+        suffix: set = set()
+        for node in reversed(spec.nodes):
+            names_after[node.name] = set(suffix)
+            suffix.add(node.name)
+
     for node in reversed(spec.nodes):
         if node.name not in ranges or node.kind == "input":
             continue
         lo, hi = ranges[node.name]
+        later = names_after.get(node.name, set()) if recurrent else set()
         if node.kind == "component":
             comp = spec.components[node.component]
             offs = _component_time_offsets(comp)
-            _desc_ranges(node.input, lo + offs[0], hi + offs[-1], ranges)
+            _plan_desc(node.input, lo + offs[0], hi + offs[-1], later)
         elif node.kind == "output":
-            _desc_ranges(node.input, lo, hi, ranges)
+            _plan_desc(node.input, lo, hi, later)
         elif node.kind == "dim-range":
             _accumulate(ranges, node.input_node, lo, hi)
+
+    if recurrent:
+        for name in back_refs:
+            if ranges.get(name) != (0, 1):
+                raise NotImplementedError(
+                    f"carried node {name!r} needed over {ranges.get(name)} "
+                    "within one step (only the step time is supported)"
+                )
 
     # Parameters
     params = {
@@ -539,6 +803,14 @@ def compile_nnet3(
     # Drop nodes never requested (e.g. unused xent branch heads)
     order = [n for n in order if n.name in ranges or n.kind == "input"]
 
+    step_input_range = (0, 0)
+    if recurrent:
+        step_input_range = ranges["input"]
+        lo, hi = step_input_range
+        # AcousticModel gathers the GLOBAL window from this range
+        ranges = dict(ranges)
+        ranges["input"] = (lo, (num_out_frames - 1) * recurrence + hi)
+
     return CompiledNnet3(
         spec=spec,
         num_out_frames=num_out_frames,
@@ -549,4 +821,8 @@ def compile_nnet3(
         params=params,
         node_dims=node_dims,
         ivector_period=ivector_period,
+        recurrent=recurrent,
+        recurrence=recurrence,
+        carried=tuple(sorted(back_refs)),
+        step_input_range=step_input_range,
     )

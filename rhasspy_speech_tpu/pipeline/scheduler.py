@@ -84,6 +84,11 @@ class StreamScheduler:
         self._chunk_model = compile_nnet3(
             self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
         )
+        if self._chunk_model.recurrent:
+            raise NotImplementedError(
+                "streaming recurrent (LSTM) models needs cross-chunk state "
+                "carry; use the batch transcriber for LSTM models"
+            )
         lo, hi = self._chunk_model.ranges["input"]
         self._win_lo, self._win_hi = lo, hi
         self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling

@@ -89,6 +89,11 @@ class Nnet3StreamTranscriber:
         self._chunk_model = compile_nnet3(
             self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
         )
+        if self._chunk_model.recurrent:
+            raise NotImplementedError(
+                "streaming recurrent (LSTM) models needs cross-chunk state "
+                "carry; use the batch transcriber for LSTM models"
+            )
         self._lc = self._chunk_model.left_context
         self._rc = self._chunk_model.right_context
         self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling

@@ -129,28 +129,129 @@ def test_subsampling_one():
     assert out.shape == (1, 5, 20)
 
 
-def test_recurrent_graph_rejected():
-    """LSTM-style back-edges raise NotImplementedError, not silent garbage."""
-    import pytest
-
+def _lstmp_spec(rng, D=6, C=5, R=4):
+    """Minimal Kaldi-style LSTMP layer: W_all affine over (input, r_{t-1}),
+    LstmNonlinearityComponent over (4C gates, c_{t-1}), dim-range c/m,
+    recurrent projection r, output affine."""
     from rhasspy_speech_tpu.io import ComponentSpec, NodeSpec, Nnet3Spec, parse_descriptor
 
-    spec = Nnet3Spec(
-        nodes=[
-            NodeSpec(kind="input", name="input", dim=4),
-            NodeSpec(
-                kind="component", name="a", component="a",
-                # references 'b', which is defined after 'a': recurrence
-                input=parse_descriptor("Sum(input, IfDefined(Offset(b, -1)))"),
-            ),
-            NodeSpec(kind="component", name="b", component="b",
-                     input=parse_descriptor("a")),
-            NodeSpec(kind="output", name="output", input=parse_descriptor("b")),
-        ],
-        components={
-            "a": ComponentSpec("a", "NoOpComponent", {"Dim": 4}),
-            "b": ComponentSpec("b", "NoOpComponent", {"Dim": 4}),
-        },
+    comps = {
+        "W_all": ComponentSpec(
+            "W_all", "NaturalGradientAffineComponent",
+            {"LearningRate": 1e-3,
+             "LinearParams": (rng.randn(4 * C, D + R) * 0.3).astype(np.float32),
+             "BiasParams": (rng.randn(4 * C) * 0.1).astype(np.float32),
+             "RankIn": 20, "RankOut": 80, "UpdatePeriod": 4,
+             "NumSamplesHistory": 2000.0, "Alpha": 4.0},
+        ),
+        "lstm_nonlin": ComponentSpec(
+            "lstm_nonlin", "LstmNonlinearityComponent",
+            {"LearningRate": 1e-3,
+             "Params": (rng.randn(3, C) * 0.2).astype(np.float32),
+             "ValueAvg": np.zeros((0, 0), np.float32),
+             "DerivAvg": np.zeros((0, 0), np.float32),
+             "Count": 0.0},
+        ),
+        "W_r": ComponentSpec(
+            "W_r", "NaturalGradientAffineComponent",
+            {"LearningRate": 1e-3,
+             "LinearParams": (rng.randn(R, C) * 0.4).astype(np.float32),
+             "BiasParams": np.zeros(R, np.float32),
+             "RankIn": 20, "RankOut": 80, "UpdatePeriod": 4,
+             "NumSamplesHistory": 2000.0, "Alpha": 4.0},
+        ),
+        "W_out": ComponentSpec(
+            "W_out", "NaturalGradientAffineComponent",
+            {"LearningRate": 1e-3,
+             "LinearParams": (rng.randn(3, R) * 0.5).astype(np.float32),
+             "BiasParams": np.zeros(3, np.float32),
+             "RankIn": 20, "RankOut": 80, "UpdatePeriod": 4,
+             "NumSamplesHistory": 2000.0, "Alpha": 4.0},
+        ),
+    }
+    nodes = [
+        NodeSpec(kind="input", name="input", dim=D),
+        NodeSpec(kind="component", name="W_all", component="W_all",
+                 input=parse_descriptor(
+                     "Append(input, IfDefined(Offset(r_t, -1)))")),
+        NodeSpec(kind="component", name="lstm_nonlin", component="lstm_nonlin",
+                 input=parse_descriptor(
+                     "Append(W_all, IfDefined(Offset(c_t, -1)))")),
+        NodeSpec(kind="dim-range", name="c_t", input_node="lstm_nonlin",
+                 dim=5, dim_offset=0),
+        NodeSpec(kind="dim-range", name="m_t", input_node="lstm_nonlin",
+                 dim=5, dim_offset=5),
+        NodeSpec(kind="component", name="r_t", component="W_r",
+                 input=parse_descriptor("m_t")),
+        NodeSpec(kind="component", name="W_out", component="W_out",
+                 input=parse_descriptor("r_t")),
+        NodeSpec(kind="output", name="output", input=parse_descriptor("W_out")),
+    ]
+    return Nnet3Spec(nodes=nodes, components=comps)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def test_lstm_recurrent_forward():
+    rng = np.random.RandomState(8)
+    spec = _lstmp_spec(rng)
+    model = compile_nnet3(spec, num_out_frames=6, subsampling=1)
+    assert model.recurrent
+    assert model.recurrence == 1
+    assert set(model.carried) == {"c_t", "r_t"}
+
+    B, D, C, R = 2, 6, 5, 4
+    feats = rng.randn(B, model.num_input_frames, D).astype(np.float32)
+    got = np.asarray(model.forward(jnp.asarray(feats)))
+    assert got.shape == (B, 6, 3)
+
+    # NumPy reference loop
+    c = spec.components
+    w_all = c["W_all"].attrs["LinearParams"]
+    b_all = c["W_all"].attrs["BiasParams"]
+    w_lstm = c["lstm_nonlin"].attrs["Params"]
+    w_r = c["W_r"].attrs["LinearParams"]
+    w_out = c["W_out"].attrs["LinearParams"]
+    for b in range(B):
+        c_prev = np.zeros(C)
+        r_prev = np.zeros(R)
+        for t in range(6):
+            gates = w_all @ np.concatenate([feats[b, t], r_prev]) + b_all
+            i_t = _sigmoid(gates[0:C] + w_lstm[0] * c_prev)
+            f_t = _sigmoid(gates[C:2*C] + w_lstm[1] * c_prev)
+            c_t = f_t * c_prev + i_t * np.tanh(gates[2*C:3*C])
+            o_t = _sigmoid(gates[3*C:4*C] + w_lstm[2] * c_t)
+            m_t = o_t * np.tanh(c_t)
+            r_t = w_r @ m_t
+            out = w_out @ r_t
+            np.testing.assert_allclose(got[b, t], out, rtol=2e-4, atol=2e-4)
+            c_prev, r_prev = c_t, r_t
+
+
+def test_lstm_file_roundtrip_and_jit():
+    rng = np.random.RandomState(9)
+    spec = _lstmp_spec(rng)
+    buf = io.BytesIO()
+    write_nnet3(buf, spec)
+    buf.seek(0)
+    spec2 = read_nnet3(KaldiReader(buf))
+    m1 = compile_nnet3(spec, num_out_frames=4, subsampling=1)
+    m2 = compile_nnet3(spec2, num_out_frames=4, subsampling=1)
+    feats = jnp.asarray(rng.randn(1, m1.num_input_frames, 6).astype(np.float32))
+    f2 = jax.jit(m2.forward)
+    np.testing.assert_allclose(
+        np.asarray(m1.forward(feats)), np.asarray(f2(feats)),
+        rtol=1e-5, atol=1e-5,
     )
-    with pytest.raises(NotImplementedError, match="recurrent"):
-        compile_nnet3(spec, num_out_frames=2, subsampling=1)
+
+
+def test_recurrence_mismatch_rejected():
+    import pytest
+
+    rng = np.random.RandomState(10)
+    spec = _lstmp_spec(rng)
+    # delay 1 but subsampling 3: unsupported combination must raise
+    with pytest.raises(NotImplementedError, match="recurrence"):
+        compile_nnet3(spec, num_out_frames=2, subsampling=3)
