@@ -553,9 +553,31 @@ class CompiledNnet3:
         return out[:, idx]
 
 
+    def init_state(self, batch: int, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+        """Zero recurrence state (Kaldi zero-initializes recurrences)."""
+        return {
+            name: jnp.zeros((batch, self.node_dims[name]), dtype=dtype)
+            for name in self.carried
+        }
+
+    def forward_with_state(
+        self,
+        feats: jnp.ndarray,
+        state: Dict[str, jnp.ndarray],
+        ivector: Optional[jnp.ndarray] = None,
+    ):
+        """Recurrent forward continuing from ``state`` (e.g. the previous
+        streaming chunk); returns (output, new_state)."""
+        return self._forward_recurrent(feats, ivector, carry0=state,
+                                       return_state=True)
+
     def _forward_recurrent(
-        self, feats: jnp.ndarray, ivector: Optional[jnp.ndarray] = None
-    ) -> jnp.ndarray:
+        self,
+        feats: jnp.ndarray,
+        ivector: Optional[jnp.ndarray] = None,
+        carry0: Optional[Dict[str, jnp.ndarray]] = None,
+        return_state: bool = False,
+    ):
         """Stepwise evaluation for recurrent graphs: one lax.scan step per
         `recurrence` frames, carrying each back-referenced node's value from
         the previous step (Kaldi zero-initializes recurrences the same way)."""
@@ -671,15 +693,16 @@ class CompiledNnet3:
             out_org = origins[self.output_name]
             return new_carry, values[self.output_name][:, 0 - out_org]
 
-        carry0 = {
-            name: jnp.zeros((B, self.node_dims[name]), dtype=feats.dtype)
-            for name in carried
-        }
-        _, outs = jax.lax.scan(
+        if carry0 is None:
+            carry0 = self.init_state(B, feats.dtype)
+        final_carry, outs = jax.lax.scan(
             step, carry0, jnp.arange(self.num_out_frames, dtype=jnp.int32)
         )
         _ = in_lo_global
-        return jnp.swapaxes(outs, 0, 1)  # [B, N, out_dim]
+        out = jnp.swapaxes(outs, 0, 1)  # [B, N, out_dim]
+        if return_state:
+            return out, final_carry
+        return out
 
 
 def compile_nnet3(

@@ -86,8 +86,9 @@ class StreamScheduler:
         )
         if self._chunk_model.recurrent:
             raise NotImplementedError(
-                "streaming recurrent (LSTM) models needs cross-chunk state "
-                "carry; use the batch transcriber for LSTM models"
+                "the batched scheduler does not carry LSTM state per lane "
+                "yet; use Nnet3StreamTranscriber (single-stream, carries "
+                "state) or the batch transcriber for recurrent models"
             )
         lo, hi = self._chunk_model.ranges["input"]
         self._win_lo, self._win_hi = lo, hi

@@ -56,6 +56,7 @@ class StreamingDecoderState:
         self.feats = np.zeros((0, feat_dim), dtype=np.float32)
         self.frames_consumed = 0  # input frames fed to the AM so far
         self.alpha: Optional[jnp.ndarray] = None
+        self.am_state: dict = {}  # recurrent-model scan carry across chunks
         self.bps: List[np.ndarray] = []  # [chunk][Tc, S]
         self.started = False
         self.out_frames = 0
@@ -89,11 +90,6 @@ class Nnet3StreamTranscriber:
         self._chunk_model = compile_nnet3(
             self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
         )
-        if self._chunk_model.recurrent:
-            raise NotImplementedError(
-                "streaming recurrent (LSTM) models needs cross-chunk state "
-                "carry; use the batch transcriber for LSTM models"
-            )
         self._lc = self._chunk_model.left_context
         self._rc = self._chunk_model.right_context
         self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling
@@ -102,14 +98,23 @@ class Nnet3StreamTranscriber:
 
         k = self.nbest
 
-        def chunk_step(alpha, feats_window, n_valid, ivec):
+        recurrent = self._chunk_model.recurrent
+
+        def chunk_step(alpha, feats_window, n_valid, ivec, am_state):
             """One streaming step: AM forward on the context window + up to 7
-            Viterbi frames (frames >= n_valid are no-ops).
+            Viterbi frames (frames >= n_valid are no-ops). Recurrent models
+            thread their scan carry (am_state) across chunks.
 
             nbest == 1: alpha [S] -> (alpha' [S], bp [7, S]).
             nbest > 1 (K-best track merge for the rescore path,
             transcribe_stream.py:131-274): alpha [S, K] -> bp [7, S, K]."""
-            if ivec is None:
+            new_am_state = am_state
+            if recurrent:
+                log_probs, new_am_state = self._chunk_model.forward_with_state(
+                    feats_window[None], am_state, ivec
+                )
+                log_probs = log_probs[0]
+            elif ivec is None:
                 log_probs = self._chunk_model.forward(feats_window[None])[0]
             else:
                 log_probs = self._chunk_model.forward(feats_window[None], ivec)[0]
@@ -135,13 +140,16 @@ class Nnet3StreamTranscriber:
                         jnp.where(active, bp[0], -3),
                     )
 
-            return jax.lax.scan(step, alpha, (am_costs, ts))
+            new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
+            return new_alpha, bps, new_am_state
 
         self._has_ivector = self.am._has_ivector
         if self._has_ivector:
             self._chunk_fn = jax.jit(chunk_step)
         else:
-            self._chunk_fn = jax.jit(lambda a, f, n: chunk_step(a, f, n, None))
+            self._chunk_fn = jax.jit(
+                lambda a, f, n, st: chunk_step(a, f, n, None, st)
+            )
         self._lang_cache = {}
 
     # -- streaming core ------------------------------------------------------
@@ -156,6 +164,8 @@ class Nnet3StreamTranscriber:
                 (init.shape[0], self.nbest), jnp.float32(NEG_INF_F32)
             )
             state.alpha = alpha.at[:, 0].set(init)
+        if self._chunk_model.recurrent:
+            state.am_state = self._chunk_model.init_state(1)
         return state
 
     def _extract_feats(self, state: StreamingDecoderState, pcm: np.ndarray) -> None:
@@ -191,10 +201,12 @@ class Nnet3StreamTranscriber:
                 CHUNK_OUT_FRAMES,
                 max(0, -(-(have - t0) // self.am.subsampling)),
             )
-            alpha, bp = self._chunk_fn(
-                state.alpha, jnp.asarray(window), jnp.int32(real_out)
+            alpha, bp, am_state = self._chunk_fn(
+                state.alpha, jnp.asarray(window), jnp.int32(real_out),
+                state.am_state,
             )
             state.alpha = alpha
+            state.am_state = am_state
             bp_np = np.asarray(bp)[:real_out]
             if bp_np.shape[0]:
                 state.bps.append(bp_np)

@@ -255,3 +255,33 @@ def test_recurrence_mismatch_rejected():
     # delay 1 but subsampling 3: unsupported combination must raise
     with pytest.raises(NotImplementedError, match="recurrence"):
         compile_nnet3(spec, num_out_frames=2, subsampling=3)
+
+
+def test_lstm_chunked_state_matches_whole():
+    """forward_with_state over consecutive chunks == one whole forward."""
+    rng = np.random.RandomState(12)
+    spec = _lstmp_spec(rng)
+    whole = compile_nnet3(spec, num_out_frames=12, subsampling=1)
+    chunk = compile_nnet3(spec, num_out_frames=4, subsampling=1)
+    assert whole.recurrent and chunk.recurrent
+
+    B, D = 2, 6
+    T_in = whole.num_input_frames
+    feats = rng.randn(B, T_in, D).astype(np.float32)
+    want = np.asarray(whole.forward(jnp.asarray(feats)))
+
+    lo, hi = chunk.step_input_range
+    win_total = chunk.ranges["input"][1] - chunk.ranges["input"][0]
+    state = chunk.init_state(B)
+    outs = []
+    for c in range(3):
+        t0 = c * 4  # 4 outputs per chunk at stride 1
+        idx = np.clip(np.arange(t0 + chunk.ranges["input"][0],
+                                t0 + chunk.ranges["input"][0] + win_total),
+                      0, T_in - 1)
+        # feats array is already aligned so that index 0 = global time lo
+        window = feats[:, t0 : t0 + win_total]
+        out, state = chunk.forward_with_state(jnp.asarray(window), state)
+        outs.append(np.asarray(out))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
