@@ -84,12 +84,7 @@ class StreamScheduler:
         self._chunk_model = compile_nnet3(
             self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
         )
-        if self._chunk_model.recurrent:
-            raise NotImplementedError(
-                "the batched scheduler does not carry LSTM state per lane "
-                "yet; use Nnet3StreamTranscriber (single-stream, carries "
-                "state) or the batch transcriber for recurrent models"
-            )
+        self._recurrent = self._chunk_model.recurrent
         lo, hi = self._chunk_model.ranges["input"]
         self._win_lo, self._win_hi = lo, hi
         self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling
@@ -97,10 +92,24 @@ class StreamScheduler:
         graph = self.device_graph
         scale = acoustic_scale
 
-        def batch_chunk(alpha, windows, n_valid):
+        recurrent = self._recurrent
+
+        def batch_chunk(alpha, windows, n_valid, am_state):
             """alpha [N, S]; windows [N, W, D]; n_valid [N] ->
-            (alpha' [N, S], bp [7, N, S])."""
-            log_probs = self._chunk_model.forward(windows)  # [N, 7, P]
+            (alpha' [N, S], bp [7, N, S], am_state'). Lanes without work
+            (n_valid == 0) keep both alpha and recurrence state."""
+            new_state = am_state
+            if recurrent:
+                log_probs, new_state = self._chunk_model.forward_with_state(
+                    windows, am_state
+                )
+                lane_active = (n_valid > 0)[:, None]
+                new_state = {
+                    k: jnp.where(lane_active, v, am_state[k])
+                    for k, v in new_state.items()
+                }
+            else:
+                log_probs = self._chunk_model.forward(windows)  # [N, 7, P]
             am_costs = -scale * jnp.swapaxes(log_probs, 0, 1)  # [7, N, P]
             ts = jnp.arange(CHUNK_OUT_FRAMES, dtype=jnp.int32)
 
@@ -113,9 +122,13 @@ class StreamScheduler:
                     jnp.where(active, bp, -3),
                 )
 
-            return jax.lax.scan(step, alpha, (am_costs, ts))
+            new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
+            return new_alpha, bps, new_state
 
         self._batch_chunk = jax.jit(batch_chunk)
+        self._am_state = (
+            self._chunk_model.init_state(max_streams) if recurrent else {}
+        )
 
         S = self.graph.num_states
         self._alpha = jnp.broadcast_to(
@@ -158,6 +171,10 @@ class StreamScheduler:
         self._alpha = self._alpha.at[sid].set(
             jnp.asarray(self.graph.init_weight)
         )
+        if self._recurrent:
+            self._am_state = {
+                k: v.at[sid].set(0.0) for k, v in self._am_state.items()
+            }
         return sid
 
     def feed(self, sid: int, pcm: np.ndarray) -> int:
@@ -252,10 +269,12 @@ class StreamScheduler:
         lanes = int((n_valid > 0).sum())
         if lanes:
             with StageTimer("stream_chunk", metrics):
-                alpha, bps = self._batch_chunk(
-                    self._alpha, jnp.asarray(windows), jnp.asarray(n_valid)
+                alpha, bps, am_state = self._batch_chunk(
+                    self._alpha, jnp.asarray(windows), jnp.asarray(n_valid),
+                    self._am_state,
                 )
                 self._alpha = alpha
+                self._am_state = am_state
                 bps_np = np.asarray(bps)  # [7, N, S]
             alpha_np = (
                 np.asarray(alpha) if self.endpointing is not None else None

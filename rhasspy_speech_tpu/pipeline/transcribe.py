@@ -79,12 +79,19 @@ class AcousticModel:
         self,
         model_dir: Union[str, Path],
         frontend: Optional[FrontendConfig] = None,
-        subsampling: int = 3,
+        subsampling: Optional[int] = None,
     ):
         model_dir = Path(model_dir)
         self.model_dir = model_dir
         mdl_path = model_dir / "model" / "final.mdl"
         self.transition_model, self.spec = read_am_nnet3(str(mdl_path))
+
+        if subsampling is None:
+            # Kaldi chain model dirs ship a frame_subsampling_factor file
+            fsf = model_dir / "model" / "frame_subsampling_factor"
+            subsampling = (
+                int(fsf.read_text().strip()) if fsf.exists() else 3
+            )
 
         if frontend is None:
             frontend_path = model_dir / "model" / "frontend.json"

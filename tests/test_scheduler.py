@@ -108,3 +108,60 @@ def test_scheduler_endpointing(profile_and_train):  # noqa: F811
         sched.step()
     result = sched.poll(sid)
     assert result == ["never mind"], result
+
+
+def test_scheduler_lstm_per_lane_carry(tmp_path):
+    """A recurrent (LSTM) chunk model runs in the scheduler with per-lane
+    state; a freshly opened lane starts from zero state."""
+    import json
+
+    from rhasspy_speech_tpu.graph.dense import DenseGraph
+    from rhasspy_speech_tpu.io import write_nnet3
+    from rhasspy_speech_tpu.io.transition_model import KaldiTransitionModel
+    from rhasspy_speech_tpu.pipeline.artifacts import LangArtifacts
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+    from tests.test_nnet3_forward import _lstmp_spec
+
+    rng = np.random.RandomState(3)
+    spec = _lstmp_spec(rng, D=6, C=5, R=4)  # output dim 3
+    tm = KaldiTransitionModel.from_monophone_chain(2)
+    (tmp_path / "model" / "model").mkdir(parents=True)
+    with open(tmp_path / "model" / "model" / "final.mdl", "wb") as f:
+        write_nnet3(f, spec, transition_model=tm)
+    with open(tmp_path / "model" / "model" / "frontend.json", "w") as f:
+        json.dump({"num_mel_bins": 7, "num_ceps": 6}, f)
+    (tmp_path / "model" / "model" / "frame_subsampling_factor").write_text("1")
+
+    # trivial 1-state graph over 3 pdfs (self loops; always final)
+    words = SymbolTable()
+    graph = DenseGraph(
+        num_states=1,
+        arc_src=np.zeros(3, np.int32),
+        arc_dst=np.zeros(3, np.int32),
+        arc_pdf=np.arange(3, dtype=np.int32),
+        arc_wseq=np.zeros(3, np.int32),
+        arc_weight=np.zeros(3, np.float32),
+        final_weight=np.zeros(1, np.float32),
+        final_wseq=np.zeros(1, np.int32),
+        init_weight=np.zeros(1, np.float32),
+        init_wseq=np.zeros(1, np.int32),
+        word_seqs=[()],
+        num_pdfs=3,
+    )
+    lang_dir = tmp_path / "lang"
+    LangArtifacts(words=words, graph=graph).save(lang_dir)
+
+    # AcousticModel default subsampling is 3 but this LSTM has delay 1
+    from rhasspy_speech_tpu.pipeline import scheduler as sched_mod
+
+    sched = StreamScheduler(tmp_path / "model", lang_dir, max_streams=2)
+    assert sched._recurrent
+    sid = sched.open_stream()
+    pcm = (1000 * np.random.RandomState(0).randn(16000)).astype(np.float32)
+    sched.feed(sid, pcm)
+    sched.finish(sid)
+    for _ in range(50):
+        if sched.poll(sid) is not None:
+            break
+        sched.step()
+    assert sched.poll(sid) is not None
