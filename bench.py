@@ -29,6 +29,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 SECONDS = float(os.environ.get("BENCH_SECONDS", "3.0"))
 N_SENTENCES = int(os.environ.get("BENCH_SENTENCES", "120"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+HIDDEN = int(os.environ.get("BENCH_HIDDEN", "768"))
+LAYERS = int(os.environ.get("BENCH_LAYERS", "9"))
 
 
 def build_graph():
@@ -105,7 +107,8 @@ def main():
     build_s = time.time() - t0
 
     spec = build_tdnnf_spec(
-        num_pdfs=tm.num_pdfs, input_dim=40, hidden_dim=768, num_tdnnf_layers=9
+        num_pdfs=tm.num_pdfs, input_dim=40, hidden_dim=HIDDEN,
+        num_tdnnf_layers=LAYERS,
     )
     cfg = FrontendConfig()
     params = make_frontend_params(cfg)
@@ -164,7 +167,7 @@ def main():
             {
                 "metric": "realtime_streams_per_chip",
                 "value": round(streams_xrt, 1),
-                "unit": "concurrent 1x-realtime streams (batch decode, TDNN-F 768x9 + dense HCLG Viterbi)",
+                "unit": f"concurrent 1x-realtime streams (batch decode, TDNN-F {HIDDEN}x{LAYERS} + dense HCLG Viterbi)",
                 "vs_baseline": round(streams_xrt / 100.0, 3),
             }
         )
