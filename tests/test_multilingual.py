@@ -9,6 +9,8 @@ audio decode then run per language.
 """
 
 import os
+
+import numpy as np
 from pathlib import Path
 
 import pytest
@@ -73,3 +75,55 @@ def test_language_train_and_decode(lang_name, tmp_path):
         pcm = synthesize_sentence(profile, text, seed=i)
         got = t.transcribe_pcm_batch([pcm])[0]
         assert got == [text], (lang_name, text, got)
+
+
+@pytest.mark.skipif(not LANG_DIRS, reason="reference fixtures unavailable")
+@pytest.mark.parametrize("lang_name", [
+    d for d in ("de_DE-zamia", "ru_RU-rhasspy") if d in LANG_DIRS
+])
+def test_language_full_flow(lang_name, tmp_path):
+    """ARPA decode + grammar fuzzy + order-5 rescore per language (incl.
+    Cyrillic vocabulary for ru_RU)."""
+    fixture_dir = REFERENCE_TESTS / lang_name
+    sentences = _transcripts(fixture_dir)[:6]
+    language = lang_name.split("-")[0].split("_")[0]
+    lexicon = _spelled_lexicon(sentences)
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_dir = tmp_path / "train"
+    train_model_sync(
+        language,
+        {"language": language,
+         "intents": {"All": {"data": [{"sentences": sentences}]}}},
+        train_dir,
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR, LangSuffix.ARPA,
+                       LangSuffix.ARPA_RESCORE],
+    )
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+    grammar_lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    text = sentences[0]
+    pcm = synthesize_sentence(profile, text, seed=5)
+    # dual-model accept
+    got = t.transcribe_pcm_batch(
+        [pcm], lang_dir=grammar_lang, nbest=3, max_fuzzy_cost=1.5,
+        require_fuzzy=True,
+    )[0]
+    assert got == [text], (lang_name, got, text)
+    # rescore flow
+    import wave
+
+    wav = tmp_path / "u.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.astype(np.int16).tobytes())
+    got = t.transcribe_rescore(
+        wav,
+        old_lang_dir=train_dir / lang_dir_name(LangSuffix.ARPA),
+        new_lang_dir=train_dir / lang_dir_name(LangSuffix.ARPA_RESCORE),
+        nbest=4,
+    )
+    assert got and got[0] == text, (lang_name, got)
