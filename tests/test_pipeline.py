@@ -317,3 +317,72 @@ def test_edge_cases(profile_and_train):
     pcm = synthesize_sentence(profile, "never mind", seed=70)
     got = t.transcribe_pcm_batch([tiny, pcm])
     assert got[1] == ["never mind"]
+
+
+def test_retrain_overwrites(profile_and_train, tmp_path):
+    """Training twice into the same dir keeps working (reference wipes
+    data/graph dirs, kaldi.py:91-99)."""
+    profile, _ = profile_and_train
+    train_dir = tmp_path / "train2"
+    intents = {"language": "en",
+               "intents": {"M": {"data": [{"sentences": ["never mind"]}]}}}
+    train_model_sync("en", intents, train_dir, profile.model_dir,
+                     lang_suffixes=[LangSuffix.GRAMMAR])
+    # second train with a different grammar replaces the artifacts
+    intents2 = {"language": "en",
+                "intents": {"M": {"data": [{"sentences": ["turn on the light"]}]}}}
+    train_model_sync("en", intents2, train_dir, profile.model_dir,
+                     lang_suffixes=[LangSuffix.GRAMMAR])
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    pcm = synthesize_sentence(profile, "turn on the light", seed=80)
+    assert t.transcribe_pcm_batch([pcm])[0] == ["turn on the light"]
+
+
+def test_full_scale_grammar_decode(tmp_path):
+    """Full test_en.yaml grammar (3763 sentences) -> dense graph -> decode a
+    synthesized sentence exactly."""
+    import os
+
+    import yaml
+
+    path = "/root/reference/tests/test_en.yaml"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference fixture unavailable")
+    raw = yaml.safe_load(open(path, encoding="utf-8"))
+    import io as _io
+    import re
+
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.lexicon import LexiconDatabase
+    from rhasspy_speech_tpu.testing import build_synthetic_profile
+
+    intents_dict = {
+        "language": raw["language"],
+        "intents": {"All": {"data": [{"sentences": raw["sentences"]}]}},
+        "lists": raw.get("lists", {}),
+    }
+    ctx = compile_intents(
+        Intents.from_dict(intents_dict), _io.StringIO(), LexiconDatabase(),
+        number_language="en",
+    )
+    lexicon = {
+        w: [f"p{ord(c)}" for c in re.sub(r"\s", "", w)] or ["px"]
+        for w in sorted(ctx.vocab)
+    }
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_dir = tmp_path / "train"
+    train_model_sync("en", intents_dict, train_dir, profile.model_dir,
+                     lang_suffixes=[LangSuffix.GRAMMAR])
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    for i, text in enumerate(
+        ["turn on the kitchen lights", "what time is it"]
+    ):
+        pcm = synthesize_sentence(profile, text, seed=95 + i)
+        got = t.transcribe_pcm_batch([pcm])[0]
+        assert got == [text], (got, text)
