@@ -79,23 +79,47 @@ class Intents:
         for intent_name, intent_dict in input_dict.get("intents", {}).items():
             data_blocks: List[IntentData] = []
             for data_dict in intent_dict.get("data", []):
-                data_blocks.append(
-                    IntentData(
-                        sentences=[
-                            parse_sentence(s) for s in data_dict.get("sentences", [])
-                        ],
-                        slot_lists=_parse_slot_lists(data_dict.get("lists", {})),
-                        expansion_rules={
-                            name: parse_sentence(text)
-                            for name, text in data_dict.get(
-                                "expansion_rules", {}
-                            ).items()
-                        },
-                        metadata=data_dict.get("metadata"),
-                        requires_context=data_dict.get("requires_context"),
-                        excludes_context=data_dict.get("excludes_context"),
-                    )
+                # sentences may be template strings or {in, out} dicts (the
+                # sentences-YAML convenience); dict-form entries become their
+                # own data block carrying the output as metadata, which the
+                # compiler emits as a __sentence_output meta label.
+                plain: List[str] = []
+                in_out: List[Dict[str, Any]] = []
+                for s in data_dict.get("sentences", []):
+                    (in_out if isinstance(s, dict) else plain).append(s)
+
+                slot_lists = _parse_slot_lists(data_dict.get("lists", {}))
+                rules = {
+                    name: parse_sentence(text)
+                    for name, text in data_dict.get(
+                        "expansion_rules", {}
+                    ).items()
+                }
+                common = dict(
+                    slot_lists=slot_lists,
+                    expansion_rules=rules,
+                    requires_context=data_dict.get("requires_context"),
+                    excludes_context=data_dict.get("excludes_context"),
                 )
+                if plain:
+                    data_blocks.append(
+                        IntentData(
+                            sentences=[parse_sentence(s) for s in plain],
+                            metadata=data_dict.get("metadata"),
+                            **common,
+                        )
+                    )
+                for entry in in_out:
+                    metadata = dict(data_dict.get("metadata") or {})
+                    if "out" in entry:
+                        metadata["output"] = entry["out"]
+                    data_blocks.append(
+                        IntentData(
+                            sentences=[parse_sentence(entry["in"])],
+                            metadata=metadata or None,
+                            **common,
+                        )
+                    )
 
             intents[intent_name] = Intent(name=intent_name, data=data_blocks)
 

@@ -45,9 +45,11 @@ class MissingRuleError(Exception):
 
 
 def _normalize_whitespace(text: str) -> str:
+    """Collapse runs and strip edges (skipped optionals at sentence edges
+    otherwise leave dangling spaces)."""
     import re
 
-    return re.sub(r"\s+", " ", text)
+    return re.sub(r"\s+", " ", text).strip()
 
 
 def generate_sentences(

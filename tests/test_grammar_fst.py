@@ -241,3 +241,51 @@ def test_full_reference_template_coverage():
     fst = intents_to_fst(intents, number_language="en").remove_spaces()
     fst.prune()
     assert len(fst.to_strings(True)) == 3763
+
+
+def test_fst_language_equals_sampler():
+    """The FST's language must equal the sentence sampler's input texts —
+    two independent expansions of the same templates."""
+    import io as _io
+
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.grammar.sentences import generate_sentences
+    from rhasspy_speech_tpu.grammar.numbers import NumberEngine
+    from rhasspy_speech_tpu.lexicon import LexiconDatabase
+
+    yaml_dict = {
+        "sentences": [
+            "turn (on|off) [the] (light|fan) [in the (kitchen|bedroom)]",
+            "set brightness to {level}",
+            "never mind",
+            {"in": "good (morning|night)", "out": "greeting"},
+        ],
+        "lists": {
+            "level": {"range": {"from": 1, "to": 4}},
+        },
+    }
+    sampler_inputs = {
+        inp
+        for inp, _out in generate_sentences(
+            yaml_dict, number_engine=NumberEngine("en")
+        )
+    }
+
+    intents = Intents.from_dict(
+        {
+            "language": "en",
+            "intents": {"All": {"data": [{"sentences": yaml_dict["sentences"]}]}},
+            "lists": yaml_dict["lists"],
+        }
+    )
+    ctx = compile_intents(intents, _io.StringIO(), LexiconDatabase(),
+                          number_language="en")
+    from rhasspy_speech_tpu.grammar import intents_to_fst
+
+    fst = intents_to_fst(intents, number_language="en").remove_spaces()
+    fst.prune()
+    fst_language = set(fst.to_strings(True))
+
+    assert fst_language == sampler_inputs, (
+        fst_language - sampler_inputs, sampler_inputs - fst_language
+    )
