@@ -78,6 +78,41 @@ class FrontendConfig:
         return p
 
 
+def frontend_from_mfcc_conf(path) -> FrontendConfig:
+    """Build a FrontendConfig from a Kaldi mfcc conf file
+    (conf/mfcc_hires.conf style: --key=value lines, ParseOptions names from
+    feature-window.h:68-96 / feature-mfcc.h:63-80)."""
+    from ..io.ivector import parse_conf
+
+    conf = parse_conf(str(path))
+    key_map = {
+        "sample-frequency": ("samp_freq", float),
+        "frame-shift": ("frame_shift_ms", float),
+        "frame-length": ("frame_length_ms", float),
+        "dither": ("dither", float),
+        "preemphasis-coefficient": ("preemph_coeff", float),
+        "remove-dc-offset": ("remove_dc_offset", lambda v: v == "true"),
+        "window-type": ("window_type", str),
+        "round-to-power-of-two": ("round_to_power_of_two", lambda v: v == "true"),
+        "snip-edges": ("snip_edges", lambda v: v == "true"),
+        "num-mel-bins": ("num_mel_bins", int),
+        "low-freq": ("low_freq", float),
+        "high-freq": ("high_freq", float),
+        "num-ceps": ("num_ceps", int),
+        "use-energy": ("use_energy", lambda v: v == "true"),
+        "raw-energy": ("raw_energy", lambda v: v == "true"),
+        "cepstral-lifter": ("cepstral_lifter", float),
+        "energy-floor": ("energy_floor", float),
+    }
+    kwargs = {}
+    for key, value in conf.items():
+        mapping = key_map.get(key)
+        if mapping is not None:
+            field_name, conv = mapping
+            kwargs[field_name] = conv(value)
+    return FrontendConfig(**kwargs)
+
+
 def num_frames(cfg: FrontendConfig, num_samples: int) -> int:
     """Frame count for snip_edges=True (feature-window.cc NumFrames)."""
     if not cfg.snip_edges:

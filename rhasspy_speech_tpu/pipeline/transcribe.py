@@ -95,13 +95,25 @@ class AcousticModel:
 
         if frontend is None:
             frontend_path = model_dir / "model" / "frontend.json"
+            conf_candidates = [
+                model_dir / "model" / "conf" / "mfcc_hires.conf",
+                model_dir / "model" / "conf" / "mfcc.conf",
+                model_dir / "model" / "online" / "conf" / "mfcc.conf",
+            ]
             if frontend_path.exists():
                 import json
 
                 with open(frontend_path, "r", encoding="utf-8") as f:
                     frontend = FrontendConfig(**json.load(f))
             else:
-                frontend = FrontendConfig()
+                for conf in conf_candidates:
+                    if conf.exists():
+                        from ..ops.frontend import frontend_from_mfcc_conf
+
+                        frontend = frontend_from_mfcc_conf(conf)
+                        break
+                else:
+                    frontend = FrontendConfig()
         self.frontend_config = frontend
         self.frontend_params = make_frontend_params(frontend)
         self.subsampling = subsampling

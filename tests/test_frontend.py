@@ -103,3 +103,27 @@ def test_mfcc_jit_and_batch_consistency():
     out = np.asarray(fn(jnp.asarray(batch)))
     single = np.asarray(fn(jnp.asarray(batch[1:2])))
     np.testing.assert_allclose(out[1:2], single, rtol=1e-5, atol=1e-4)
+
+
+def test_frontend_from_mfcc_conf(tmp_path):
+    """conf/mfcc_hires.conf parses into the frontend config."""
+    from rhasspy_speech_tpu.ops.frontend import frontend_from_mfcc_conf
+
+    conf = tmp_path / "mfcc_hires.conf"
+    conf.write_text(
+        "# config for high-resolution MFCC features\n"
+        "--use-energy=false\n"
+        "--num-mel-bins=40\n"
+        "--num-ceps=40\n"
+        "--low-freq=20\n"
+        "--high-freq=-400\n"
+        "--sample-frequency=16000\n"
+        "--dither=0.0\n"
+    )
+    cfg = frontend_from_mfcc_conf(conf)
+    assert cfg.num_mel_bins == 40
+    assert cfg.num_ceps == 40
+    assert cfg.low_freq == 20.0
+    assert cfg.high_freq == -400.0
+    assert cfg.use_energy is False
+    assert cfg.dither == 0.0

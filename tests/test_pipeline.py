@@ -386,3 +386,52 @@ def test_full_scale_grammar_decode(tmp_path):
         pcm = synthesize_sentence(profile, text, seed=95 + i)
         got = t.transcribe_pcm_batch([pcm])[0]
         assert got == [text], (got, text)
+
+
+def test_full_scale_arpa_decode(tmp_path):
+    """Full test_en.yaml ARPA graph (~3k states): decode + fuzzy accept."""
+    import os
+
+    import yaml
+
+    path = "/root/reference/tests/test_en.yaml"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference fixture unavailable")
+    raw = yaml.safe_load(open(path, encoding="utf-8"))
+    import io as _io
+    import re
+
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.lexicon import LexiconDatabase
+    from rhasspy_speech_tpu.testing import build_synthetic_profile
+
+    intents_dict = {
+        "language": raw["language"],
+        "intents": {"All": {"data": [{"sentences": raw["sentences"]}]}},
+        "lists": raw.get("lists", {}),
+    }
+    ctx = compile_intents(
+        Intents.from_dict(intents_dict), _io.StringIO(), LexiconDatabase(),
+        number_language="en",
+    )
+    lexicon = {
+        w: [f"p{ord(c)}" for c in re.sub(r"\s", "", w)] or ["px"]
+        for w in sorted(ctx.vocab)
+    }
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_dir = tmp_path / "train"
+    train_model_sync("en", intents_dict, train_dir, profile.model_dir,
+                     lang_suffixes=[LangSuffix.GRAMMAR, LangSuffix.ARPA])
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+    text = "turn off the kitchen lights"
+    pcm = synthesize_sentence(profile, text, seed=99)
+    got = t.transcribe_pcm_batch(
+        [pcm],
+        lang_dir=train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        nbest=3, max_fuzzy_cost=1.5, require_fuzzy=True,
+    )[0]
+    assert got == [text], got
