@@ -130,6 +130,32 @@ class Fst:
             osymbols=self.osymbols,
         )
 
+    def to_dot(self, max_states: int = 200) -> str:
+        """Graphviz source for debugging (fstdraw equivalent)."""
+        def sym(table, label):
+            if label == EPS_ID:
+                return "ε"
+            if table is not None:
+                name = table.find_id(label)
+                if name is not None:
+                    return name
+            return str(label)
+
+        lines = ["digraph FST {", "  rankdir=LR;"]
+        n = min(self.num_states, max_states)
+        for state in range(n):
+            shape = "doublecircle" if self.finals[state] != INF else "circle"
+            lines.append(f'  {state} [shape={shape}];')
+            for il, ol, w, ns in self.arcs[state]:
+                if ns >= max_states:
+                    continue
+                label = f"{sym(self.isymbols, il)}:{sym(self.osymbols, ol)}"
+                if w:
+                    label += f"/{w:.3g}"
+                lines.append(f'  {state} -> {ns} [label="{label}"];')
+        lines.append("}")
+        return "\n".join(lines)
+
     def write_text(self, fileobj: TextIO) -> None:
         """Emit OpenFST text format (fstprint, numeric labels). The start
         state is printed first, as fstcompile requires."""
