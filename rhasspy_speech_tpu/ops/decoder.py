@@ -417,6 +417,103 @@ def trace_to_words(
     return words, cost
 
 
+def viterbi_decode_checkpointed(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    acoustic_scale: float = 1.0,
+    segment: int = 32,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Memory-bounded decode: sqrt-rematerialization of backpointers.
+
+    The plain path materializes bp [T, B, S] (4·T·B·S bytes) — fine for
+    template graphs, prohibitive for big LMs × long audio. Here the forward
+    pass stores only per-segment boundary alphas; the backtrace then
+    recomputes each segment's backpointers on demand (one extra forward
+    pass of compute, [segment, B, S] peak memory).
+
+    Returns host arrays (arc_trace [B, T], final_state [B], total_cost [B])
+    identical to viterbi_decode's outputs."""
+    B, T, _P = log_probs.shape
+    n_seg = -(-T // segment)
+    T_pad = n_seg * segment
+    if T_pad != T:
+        pad = jnp.zeros((B, T_pad - T, log_probs.shape[2]), log_probs.dtype)
+        log_probs = jnp.concatenate([log_probs, pad], axis=1)
+    lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T_pad, B, P]
+    alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, graph.num_states))
+
+    @jax.jit
+    def forward_checkpoints(am):
+        seg_costs = am.reshape(n_seg, segment, B, -1)
+        ts = jnp.arange(T_pad, dtype=jnp.int32).reshape(n_seg, segment)
+
+        def seg_step(alpha, xs):
+            costs, seg_ts = xs
+
+            def frame(a, x):
+                am_t, t = x
+                new_a, _bp = viterbi_step(graph, a, am_t)
+                active = (t < lengths)[:, None]
+                return jnp.where(active, new_a, a), None
+
+            out_alpha, _ = jax.lax.scan(frame, alpha, (costs, seg_ts))
+            return out_alpha, alpha  # emit the alpha BEFORE this segment
+
+        final_alpha, boundary_alphas = jax.lax.scan(
+            seg_step, alpha0, (seg_costs, ts)
+        )
+        return final_alpha, boundary_alphas  # [n_seg, B, S]
+
+    @jax.jit
+    def segment_backtrace(seg_idx, boundary_alpha, end_state):
+        """Recompute one segment's bps and walk back from end_state."""
+        costs = jax.lax.dynamic_slice_in_dim(
+            am_costs, seg_idx * segment, segment, axis=0
+        )
+        ts = seg_idx * segment + jnp.arange(segment, dtype=jnp.int32)
+
+        def frame(a, x):
+            am_t, t = x
+            new_a, bp = viterbi_step(graph, a, am_t)
+            active = (t < lengths)[:, None]
+            return (
+                jnp.where(active, new_a, a),
+                jnp.where(active, bp, STAY),
+            )
+
+        _, bps = jax.lax.scan(frame, boundary_alpha, (costs, ts))
+
+        rows = jnp.arange(B)
+
+        def back(state, bp_t):
+            arc = bp_t[rows, state]
+            keep = (arc == STAY) | (arc == -1)
+            src = jnp.where(keep, state, graph.arc_src[jnp.maximum(arc, 0)])
+            return src, arc
+
+        start_state, arcs_rev = jax.lax.scan(back, end_state, bps[::-1])
+        return start_state, arcs_rev[::-1]  # [segment, B]
+
+    final_alpha, boundary_alphas = forward_checkpoints(am_costs)
+    totals = final_alpha + graph.final_weight[None, :]
+    final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)
+    total_cost = np.asarray(
+        jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
+    )
+
+    state = final_state
+    traces = []
+    for seg_idx in range(n_seg - 1, -1, -1):
+        state, arcs = segment_backtrace(
+            seg_idx, boundary_alphas[seg_idx], state
+        )
+        traces.append(np.asarray(arcs))
+    arc_trace = np.concatenate(traces[::-1], axis=0).T  # [B, T_pad]
+    return arc_trace[:, :T], np.asarray(final_state), total_cost
+
+
 # ---------------------------------------------------------------------------
 # K-best (n-best extraction)
 # ---------------------------------------------------------------------------

@@ -355,3 +355,29 @@ def test_padded_graph_hub_states():
     r2 = [np.asarray(x) for x in viterbi_decode(pad, jnp.asarray(lp))]
     np.testing.assert_allclose(r1[2], r2[2], rtol=1e-5)
     assert trace_to_words(graph, *r1, 0)[0] == trace_to_words(graph, *r2, 0)[0]
+
+
+def test_checkpointed_decode_matches_plain():
+    from rhasspy_speech_tpu.ops.decoder import (
+        trace_to_words,
+        viterbi_decode,
+        viterbi_decode_checkpointed,
+    )
+
+    rng = np.random.RandomState(41)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    B, T = 3, 23  # not a multiple of the segment size
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+
+    plain = [np.asarray(v) for v in viterbi_decode(dev, jnp.asarray(lp))]
+    ckpt = viterbi_decode_checkpointed(dev, jnp.asarray(lp), segment=8)
+
+    np.testing.assert_allclose(plain[2], ckpt[2], rtol=1e-5)
+    np.testing.assert_array_equal(plain[1], ckpt[1])
+    for b in range(B):
+        w1 = trace_to_words(graph, plain[0], plain[1], plain[2], b)
+        w2 = trace_to_words(graph, ckpt[0], ckpt[1], ckpt[2], b)
+        assert w1[0] == w2[0], b
