@@ -299,20 +299,11 @@ class StreamScheduler:
         return lanes
 
     def run_until_idle(self, max_steps: int = 10000) -> None:
+        """Step until no lane has work. Streams stalled on more PCM (or
+        an endpoint) also stop the loop — callers drive ticks as audio
+        arrives."""
         for _ in range(max_steps):
-            lanes = self.step()
-            if lanes == 0 and all(
-                s.done or not s.active for s in self.slots
-            ):
-                return
-            if lanes == 0:
-                # nothing ready and nothing finished this tick
-                pending = any(
-                    s.active and not s.done for s in self.slots
-                )
-                if not pending:
-                    return
-                # streams stalled awaiting more PCM
+            if self.step() == 0:
                 return
 
     def _check_endpoint(self, sid: int, alpha_row: np.ndarray) -> bool:
