@@ -1,0 +1,193 @@
+"""Top-K sparse-frontier Viterbi: the big-graph escape hatch.
+
+Dense decoding (ops/decoder.py) keeps every state active — ideal for
+template grammars, wasteful past ~1e5 states. This decoder keeps only the
+K best states per stream (LatticeFasterDecoder's max-active cutoff,
+lattice-faster-decoder.h:38-66, recast without data-dependent control
+flow): each frame expands the frontier's out-arcs, deduplicates
+destinations by a lexicographic (state, cost) sort, and retains the top K.
+
+All shapes are static: [B, K] frontier, [B, K, D] expansions (D = max
+out-degree, padded). Backpointers are [T, B, K] — independent of graph
+size, so arbitrarily large graphs decode in bounded memory.
+
+Exact when K >= the number of simultaneously-reachable states; otherwise a
+beam approximation like Kaldi's max-active.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.dense import NEG_INF_F32, DenseGraph
+from .decoder import INF_COST, DeviceGraph
+
+
+@dataclass(frozen=True)
+class FrontierGraph:
+    """DeviceGraph plus the out-degree-padded arc table."""
+
+    base: DeviceGraph
+    arcs_out: jnp.ndarray  # int32 [S, D], -1 padding
+    out_degree: int
+
+    @staticmethod
+    def from_dense(g: DenseGraph) -> "FrontierGraph":
+        S = g.num_states
+        outdeg = np.bincount(g.arc_src, minlength=S)
+        D = max(int(outdeg.max()), 1)
+        arcs_out = np.full((S, D), -1, dtype=np.int32)
+        fill = np.zeros(S, dtype=np.int64)
+        for a in range(g.arc_src.shape[0]):
+            s = int(g.arc_src[a])
+            arcs_out[s, fill[s]] = a
+            fill[s] += 1
+        return FrontierGraph(
+            base=DeviceGraph.from_dense(g),
+            arcs_out=jnp.asarray(arcs_out),
+            out_degree=D,
+        )
+
+
+def frontier_step(
+    graph: FrontierGraph,
+    states: jnp.ndarray,  # [B, K] int32 (-1 = empty slot)
+    alpha: jnp.ndarray,  # [B, K] f32
+    am_cost: jnp.ndarray,  # [B, P]
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One frame: returns (new_states [B,K], new_alpha [B,K], arcs [B,K])."""
+    base = graph.base
+    B = states.shape[0]
+    D = graph.out_degree
+    safe_states = jnp.maximum(states, 0)
+    arcs = graph.arcs_out[safe_states]  # [B, K, D]
+    valid = (arcs >= 0) & (states >= 0)[:, :, None] & (
+        alpha < INF_COST
+    )[:, :, None]
+    safe_arcs = jnp.maximum(arcs, 0)
+    cost = (
+        alpha[:, :, None]
+        + base.arc_weight[safe_arcs]
+        + jnp.take_along_axis(
+            am_cost, base.arc_pdf[safe_arcs].reshape(B, -1), axis=1
+        ).reshape(B, states.shape[1], D)
+    )
+    cost = jnp.where(valid, jnp.minimum(cost, INF_COST), INF_COST)
+    dst = jnp.where(valid, base.arc_dst[safe_arcs], jnp.int32(2**30))
+
+    flat_cost = cost.reshape(B, -1)
+    flat_dst = dst.reshape(B, -1)
+    flat_arc = jnp.where(valid, safe_arcs, -1).reshape(B, -1)
+
+    # lexicographic (dst, cost) ordering via two stable sorts (JAX default
+    # int width is 32, so a packed 64-bit key isn't available)
+    order1 = jnp.argsort(flat_cost, axis=1, stable=True)
+    dst1 = jnp.take_along_axis(flat_dst, order1, axis=1)
+    cost1 = jnp.take_along_axis(flat_cost, order1, axis=1)
+    arc1 = jnp.take_along_axis(flat_arc, order1, axis=1)
+    order2 = jnp.argsort(dst1, axis=1, stable=True)
+    s_dst = jnp.take_along_axis(dst1, order2, axis=1)
+    s_cost = jnp.take_along_axis(cost1, order2, axis=1)
+    s_arc = jnp.take_along_axis(arc1, order2, axis=1)
+    # first occurrence per dst = its min cost
+    first = jnp.concatenate(
+        [
+            jnp.ones((B, 1), dtype=bool),
+            s_dst[:, 1:] != s_dst[:, :-1],
+        ],
+        axis=1,
+    )
+    uniq_cost = jnp.where(first & (s_cost < INF_COST), s_cost, INF_COST)
+
+    top_cost, top_idx = jax.lax.top_k(-uniq_cost, k)
+    top_cost = -top_cost
+    new_states = jnp.take_along_axis(s_dst, top_idx, axis=1).astype(jnp.int32)
+    new_arcs = jnp.take_along_axis(s_arc, top_idx, axis=1)
+    dead = top_cost >= INF_COST
+    new_states = jnp.where(dead, -1, new_states)
+    new_arcs = jnp.where(dead, -1, new_arcs)
+    return new_states, top_cost, new_arcs
+
+
+def viterbi_topk(
+    graph: FrontierGraph,
+    log_probs: jnp.ndarray,
+    k: int,
+    acoustic_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sparse-frontier decode over [B, T, P] log-probs.
+
+    Returns (states [T, B, K], alphas [T, B, K], arcs [T, B, K])."""
+    base = graph.base
+    B = log_probs.shape[0]
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)
+
+    init = base.init_weight
+    init_top, init_states = jax.lax.top_k(-init, min(k, init.shape[0]))
+    init_alpha = jnp.broadcast_to(-init_top[None, :], (B, init_states.shape[0]))
+    init_state = jnp.broadcast_to(init_states[None, :], (B, init_states.shape[0]))
+    if init_states.shape[0] < k:
+        pad = k - init_states.shape[0]
+        init_alpha = jnp.pad(init_alpha, ((0, 0), (0, pad)),
+                             constant_values=NEG_INF_F32)
+        init_state = jnp.pad(init_state, ((0, 0), (0, pad)),
+                             constant_values=-1)
+    init_state = jnp.where(init_alpha >= INF_COST, -1, init_state).astype(
+        jnp.int32
+    )
+
+    def step(carry, am_t):
+        states, alpha = carry
+        new_states, new_alpha, arcs = frontier_step(
+            graph, states, alpha, am_t, k
+        )
+        return (new_states, new_alpha), (new_states, new_alpha, arcs)
+
+    _, (states_t, alphas_t, arcs_t) = jax.lax.scan(
+        step, (init_state, init_alpha), am_costs
+    )
+    return states_t, alphas_t, arcs_t
+
+
+def topk_backtrace(
+    dense: DenseGraph,
+    states_t: np.ndarray,  # [T, B, K]
+    alphas_t: np.ndarray,
+    arcs_t: np.ndarray,
+    stream: int,
+) -> Tuple[Optional[List[int]], float]:
+    """Host backtrace of a stream's best complete hypothesis."""
+    T = states_t.shape[0]
+    last_states = states_t[-1, stream]
+    totals = np.where(
+        last_states >= 0,
+        alphas_t[-1, stream] + dense.final_weight[np.maximum(last_states, 0)],
+        NEG_INF_F32,
+    )
+    slot = int(np.argmin(totals))
+    if totals[slot] >= NEG_INF_F32:
+        return None, float("inf")
+    cost = float(totals[slot])
+
+    words_rev = [dense.words_of(int(dense.final_wseq[last_states[slot]]))]
+    cur_state = int(last_states[slot])
+    for t in range(T - 1, -1, -1):
+        slots = np.where(states_t[t, stream] == cur_state)[0]
+        assert slots.size, (t, cur_state)
+        arc = int(arcs_t[t, stream, slots[0]])
+        if arc < 0:
+            return None, float("inf")
+        words_rev.append(dense.words_of(int(dense.arc_wseq[arc])))
+        cur_state = int(dense.arc_src[arc])
+    words_rev.append(dense.words_of(int(dense.init_wseq[cur_state])))
+    words: List[int] = []
+    for seq in reversed(words_rev):
+        words.extend(seq)
+    return words, cost
