@@ -1,0 +1,204 @@
+"""Lattice generation: forward-backward pruned word DAGs.
+
+The reference materializes Kaldi CompactLattices and manipulates them with
+latbin tools (lattice-to-nbest, lattice-scale, lattice-compose...). Here the
+dense decoder already yields exact n-best without lattices; this module
+adds true lattices for the remaining uses (confidence, downstream
+rescoring, analysis): a device forward+backward pass over the dense graph
+gives alpha/beta occupancies, and every (frame, arc) whose best-path-through
+cost is within ``lattice_beam`` of the global best survives into a host-side
+DAG — exactly LatticeFasterDecoder's lattice-beam semantics
+(lattice-faster-decoder.h:38-66) without the token bookkeeping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.dense import NEG_INF_F32, DenseGraph
+from .decoder import INF_COST, DeviceGraph
+
+
+@dataclass
+class Lattice:
+    """A pruned decode DAG for one stream.
+
+    Nodes are (frame, state) pairs, renumbered densely; arcs carry the word
+    sequence id of the underlying decode-graph arc plus its combined
+    (graph + acoustic) cost."""
+
+    num_nodes: int
+    starts: List[int]  # node ids at frame 0 (after consuming nothing)
+    finals: Dict[int, float]  # node id -> final cost
+    arcs: List[Tuple[int, int, int, float]]  # (src_node, dst_node, wseq, cost)
+    best_cost: float
+    node_frame_state: List[Tuple[int, int]] = field(default_factory=list)
+
+    def num_arcs(self) -> int:
+        return len(self.arcs)
+
+    def shortest_path_words(self, graph: DenseGraph) -> Tuple[List[int], float]:
+        """Best path through the lattice (sanity: equals the Viterbi path)."""
+        INF = float("inf")
+        dist = [INF] * self.num_nodes
+        back: List[Optional[Tuple[int, int]]] = [None] * self.num_nodes
+        order = sorted(range(self.num_nodes), key=lambda n: self.node_frame_state[n])
+        for n in self.starts:
+            dist[n] = self._start_cost(graph, n)
+        for src, dst, wseq, cost in sorted(
+            self.arcs, key=lambda a: self.node_frame_state[a[0]]
+        ):
+            if dist[src] + cost < dist[dst]:
+                dist[dst] = dist[src] + cost
+                back[dst] = (src, wseq)
+        best_node, best = -1, INF
+        for n, fcost in self.finals.items():
+            if dist[n] + fcost < best:
+                best = dist[n] + fcost
+                best_node = n
+        if best_node < 0:
+            return [], INF
+        words_rev = [graph.words_of(int(graph.final_wseq[
+            self.node_frame_state[best_node][1]]))]
+        n = best_node
+        while back[n] is not None:
+            src, wseq = back[n]
+            words_rev.append(graph.words_of(wseq))
+            n = src
+        words_rev.append(
+            graph.words_of(int(graph.init_wseq[self.node_frame_state[n][1]]))
+        )
+        words: List[int] = []
+        for seq in reversed(words_rev):
+            words.extend(seq)
+        return words, best
+
+    def _start_cost(self, graph: DenseGraph, node: int) -> float:
+        state = self.node_frame_state[node][1]
+        return float(graph.init_weight[state])
+
+
+def forward_backward(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    acoustic_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tropical forward/backward over [B, T, P].
+
+    Returns (alpha [T+1, B, S], beta [T+1, B, S]): alpha[t] = best cost to
+    reach each state having consumed t frames; beta[t] = best cost to
+    finish from each state with frames t..T-1 remaining."""
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
+    B = log_probs.shape[0]
+    S = graph.num_states
+
+    alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, S))
+
+    def fwd(alpha, am_t):
+        scores = (
+            alpha[:, graph.arc_src]
+            + graph.arc_weight[None, :]
+            + am_t[:, graph.arc_pdf]
+        )
+        scores = jnp.minimum(scores, INF_COST)
+        new_alpha = jnp.full((B, S), INF_COST).at[:, graph.arc_dst].min(scores)
+        return new_alpha, new_alpha
+
+    _, alphas = jax.lax.scan(fwd, alpha0, am_costs)
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # [T+1, B, S]
+
+    betaT = jnp.broadcast_to(graph.final_weight[None, :], (B, S))
+
+    def bwd(beta, am_t):
+        scores = (
+            beta[:, graph.arc_dst]
+            + graph.arc_weight[None, :]
+            + am_t[:, graph.arc_pdf]
+        )
+        scores = jnp.minimum(scores, INF_COST)
+        new_beta = jnp.full((B, S), INF_COST).at[:, graph.arc_src].min(scores)
+        return new_beta, new_beta
+
+    _, betas_rev = jax.lax.scan(bwd, betaT, am_costs[::-1])
+    betas = jnp.concatenate([betas_rev[::-1], betaT[None]], axis=0)
+    return alphas, betas
+
+
+def build_lattice(
+    graph: DenseGraph,
+    alphas: np.ndarray,  # [T+1, B, S]
+    betas: np.ndarray,
+    log_probs: np.ndarray,  # [B, T, P]
+    stream: int,
+    lattice_beam: float = 8.0,
+    acoustic_scale: float = 1.0,
+) -> Optional[Lattice]:
+    """Prune (frame, arc) pairs to within lattice_beam of the best path."""
+    T = log_probs.shape[1]
+    a = alphas[:, stream]  # [T+1, S]
+    b = betas[:, stream]
+    best = float((a[0] + b[0]).min())
+    if best >= NEG_INF_F32:
+        return None
+    cutoff = best + lattice_beam
+
+    am = -acoustic_scale * log_probs[stream]  # [T, P]
+    node_ids: Dict[Tuple[int, int], int] = {}
+    node_frame_state: List[Tuple[int, int]] = []
+
+    def node(frame: int, state: int) -> int:
+        key = (frame, state)
+        nid = node_ids.get(key)
+        if nid is None:
+            nid = len(node_frame_state)
+            node_ids[key] = nid
+            node_frame_state.append(key)
+        return nid
+
+    arcs: List[Tuple[int, int, int, float]] = []
+    src_arr = graph.arc_src
+    dst_arr = graph.arc_dst
+    pdf_arr = graph.arc_pdf
+    w_arr = graph.arc_weight
+    wseq_arr = graph.arc_wseq
+    for t in range(T):
+        through = (
+            a[t][src_arr] + w_arr + am[t][pdf_arr] + b[t + 1][dst_arr]
+        )
+        keep = np.where(through <= cutoff)[0]
+        for arc in keep:
+            cost = float(w_arr[arc] + am[t][pdf_arr[arc]])
+            arcs.append(
+                (
+                    node(t, int(src_arr[arc])),
+                    node(t + 1, int(dst_arr[arc])),
+                    int(wseq_arr[arc]),
+                    cost,
+                )
+            )
+
+    starts = [
+        node(0, int(s))
+        for s in np.where((a[0] < NEG_INF_F32) & (a[0] + b[0] <= cutoff))[0]
+    ]
+    finals = {
+        node(T, int(s)): float(graph.final_weight[s])
+        for s in np.where(
+            (graph.final_weight < NEG_INF_F32)
+            & (a[T] + graph.final_weight <= cutoff)
+        )[0]
+    }
+    return Lattice(
+        num_nodes=len(node_frame_state),
+        starts=starts,
+        finals=finals,
+        arcs=arcs,
+        best_cost=best,
+        node_frame_state=node_frame_state,
+    )

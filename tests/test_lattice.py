@@ -1,0 +1,59 @@
+"""Lattice generation tests: pruning semantics + best-path consistency."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rhasspy_speech_tpu.ops.decoder import DeviceGraph, viterbi_decode, trace_to_words
+from rhasspy_speech_tpu.ops.lattice import build_lattice, forward_backward
+
+from tests.test_decoder import _random_graph
+
+
+def _setup(seed=61, B=2, T=10):
+    rng = np.random.RandomState(seed)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+    return graph, dev, lp
+
+
+def test_forward_backward_consistency():
+    """min over states of alpha[t] + beta[t] equals the best total cost at
+    every frame boundary."""
+    graph, dev, lp = _setup()
+    alphas, betas = (np.asarray(v) for v in forward_backward(dev, jnp.asarray(lp)))
+    totals = (alphas + betas).min(axis=-1)  # [T+1, B]
+    for b in range(lp.shape[0]):
+        np.testing.assert_allclose(
+            totals[:, b], totals[0, b] * np.ones(lp.shape[1] + 1), rtol=1e-4
+        )
+
+
+def test_lattice_best_path_matches_viterbi():
+    graph, dev, lp = _setup()
+    alphas, betas = (np.asarray(v) for v in forward_backward(dev, jnp.asarray(lp)))
+    plain = [np.asarray(v) for v in viterbi_decode(dev, jnp.asarray(lp))]
+    for b in range(lp.shape[0]):
+        lat = build_lattice(graph, alphas, betas, lp, b, lattice_beam=8.0)
+        assert lat is not None
+        want = trace_to_words(graph, plain[0], plain[1], plain[2], b)
+        got_words, got_cost = lat.shortest_path_words(graph)
+        assert got_words == want[0], b
+        np.testing.assert_allclose(got_cost, want[1], rtol=1e-4)
+        np.testing.assert_allclose(lat.best_cost, want[1], rtol=1e-4)
+
+
+def test_lattice_beam_monotonic():
+    """Wider beams keep at least as many arcs; zero beam keeps ~best path."""
+    graph, dev, lp = _setup()
+    alphas, betas = (np.asarray(v) for v in forward_backward(dev, jnp.asarray(lp)))
+    lat_narrow = build_lattice(graph, alphas, betas, lp, 0, lattice_beam=0.01)
+    lat_wide = build_lattice(graph, alphas, betas, lp, 0, lattice_beam=20.0)
+    assert lat_narrow.num_arcs() <= lat_wide.num_arcs()
+    assert lat_narrow.num_arcs() >= lp.shape[1]  # at least the best path
+    # every narrow-beam path cost is within the wide beam too
+    got_words, got_cost = lat_narrow.shortest_path_words(graph)
+    np.testing.assert_allclose(got_cost, lat_narrow.best_cost, rtol=1e-4)
