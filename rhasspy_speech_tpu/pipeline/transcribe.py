@@ -413,6 +413,36 @@ class Nnet3WavTranscriber:
             out.append(texts)
         return out
 
+    def get_lattice(
+        self,
+        wav_path: Union[str, Path],
+        lattice_beam: Optional[float] = None,
+    ):
+        """Pruned word lattice for one utterance (GetRawLattice +
+        lattice-beam equivalent; see ops/lattice.py)."""
+        from ..ops.lattice import build_lattice, forward_backward
+
+        pcm = read_wav(wav_path)
+        cfg = self.am.frontend_config
+        T = num_frames(cfg, pcm.shape[0])
+        n_out = max(1, -(-T // self.am.subsampling))
+        feats = self.am.features(pcm[None])
+        log_probs = self.am.log_probs(feats, n_out)
+        alphas, betas = forward_backward(
+            self.device_graph, log_probs, self.acoustic_scale
+        )
+        return build_lattice(
+            self.artifacts.graph,
+            np.asarray(alphas),
+            np.asarray(betas),
+            np.asarray(log_probs),
+            0,
+            lattice_beam=(
+                lattice_beam if lattice_beam is not None else self.lattice_beam
+            ),
+            acoustic_scale=self.acoustic_scale,
+        )
+
     def transcribe_rescore(
         self,
         wav_path: Union[str, Path],

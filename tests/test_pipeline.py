@@ -435,3 +435,27 @@ def test_full_scale_arpa_decode(tmp_path):
         nbest=3, max_fuzzy_cost=1.5, require_fuzzy=True,
     )[0]
     assert got == [text], got
+
+
+def test_get_lattice(profile_and_train, tmp_path):
+    profile, train_dir = profile_and_train
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    pcm = synthesize_sentence(profile, "turn on the light", seed=44)
+    import wave as wave_mod
+
+    wav = tmp_path / "lat.wav"
+    with wave_mod.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.astype(np.int16).tobytes())
+    lat = t.get_lattice(wav)
+    assert lat is not None and lat.num_arcs() > 0
+    words, cost = lat.shortest_path_words(t.artifacts.graph)
+    text = " ".join(
+        t.artifacts.words.find_id(w) for w in words
+        if t.artifacts.words.find_id(w) not in ("<eps>",)
+    )
+    assert text == "turn on the light"
