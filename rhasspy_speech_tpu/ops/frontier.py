@@ -13,6 +13,11 @@ size, so arbitrarily large graphs decode in bounded memory.
 
 Exact when K >= the number of simultaneously-reachable states; otherwise a
 beam approximation like Kaldi's max-active.
+
+Performance note (TPU v5e): at dense-feasible graph sizes this path is
+orders of magnitude SLOWER than the dense decoder (XLA gathers and sorts
+dominate); it exists for graphs whose [B, S] alpha/backpointer tensors
+cannot fit at all.
 """
 
 from __future__ import annotations
