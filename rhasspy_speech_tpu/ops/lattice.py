@@ -83,6 +83,80 @@ class Lattice:
         state = self.node_frame_state[node][1]
         return float(graph.init_weight[state])
 
+    def to_fst(self, graph: DenseGraph):
+        """Convert to a host Fst (words on the output side), enabling the
+        generic FST toolbox — compose, shortest path, pruning — exactly how
+        the reference pipes lattices through fst/lat binaries."""
+        from ..fst.core import EPS_ID, Fst
+
+        fst = Fst()
+        fst.add_states(self.num_nodes)
+        super_start = fst.add_state()
+        fst.start = super_start
+        for n in self.starts:
+            init_words = graph.words_of(
+                int(graph.init_wseq[self.node_frame_state[n][1]])
+            )
+            cur = super_start
+            cost = self._start_cost(graph, n)
+            if init_words:
+                for i, w in enumerate(init_words):
+                    nxt = n if i == len(init_words) - 1 else fst.add_state()
+                    fst.add_arc(cur, EPS_ID, w, cost if i == 0 else 0.0, nxt)
+                    cur = nxt
+            else:
+                fst.add_arc(cur, EPS_ID, EPS_ID, cost, n)
+        for src, dst, wseq, cost in self.arcs:
+            words = graph.words_of(wseq)
+            if not words:
+                fst.add_arc(src, EPS_ID, EPS_ID, cost, dst)
+                continue
+            cur = src
+            for i, w in enumerate(words):
+                nxt = dst if i == len(words) - 1 else fst.add_state()
+                fst.add_arc(cur, EPS_ID, w, cost if i == 0 else 0.0, nxt)
+                cur = nxt
+        for n, fcost in self.finals.items():
+            final_words = graph.words_of(
+                int(graph.final_wseq[self.node_frame_state[n][1]])
+            )
+            if final_words:
+                cur = n
+                for i, w in enumerate(final_words):
+                    nxt = fst.add_state()
+                    fst.add_arc(cur, EPS_ID, w, fcost if i == 0 else 0.0, nxt)
+                    cur = nxt
+                fst.set_final(cur, 0.0)
+            else:
+                fst.set_final(n, fcost)
+        return fst
+
+    def nbest(
+        self, graph: DenseGraph, n: int, dedup: bool = True
+    ) -> List[Tuple[List[int], float]]:
+        """lattice-to-nbest equivalent: n cheapest word sequences."""
+        from ..fst.core import EPS_ID
+        from ..fst.ops import shortest_path
+
+        fst = self.to_fst(graph)
+        best = shortest_path(fst, nshortest=max(n * 3, n), unique=False)
+        # paths() enumeration order is not cost order: sort first, dedup after
+        candidates = sorted(
+            best.paths(max_paths=max(n * 6, 32)), key=lambda p: p[2]
+        )
+        results: List[Tuple[List[int], float]] = []
+        seen = set()
+        for _ipath, opath, weight in candidates:
+            words = [o for o in opath if o != EPS_ID]
+            key = tuple(words)
+            if dedup and key in seen:
+                continue
+            seen.add(key)
+            results.append((words, weight))
+            if len(results) >= n:
+                break
+        return results
+
 
 def forward_backward(
     graph: DeviceGraph,

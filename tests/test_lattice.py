@@ -57,3 +57,21 @@ def test_lattice_beam_monotonic():
     # every narrow-beam path cost is within the wide beam too
     got_words, got_cost = lat_narrow.shortest_path_words(graph)
     np.testing.assert_allclose(got_cost, lat_narrow.best_cost, rtol=1e-4)
+
+
+def test_lattice_nbest_matches_kbest_decoder():
+    """lattice-to-nbest equals the K-best decoder's hypotheses."""
+    from rhasspy_speech_tpu.ops.decoder import backtrace_nbest, viterbi_kbest
+
+    graph, dev, lp = _setup(seed=62, B=1, T=8)
+    alphas, betas = (np.asarray(v) for v in forward_backward(dev, jnp.asarray(lp)))
+    lat = build_lattice(graph, alphas, betas, lp, 0, lattice_beam=30.0)
+
+    alphak, bpk = viterbi_kbest(dev, jnp.asarray(lp), k=4)
+    want = backtrace_nbest(graph, np.asarray(alphak), np.asarray(bpk), 0, n=3)
+    got = lat.nbest(graph, 3)
+
+    assert [w for w, _ in got] == [w for w, _ in want]
+    np.testing.assert_allclose(
+        [c for _, c in got], [c for _, c in want], rtol=1e-4
+    )
