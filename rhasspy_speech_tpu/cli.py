@@ -1,0 +1,97 @@
+"""Command-line interface: train and transcribe without writing code.
+
+Covers the roles of the reference's user-facing invocations (train_model +
+the decode binaries it shells out to) as subcommands:
+
+  python -m rhasspy_speech_tpu.cli train --language en \\
+      --sentences sentences.yaml --model-dir model/ --train-dir train/
+  python -m rhasspy_speech_tpu.cli transcribe --model-dir model/ \\
+      --graph-dir train/lang_grammar utterance.wav [more.wav ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_train(args) -> int:
+    from .const import LangSuffix
+    from .pipeline.train import train_model_sync
+
+    suffixes = [LangSuffix(s) for s in args.lang_suffixes.split(",")]
+    train_model_sync(
+        args.language,
+        args.sentences,
+        args.train_dir,
+        args.model_dir,
+        lang_suffixes=suffixes,
+        rescore_order=args.rescore_order,
+    )
+    print(f"trained {args.train_dir} ({args.lang_suffixes})")
+    return 0
+
+
+def _cmd_transcribe(args) -> int:
+    from .pipeline import Nnet3WavTranscriber
+
+    t = Nnet3WavTranscriber(
+        args.model_dir,
+        args.graph_dir,
+        acoustic_scale=args.acoustic_scale,
+    )
+    results = t.transcribe_batch(
+        args.wav,
+        lang_dir=args.lang_dir,
+        nbest=args.nbest,
+        max_fuzzy_cost=args.max_fuzzy_cost,
+        require_fuzzy=args.require_fuzzy,
+    )
+    for path, texts in zip(args.wav, results):
+        print(json.dumps({"wav": str(path), "text": texts[0] if texts else "",
+                          "nbest": texts}))
+    return 0
+
+
+def _cmd_metrics(args) -> int:
+    from .utils.metrics import get_metrics
+
+    print(json.dumps(get_metrics().summary()))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="rhasspy_speech_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="compile decode graphs")
+    p_train.add_argument("--language", required=True)
+    p_train.add_argument("--sentences", required=True,
+                         help="sentences/intents YAML path")
+    p_train.add_argument("--model-dir", required=True)
+    p_train.add_argument("--train-dir", required=True)
+    p_train.add_argument("--lang-suffixes", default="grammar,arpa")
+    p_train.add_argument("--rescore-order", type=int, default=5)
+    p_train.set_defaults(func=_cmd_train)
+
+    p_tr = sub.add_parser("transcribe", help="decode WAV files")
+    p_tr.add_argument("wav", nargs="+")
+    p_tr.add_argument("--model-dir", required=True)
+    p_tr.add_argument("--graph-dir", required=True)
+    p_tr.add_argument("--lang-dir", default=None)
+    p_tr.add_argument("--nbest", type=int, default=1)
+    p_tr.add_argument("--max-fuzzy-cost", type=float, default=None)
+    p_tr.add_argument("--require-fuzzy", action="store_true")
+    p_tr.add_argument("--acoustic-scale", type=float, default=1.0)
+    p_tr.set_defaults(func=_cmd_transcribe)
+
+    p_m = sub.add_parser("metrics", help="dump process decode metrics")
+    p_m.set_defaults(func=_cmd_metrics)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
