@@ -145,7 +145,7 @@ class StreamScheduler:
             from ..fst.core import SymbolTable
             from .endpoint import silence_pdfs_from_model
 
-            phones_path = Path(model_dir) / "model" / "phones.txt"
+            phones_path = self.am._resolved_model_dir / "model" / "phones.txt"
             if phones_path.exists():
                 with open(phones_path, "r", encoding="utf-8") as f:
                     model_phones = SymbolTable.read_text(f)

@@ -83,7 +83,15 @@ class AcousticModel:
     ):
         model_dir = Path(model_dir)
         self.model_dir = model_dir
+        # our layout: model/final.mdl; exported voice2json profiles nest one
+        # deeper (reference transcribe_wav.py:56: model/model/final.mdl)
         mdl_path = model_dir / "model" / "final.mdl"
+        if not mdl_path.exists() and (
+            model_dir / "model" / "model" / "final.mdl"
+        ).exists():
+            model_dir = model_dir / "model"
+            mdl_path = model_dir / "model" / "final.mdl"
+        self._resolved_model_dir = model_dir
         self.transition_model, self.spec = read_am_nnet3(str(mdl_path))
 
         if subsampling is None:
