@@ -587,7 +587,6 @@ class CompiledNnet3:
         B = feats.shape[0]
         carried = set(self.carried)
 
-        in_lo_global = lo
         expected = (self.num_out_frames - 1) * r + win
         if feats.shape[1] != expected:
             raise ValueError(
@@ -698,7 +697,6 @@ class CompiledNnet3:
         final_carry, outs = jax.lax.scan(
             step, carry0, jnp.arange(self.num_out_frames, dtype=jnp.int32)
         )
-        _ = in_lo_global
         out = jnp.swapaxes(outs, 0, 1)  # [B, N, out_dim]
         if return_state:
             return out, final_carry
