@@ -252,7 +252,10 @@ def shortest_path(fst: Fst, nshortest: int = 1, unique: bool = False) -> Fst:
 
     Uses the reverse-distance-guided search (Mohri & Riley): expand partial
     paths ordered by (cost so far + distance-to-final); the first N complete
-    paths popped are the N best. ``unique`` dedupes by input-label sequence.
+    paths popped are the N best. ``unique`` dedupes by input-label sequence
+    — exact when the input FST is deterministic (as in OpenFST, whose
+    --unique requires determinized input); on nondeterministic input a
+    widened per-state expansion bound makes it best-effort.
     """
     result = Fst(isymbols=fst.isymbols, osymbols=fst.osymbols)
     if fst.start < 0:
@@ -276,22 +279,31 @@ def shortest_path(fst: Fst, nshortest: int = 1, unique: bool = False) -> Fst:
     found = 0
     seen_inputs = set()
     # Per-state pop counts bound the search (each state need be expanded at
-    # most nshortest times).
+    # most nshortest times). With unique dedup on nondeterministic input,
+    # duplicate-sequence paths burn pops, so widen the bound.
+    pop_bound = nshortest * 8 + 32 if unique else nshortest
     pops: Dict[int, int] = {}
+
+    # Stopping at a final state costs finals[state], which can exceed the
+    # pop priority (cost + to_final[state] uses the CHEAPEST continuation,
+    # final or not) — so completion must compete in the heap as its own
+    # event (state = -1 sentinel) rather than emit at pop time, or a costly
+    # "stop here" path would be emitted before cheaper paths still pending.
+    DONE = -1
 
     while heap and found < nshortest:
         _, _, state, cost, parent = heapq.heappop(heap)
-        pops[state] = pops.get(state, 0) + 1
-        if pops[state] > nshortest:
-            continue
-
-        if fst.finals[state] != INF:
-            # Reconstruct path
+        if state == DONE:
+            # Completed path: parent chain ends at the final state's entry.
             path_arcs: List[Arc] = []
+            final_state = None
             entry = parent
             while entry is not None:
                 e_state, e_parent, e_arc = entries[entry]
-                path_arcs.append(e_arc)
+                if e_arc is None:  # completion marker holds the final state
+                    final_state = e_state
+                else:
+                    path_arcs.append(e_arc)
                 entry = e_parent
             path_arcs.reverse()
 
@@ -301,18 +313,32 @@ def shortest_path(fst: Fst, nshortest: int = 1, unique: bool = False) -> Fst:
                     continue
                 seen_inputs.add(iseq)
 
-            # Materialize the linear path
             current = super_start
             for il, ol, w, _ns in path_arcs:
                 nxt = result.add_state()
                 result.add_arc(current, il, ol, w, nxt)
                 current = nxt
-            result.set_final(current, fst.finals[state])
+            result.set_final(current, fst.finals[final_state])
             found += 1
-            if found >= nshortest:
-                break
-            # A final state can also continue (final weight consumed above);
-            # fall through to expansion below.
+            continue
+
+        pops[state] = pops.get(state, 0) + 1
+        if pops[state] > pop_bound:
+            continue
+
+        if fst.finals[state] != INF:
+            counter += 1
+            entries.append((state, parent, None))
+            heapq.heappush(
+                heap,
+                (
+                    cost + fst.finals[state],
+                    counter,
+                    DONE,
+                    cost + fst.finals[state],
+                    len(entries) - 1,
+                ),
+            )
 
         for arc in fst.arcs[state]:
             il, ol, w, ns = arc

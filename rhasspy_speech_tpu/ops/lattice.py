@@ -134,12 +134,29 @@ class Lattice:
     def nbest(
         self, graph: DenseGraph, n: int, dedup: bool = True
     ) -> List[Tuple[List[int], float]]:
-        """lattice-to-nbest equivalent: n cheapest word sequences."""
+        """lattice-to-nbest equivalent: n cheapest word sequences.
+
+        With dedup (the default, matching lattice-to-nbest's
+        determinization step) the lattice is projected to words,
+        epsilon-removed, and determinized, which merges ALL alignments of
+        each word sequence into one path with the Viterbi (min) cost —
+        raw path enumeration would drown in same-words alignments and
+        miss genuine rival sequences entirely."""
         from ..fst.core import EPS_ID
-        from ..fst.ops import shortest_path
+        from ..fst.ops import rmepsilon, shortest_path
 
         fst = self.to_fst(graph)
-        best = shortest_path(fst, nshortest=max(n * 3, n), unique=False)
+        if dedup:
+            from ..fst.determinize import determinize
+
+            acc = rmepsilon(fst.project("output"))
+            try:
+                acc = determinize(acc)
+            except Exception:
+                pass  # fall back to enumerating the undeterminized acceptor
+            best = shortest_path(acc, nshortest=n, unique=True)
+        else:
+            best = shortest_path(fst, nshortest=n, unique=False)
         # paths() enumeration order is not cost order: sort first, dedup after
         candidates = sorted(
             best.paths(max_paths=max(n * 6, 32)), key=lambda p: p[2]
@@ -202,6 +219,98 @@ def forward_backward(
     _, betas_rev = jax.lax.scan(bwd, betaT, am_costs[::-1])
     betas = jnp.concatenate([betas_rev[::-1], betaT[None]], axis=0)
     return alphas, betas
+
+
+def forward_backward_log(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    acoustic_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Log-semiring forward/backward (sum over paths) for posteriors.
+
+    Returns (alpha [T+1, B, S], beta [T+1, B, S]) as NEGATED log-sums
+    (costs), so alpha[t] + beta[t] - total is an arc/state's posterior cost
+    (-log occupancy probability)."""
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)
+    B = log_probs.shape[0]
+    S = graph.num_states
+
+    def logaddexp_min(scores, dst):
+        # -log sum exp(-scores) per destination via segment logsumexp:
+        # use the scatter-min for the max term, then scatter-add of exps
+        m = jnp.full((B, S), INF_COST).at[:, dst].min(scores)
+        shifted = jnp.exp(-(scores - m[:, dst]))
+        shifted = jnp.where(scores >= INF_COST, 0.0, shifted)
+        sums = jnp.zeros((B, S)).at[:, dst].add(shifted)
+        out = m - jnp.log(jnp.maximum(sums, 1e-37))
+        return jnp.where(sums > 0, out, INF_COST)
+
+    alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, S))
+
+    def fwd(alpha, am_t):
+        scores = (
+            alpha[:, graph.arc_src]
+            + graph.arc_weight[None, :]
+            + am_t[:, graph.arc_pdf]
+        )
+        scores = jnp.minimum(scores, INF_COST)
+        new_alpha = logaddexp_min(scores, graph.arc_dst)
+        return new_alpha, new_alpha
+
+    _, alphas = jax.lax.scan(fwd, alpha0, am_costs)
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+
+    betaT = jnp.broadcast_to(graph.final_weight[None, :], (B, S))
+
+    def bwd(beta, am_t):
+        scores = (
+            beta[:, graph.arc_dst]
+            + graph.arc_weight[None, :]
+            + am_t[:, graph.arc_pdf]
+        )
+        scores = jnp.minimum(scores, INF_COST)
+        new_beta = logaddexp_min(scores, graph.arc_src)
+        return new_beta, new_beta
+
+    _, betas_rev = jax.lax.scan(bwd, betaT, am_costs[::-1])
+    betas = jnp.concatenate([betas_rev[::-1], betaT[None]], axis=0)
+    return alphas, betas
+
+
+def arc_posteriors(
+    graph: DenseGraph,
+    log_alphas: np.ndarray,  # [T+1, B, S] from forward_backward_log
+    log_betas: np.ndarray,
+    log_probs: np.ndarray,
+    stream: int,
+    acoustic_scale: float = 1.0,
+) -> np.ndarray:
+    """Posterior probability of each (frame, arc): [T, A].
+
+    The occupancies at each frame sum to 1 (up to float error) — the basis
+    for word confidence scores."""
+    T = log_probs.shape[1]
+    a = log_alphas[:, stream]
+    b = log_betas[:, stream]
+
+    def neglogsumexp(x, axis=None):
+        m = np.min(x, axis=axis, keepdims=True)
+        return (m - np.log(
+            np.maximum(np.exp(-(x - m)).sum(axis=axis, keepdims=True), 1e-37)
+        )).squeeze()
+
+    total = float(neglogsumexp(a[0] + b[0]))
+    am = -acoustic_scale * log_probs[stream]
+    out = np.zeros((T, graph.num_arcs), dtype=np.float64)
+    for t in range(T):
+        through = (
+            a[t][graph.arc_src]
+            + graph.arc_weight
+            + am[t][graph.arc_pdf]
+            + b[t + 1][graph.arc_dst]
+        )
+        out[t] = np.exp(-(through - total))
+    return out
 
 
 def build_lattice(

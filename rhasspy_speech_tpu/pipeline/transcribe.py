@@ -451,6 +451,49 @@ class Nnet3WavTranscriber:
             acoustic_scale=self.acoustic_scale,
         )
 
+    def confidence_pcm(self, pcm: np.ndarray, n: int = 8) -> float:
+        """Posterior of the 1-best transcript over the lattice's n-best
+        DISTINCT hypotheses, in [0, 1].
+
+        exp(-c1) / sum_i exp(-ci) over deduplicated word sequences from a
+        pruned lattice — near 1.0 when the winner dominates, lower when
+        rivals are close (ambiguous or OOV audio). The lattice is the right
+        source of rivals: raw k-best paths are crowded out by
+        epsilon-closure duplicate state paths carrying the same words (see
+        ops/lattice.arc_posteriors for frame-level occupancies).
+        Complements the fuzzy-match cost the reference exposes
+        (transcribe_wav.py:75-105) with a decoder-native score."""
+        from ..ops.lattice import build_lattice, forward_backward
+
+        cfg = self.am.frontend_config
+        T = num_frames(cfg, pcm.shape[0])
+        n_out = max(1, -(-T // self.am.subsampling))
+        feats = self.am.features(pcm[None])
+        log_probs = self.am.log_probs(feats, n_out)
+        alphas, betas = forward_backward(
+            self.device_graph, log_probs, self.acoustic_scale
+        )
+        lat = build_lattice(
+            self.artifacts.graph,
+            np.asarray(alphas),
+            np.asarray(betas),
+            np.asarray(log_probs),
+            0,
+            lattice_beam=self.lattice_beam,
+            acoustic_scale=self.acoustic_scale,
+        )
+        if lat is None:
+            return 0.0
+        hyps = lat.nbest(self.artifacts.graph, n, dedup=True)
+        if not hyps:
+            return 0.0
+        costs = np.asarray([c for _, c in hyps], dtype=np.float64)
+        w = np.exp(-(costs - costs.min()))
+        return float(w[0] / w.sum())
+
+    def confidence(self, wav_path: Union[str, Path], n: int = 8) -> float:
+        return self.confidence_pcm(read_wav(wav_path), n=n)
+
     def transcribe_rescore(
         self,
         wav_path: Union[str, Path],

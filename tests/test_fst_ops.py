@@ -350,6 +350,42 @@ def test_shortest_path_randomized():
         assert abs(got_weight - true_best) < 1e-6
 
 
+def test_shortest_path_stop_vs_continue():
+    """A final state whose continuation is cheaper than stopping: the
+    costly "stop here" path must not displace cheaper longer paths in the
+    n-best (completion competes in the heap, not at pop time)."""
+    fst = Fst()
+    fst.add_states(3)
+    fst.add_arc(0, 1, 1, 1.0, 1)
+    fst.set_final(1, 10.0)  # stopping at 1 costs 11.0 total
+    fst.add_arc(1, 2, 2, 1.0, 2)  # continuing costs 2.0 total
+    fst.add_arc(0, 3, 3, 5.0, 2)  # a middle path at 5.0
+    fst.set_final(2, 0.0)
+
+    got = sorted(w for _, _, w in shortest_path(fst, nshortest=3).paths())
+    assert [round(w, 6) for w in got] == [2.0, 5.0, 11.0]
+
+
+def test_shortest_path_nbest_randomized_exhaustive():
+    """n-shortest equals exhaustive enumeration for n in 1..5, including
+    FSTs where intermediate states are final (stop-vs-continue)."""
+    rng = random.Random(17)
+    for _ in range(25):
+        fst = random_acyclic_fst(rng, with_eps=False)
+        # make extra states final so stopping competes with continuing
+        for s in range(fst.num_states):
+            if rng.random() < 0.4:
+                fst.set_final(s, rng.random() * 6)
+        all_w = sorted(round(w, 6) for _, _, w in fst.paths())
+        if not all_w:
+            continue
+        for n in (1, 2, 3, 5):
+            got = shortest_path(fst, nshortest=n)
+            got_w = sorted(round(w, 6) for _, _, w in got.paths())
+            assert got_w == all_w[: len(got_w)]
+            assert len(got_w) == min(n, len(all_w))
+
+
 def test_push_preserves_path_weights():
     rng = random.Random(21)
     for _ in range(15):

@@ -5,7 +5,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from rhasspy_speech_tpu.ops.decoder import DeviceGraph, viterbi_decode, trace_to_words
-from rhasspy_speech_tpu.ops.lattice import build_lattice, forward_backward
+from rhasspy_speech_tpu.ops.lattice import (
+    arc_posteriors,
+    build_lattice,
+    forward_backward,
+    forward_backward_log,
+)
 
 from tests.test_decoder import _random_graph
 
@@ -57,6 +62,59 @@ def test_lattice_beam_monotonic():
     # every narrow-beam path cost is within the wide beam too
     got_words, got_cost = lat_narrow.shortest_path_words(graph)
     np.testing.assert_allclose(got_cost, lat_narrow.best_cost, rtol=1e-4)
+
+
+def test_forward_backward_log_vs_brute_force():
+    """Sum-over-paths total matches explicit path enumeration on a tiny
+    graph, and the log-semiring total cost is <= the tropical (best-path)
+    total."""
+    graph, dev, lp = _setup(seed=63, B=1, T=5)
+    la, lb = (np.asarray(v) for v in forward_backward_log(dev, jnp.asarray(lp)))
+    ta, tb = (np.asarray(v) for v in forward_backward(dev, jnp.asarray(lp)))
+
+    # -logsumexp over start states = -log(total path probability)
+    x = la[0, 0] + lb[0, 0]
+    m = x.min()
+    log_total = m - np.log(np.exp(-(x - m)).sum())
+    trop_total = float((ta[0, 0] + tb[0, 0]).min())
+    assert log_total <= trop_total + 1e-4
+
+    # brute force: enumerate all arc paths of length T
+    T = lp.shape[1]
+    am = -lp[0]  # [T, P] costs
+    total_prob = 0.0
+    starts = np.where(graph.init_weight < 1e29)[0]
+    arcs_from = {}
+    for a in range(graph.num_arcs):
+        arcs_from.setdefault(int(graph.arc_src[a]), []).append(a)
+
+    def walk(state, t, cost):
+        nonlocal total_prob
+        if t == T:
+            f = graph.final_weight[state]
+            if f < 1e29:
+                total_prob += np.exp(-(cost + f))
+            return
+        for a in arcs_from.get(state, []):
+            c = cost + graph.arc_weight[a] + am[t, graph.arc_pdf[a]]
+            if c < 60.0:  # prune hopeless paths to bound runtime
+                walk(int(graph.arc_dst[a]), t + 1, c)
+
+    for s in starts:
+        walk(int(s), 0, float(graph.init_weight[s]))
+    assert total_prob > 0
+    np.testing.assert_allclose(np.exp(-log_total), total_prob, rtol=1e-3)
+
+
+def test_arc_posteriors_sum_to_one():
+    """Per-frame arc occupancies sum to 1 — the basis for confidences."""
+    graph, dev, lp = _setup(seed=64, B=2, T=8)
+    la, lb = (np.asarray(v) for v in forward_backward_log(dev, jnp.asarray(lp)))
+    for b in range(lp.shape[0]):
+        post = arc_posteriors(graph, la, lb, lp, b)
+        assert post.shape == (lp.shape[1], graph.num_arcs)
+        np.testing.assert_allclose(post.sum(axis=1), 1.0, rtol=1e-3)
+        assert (post >= -1e-6).all()
 
 
 def test_lattice_nbest_matches_kbest_decoder():

@@ -459,3 +459,18 @@ def test_get_lattice(profile_and_train, tmp_path):
         if t.artifacts.words.find_id(w) not in ("<eps>",)
     )
     assert text == "turn on the light"
+
+
+def test_confidence(profile_and_train):
+    """Confidence is ~1.0 for clean in-grammar audio; with the acoustic
+    evidence scaled away, grammar rivals tie and confidence collapses."""
+    profile, train_dir = profile_and_train
+    lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    pcm = synthesize_sentence(profile, "turn on the light", seed=7)
+
+    hi = Nnet3WavTranscriber(profile.model_dir, lang)
+    lo = Nnet3WavTranscriber(profile.model_dir, lang, acoustic_scale=1e-5)
+    c_hi = hi.confidence_pcm(pcm)
+    c_lo = lo.confidence_pcm(pcm)
+    assert c_hi > 0.99, c_hi
+    assert 0.0 < c_lo < 0.9, c_lo
