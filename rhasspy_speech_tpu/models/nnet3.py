@@ -358,8 +358,11 @@ class CompiledNnet3:
     # Recurrent mode (LSTM-style back-edges): evaluate one step per
     # `recurrence` frames via lax.scan, carrying the back-referenced nodes.
     recurrent: bool = False
-    recurrence: int = 0
+    recurrence: int = 0  # max back-edge delay, a multiple of subsampling
     carried: Tuple[str, ...] = ()
+    # Per carried node: how many scan steps of history the carry holds
+    # (delay // subsampling); aligned with `carried`.
+    carry_depths: Tuple[int, ...] = ()
     step_input_range: Tuple[int, int] = (0, 0)
 
     @property
@@ -554,10 +557,13 @@ class CompiledNnet3:
 
 
     def init_state(self, batch: int, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-        """Zero recurrence state (Kaldi zero-initializes recurrences)."""
+        """Zero recurrence state (Kaldi zero-initializes recurrences).
+
+        Each entry is [batch, depth, dim]: a ring of the node's last
+        `depth` step values (depth = delay // subsampling, usually 1)."""
         return {
-            name: jnp.zeros((batch, self.node_dims[name]), dtype=dtype)
-            for name in self.carried
+            name: jnp.zeros((batch, depth, self.node_dims[name]), dtype=dtype)
+            for name, depth in zip(self.carried, self.carry_depths)
         }
 
     def forward_with_state(
@@ -579,15 +585,18 @@ class CompiledNnet3:
         return_state: bool = False,
     ):
         """Stepwise evaluation for recurrent graphs: one lax.scan step per
-        `recurrence` frames, carrying each back-referenced node's value from
-        the previous step (Kaldi zero-initializes recurrences the same way)."""
-        r = self.recurrence
+        output frame (stride = subsampling), carrying a ring of each
+        back-referenced node's last `depth` step values so delays of any
+        multiple of the subsampling work (Kaldi zero-initializes
+        recurrences the same way)."""
+        s = self.subsampling
         lo, hi = self.step_input_range
         win = hi - lo
         B = feats.shape[0]
         carried = set(self.carried)
+        depths = dict(zip(self.carried, self.carry_depths))
 
-        expected = (self.num_out_frames - 1) * r + win
+        expected = (self.num_out_frames - 1) * s + win
         if feats.shape[1] != expected:
             raise ValueError(
                 f"feats must have {expected} frames (got {feats.shape[1]})"
@@ -602,7 +611,7 @@ class CompiledNnet3:
             ivec_row = ivector  # [B, D]: whole-utterance mode
 
         def step(carry, i):
-            start = i * r
+            start = i * s
             window = jax.lax.dynamic_slice_in_dim(feats, start, win, axis=1)
             values: Dict[str, jnp.ndarray] = {"input": window}
             origins: Dict[str, int] = {"input": lo}
@@ -619,12 +628,20 @@ class CompiledNnet3:
                 if kind == "node":
                     name = desc[1]
                     if name not in values and name in carried:
-                        if (lo_t, hi_t) != (-r, -r + 1):
+                        depth = depths[name]
+                        j = -lo_t // s  # steps back
+                        if (
+                            hi_t != lo_t + 1
+                            or lo_t >= 0
+                            or (-lo_t) % s != 0
+                            or j > depth
+                        ):
                             raise NotImplementedError(
                                 f"back-reference to {name!r} at times "
-                                f"[{lo_t},{hi_t}) (only -{r} supported)"
+                                f"[{lo_t},{hi_t}) (carry holds the last "
+                                f"{depth} step(s) at stride {s})"
                             )
-                        return carry[name][:, None, :]
+                        return carry[name][:, depth - j][:, None, :]
                     arr = values[name]
                     org = origins[name]
                     return arr[:, lo_t - org : hi_t - org]
@@ -687,7 +704,12 @@ class CompiledNnet3:
                 origins[node.name] = n_lo
 
             new_carry = {
-                name: values[name][:, 0 - origins[name]] for name in carried
+                name: jnp.concatenate(
+                    [carry[name][:, 1:],
+                     values[name][:, 0 - origins[name]][:, None]],
+                    axis=1,
+                )
+                for name in carried
             }
             out_org = origins[self.output_name]
             return new_carry, values[self.output_name][:, 0 - out_org]
@@ -736,19 +758,19 @@ def compile_nnet3(
 
     recurrent = bool(back_refs)
     recurrence = 0
+    carry_depths: Dict[str, int] = {}
     if recurrent:
         offsets = {off for offs in back_refs.values() for off in offs}
-        if len(offsets) != 1 or next(iter(offsets)) >= 0:
+        bad = [o for o in offsets if o >= 0 or (-o) % subsampling != 0]
+        if bad:
             raise NotImplementedError(
-                f"recurrent offsets {sorted(offsets)} — only a single "
-                "negative recurrence delay is supported"
+                f"recurrent offsets {sorted(offsets)} — each delay must be "
+                f"negative and a multiple of the frame subsampling "
+                f"({subsampling}); got {sorted(bad)}"
             )
-        recurrence = -next(iter(offsets))
-        if recurrence != subsampling:
-            raise NotImplementedError(
-                f"recurrence delay {recurrence} != frame subsampling "
-                f"{subsampling} is not supported"
-            )
+        recurrence = max(-o for o in offsets)
+        for name, offs in back_refs.items():
+            carry_depths[name] = max(-o for o in offs) // subsampling
 
     # Node dims (forward pass over config order)
     node_dims: Dict[str, int] = {}
@@ -830,7 +852,7 @@ def compile_nnet3(
         lo, hi = step_input_range
         # AcousticModel gathers the GLOBAL window from this range
         ranges = dict(ranges)
-        ranges["input"] = (lo, (num_out_frames - 1) * recurrence + hi)
+        ranges["input"] = (lo, (num_out_frames - 1) * subsampling + hi)
 
     return CompiledNnet3(
         spec=spec,
@@ -845,5 +867,6 @@ def compile_nnet3(
         recurrent=recurrent,
         recurrence=recurrence,
         carried=tuple(sorted(back_refs)),
+        carry_depths=tuple(carry_depths[n] for n in sorted(back_refs)),
         step_input_range=step_input_range,
     )

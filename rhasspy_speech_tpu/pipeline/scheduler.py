@@ -103,9 +103,13 @@ class StreamScheduler:
                 log_probs, new_state = self._chunk_model.forward_with_state(
                     windows, am_state
                 )
-                lane_active = (n_valid > 0)[:, None]
+                active = n_valid > 0
                 new_state = {
-                    k: jnp.where(lane_active, v, am_state[k])
+                    k: jnp.where(
+                        active.reshape((-1,) + (1,) * (v.ndim - 1)),
+                        v,
+                        am_state[k],
+                    )
                     for k, v in new_state.items()
                 }
             else:

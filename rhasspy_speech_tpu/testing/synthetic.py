@@ -115,9 +115,16 @@ def build_synthetic_profile(
     frontend: Optional[FrontendConfig] = None,
     tau: float = 50.0,
     seed: int = 1234,
+    recurrent_delay: Optional[int] = None,
 ) -> SyntheticProfile:
     """Write a model dir (config.json, model/final.mdl, model/phones.txt,
-    model/frontend.json) whose AM recognizes audio from synthesize_sentence."""
+    model/frontend.json) whose AM recognizes audio from synthesize_sentence.
+
+    With ``recurrent_delay`` set, the nnet3 graph additionally carries a
+    real LSTM-style back-edge at that delay whose output contribution is
+    exactly zero (zero-weight projection into the Sum) — transcripts stay
+    deterministic while every recurrent code path (stepwise scan, ring
+    carry, streaming state) is exercised end to end."""
     model_dir = Path(model_dir)
     (model_dir / "model").mkdir(parents=True, exist_ok=True)
     if frontend is None:
@@ -184,50 +191,148 @@ def build_synthetic_profile(
     log_probs[0] = 0.0
     ktm = KaldiTransitionModel(topology=topo, tuples=tuples, log_probs=log_probs)
 
-    spec = Nnet3Spec(
-        nodes=[
-            NodeSpec(kind="input", name="input", dim=frontend.num_ceps),
-            NodeSpec(
-                kind="component",
-                name="gauss.affine",
-                component="gauss.affine",
-                input=parse_descriptor("input"),
-            ),
-            NodeSpec(
-                kind="component",
-                name="gauss.logsoftmax",
-                component="gauss.logsoftmax",
-                input=parse_descriptor("gauss.affine"),
-            ),
+    nodes = [
+        NodeSpec(kind="input", name="input", dim=frontend.num_ceps),
+        NodeSpec(
+            kind="component",
+            name="gauss.affine",
+            component="gauss.affine",
+            input=parse_descriptor("input"),
+        ),
+        NodeSpec(
+            kind="component",
+            name="gauss.logsoftmax",
+            component="gauss.logsoftmax",
+            input=parse_descriptor("gauss.affine"),
+        ),
+    ]
+    components = {
+        "gauss.affine": ComponentSpec(
+            "gauss.affine",
+            "FixedAffineComponent",
+            {"LinearParams": rows, "BiasParams": bias},
+        ),
+        "gauss.logsoftmax": ComponentSpec(
+            "gauss.logsoftmax",
+            "LogSoftmaxComponent",
+            {
+                "Dim": len(emitting),
+                "ValueAvg": np.zeros(0, dtype=np.float32),
+                "DerivAvg": np.zeros(0, dtype=np.float32),
+                "Count": 0.0,
+            },
+        ),
+    }
+    if recurrent_delay is None:
+        nodes.append(
             NodeSpec(
                 kind="output",
                 name="output",
                 input=parse_descriptor("gauss.logsoftmax"),
+            )
+        )
+    else:
+        # Zero-contribution recurrence: rec.a references rec.b (defined
+        # later) at -recurrent_delay — a genuine back-edge driving the
+        # stepwise scan + ring carry — but rec.zero's weights are all zero,
+        # so output == gauss.logsoftmax exactly.
+        H = 4
+        nodes += [
+            NodeSpec(
+                kind="component",
+                name="rec.a",
+                component="rec.a",
+                input=parse_descriptor(
+                    f"Append(input, IfDefined(Offset(rec.b, {-recurrent_delay})))"
+                ),
             ),
-        ],
-        components={
-            "gauss.affine": ComponentSpec(
-                "gauss.affine",
-                "FixedAffineComponent",
-                {"LinearParams": rows, "BiasParams": bias},
+            NodeSpec(
+                kind="component",
+                name="rec.t",
+                component="rec.t",
+                input=parse_descriptor("rec.a"),
             ),
-            "gauss.logsoftmax": ComponentSpec(
-                "gauss.logsoftmax",
-                "LogSoftmaxComponent",
-                {
-                    "Dim": len(emitting),
-                    "ValueAvg": np.zeros(0, dtype=np.float32),
-                    "DerivAvg": np.zeros(0, dtype=np.float32),
-                    "Count": 0.0,
-                },
+            NodeSpec(
+                kind="component",
+                name="rec.b",
+                component="rec.b",
+                input=parse_descriptor("rec.t"),
             ),
-        },
+            NodeSpec(
+                kind="component",
+                name="rec.zero",
+                component="rec.zero",
+                input=parse_descriptor("rec.b"),
+            ),
+            NodeSpec(
+                kind="output",
+                name="output",
+                input=parse_descriptor("Sum(gauss.logsoftmax, rec.zero)"),
+            ),
+        ]
+        components.update(
+            {
+                "rec.a": ComponentSpec(
+                    "rec.a",
+                    "FixedAffineComponent",
+                    {
+                        "LinearParams": (
+                            0.1 * rng.randn(H, frontend.num_ceps + H)
+                        ).astype(np.float32),
+                        "BiasParams": np.zeros(H, dtype=np.float32),
+                    },
+                ),
+                "rec.t": ComponentSpec(
+                    "rec.t",
+                    "TanhComponent",
+                    {
+                        "Dim": H,
+                        "ValueAvg": np.zeros(0, dtype=np.float32),
+                        "DerivAvg": np.zeros(0, dtype=np.float32),
+                        "Count": 0.0,
+                    },
+                ),
+                "rec.b": ComponentSpec(
+                    "rec.b",
+                    "FixedAffineComponent",
+                    {
+                        "LinearParams": (0.5 * rng.randn(H, H)).astype(
+                            np.float32
+                        ),
+                        "BiasParams": np.zeros(H, dtype=np.float32),
+                    },
+                ),
+                "rec.zero": ComponentSpec(
+                    "rec.zero",
+                    "FixedAffineComponent",
+                    {
+                        "LinearParams": np.zeros(
+                            (len(emitting), H), dtype=np.float32
+                        ),
+                        "BiasParams": np.zeros(
+                            len(emitting), dtype=np.float32
+                        ),
+                    },
+                ),
+            }
+        )
+    spec = Nnet3Spec(
+        nodes=nodes,
+        components=components,
         left_context=0,
         right_context=0,
     )
 
     with open(model_dir / "model" / "final.mdl", "wb") as f:
         write_nnet3(f, spec, transition_model=ktm)
+    if recurrent_delay is not None:
+        # pin subsampling 1 so any positive delay is a valid multiple
+        with open(
+            model_dir / "model" / "frame_subsampling_factor",
+            "w",
+            encoding="utf-8",
+        ) as f:
+            f.write("1\n")
     with open(model_dir / "model" / "phones.txt", "w", encoding="utf-8") as f:
         phones.write_text(f)
     with open(model_dir / "model" / "frontend.json", "w", encoding="utf-8") as f:

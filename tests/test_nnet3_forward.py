@@ -129,7 +129,7 @@ def test_subsampling_one():
     assert out.shape == (1, 5, 20)
 
 
-def _lstmp_spec(rng, D=6, C=5, R=4):
+def _lstmp_spec(rng, D=6, C=5, R=4, delay=-1):
     """Minimal Kaldi-style LSTMP layer: W_all affine over (input, r_{t-1}),
     LstmNonlinearityComponent over (4C gates, c_{t-1}), dim-range c/m,
     recurrent projection r, output affine."""
@@ -173,10 +173,10 @@ def _lstmp_spec(rng, D=6, C=5, R=4):
         NodeSpec(kind="input", name="input", dim=D),
         NodeSpec(kind="component", name="W_all", component="W_all",
                  input=parse_descriptor(
-                     "Append(input, IfDefined(Offset(r_t, -1)))")),
+                     f"Append(input, IfDefined(Offset(r_t, {delay})))")),
         NodeSpec(kind="component", name="lstm_nonlin", component="lstm_nonlin",
                  input=parse_descriptor(
-                     "Append(W_all, IfDefined(Offset(c_t, -1)))")),
+                     f"Append(W_all, IfDefined(Offset(c_t, {delay})))")),
         NodeSpec(kind="dim-range", name="c_t", input_node="lstm_nonlin",
                  dim=5, dim_offset=0),
         NodeSpec(kind="dim-range", name="m_t", input_node="lstm_nonlin",
@@ -252,8 +252,8 @@ def test_recurrence_mismatch_rejected():
 
     rng = np.random.RandomState(10)
     spec = _lstmp_spec(rng)
-    # delay 1 but subsampling 3: unsupported combination must raise
-    with pytest.raises(NotImplementedError, match="recurrence"):
+    # delay 1 but subsampling 3 (not a multiple): must raise
+    with pytest.raises(NotImplementedError, match="multiple"):
         compile_nnet3(spec, num_out_frames=2, subsampling=3)
 
 
@@ -280,6 +280,52 @@ def test_lstm_chunked_state_matches_whole():
                                 t0 + chunk.ranges["input"][0] + win_total),
                       0, T_in - 1)
         # feats array is already aligned so that index 0 = global time lo
+        window = feats[:, t0 : t0 + win_total]
+        out, state = chunk.forward_with_state(jnp.asarray(window), state)
+        outs.append(np.asarray(out))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_lstm_delay3_deinterleaves():
+    """A delay -3 recurrence at subsampling 1 runs 3 independent interleaved
+    sequences: output[:, j::3] must equal the delay -1 model applied to the
+    deinterleaved stream feats[:, j::3] (same weights)."""
+    spec3 = _lstmp_spec(np.random.RandomState(13), delay=-3)
+    spec1 = _lstmp_spec(np.random.RandomState(13), delay=-1)
+
+    m3 = compile_nnet3(spec3, num_out_frames=12, subsampling=1)
+    assert m3.recurrent and m3.recurrence == 3
+    assert m3.carry_depths == (3, 3)
+    m1 = compile_nnet3(spec1, num_out_frames=4, subsampling=1)
+
+    rng = np.random.RandomState(14)
+    B, D = 2, 6
+    feats = rng.randn(B, m3.num_input_frames, D).astype(np.float32)
+    got = np.asarray(m3.forward(jnp.asarray(feats)))
+
+    for j in range(3):
+        want_j = np.asarray(m1.forward(jnp.asarray(feats[:, j::3])))
+        np.testing.assert_allclose(got[:, j::3], want_j, rtol=2e-4, atol=2e-4)
+
+
+def test_lstm_delay3_chunked_state_matches_whole():
+    """Cross-chunk state carry works with a depth-3 recurrence ring."""
+    spec = _lstmp_spec(np.random.RandomState(15), delay=-3)
+    whole = compile_nnet3(spec, num_out_frames=12, subsampling=1)
+    chunk = compile_nnet3(spec, num_out_frames=4, subsampling=1)
+
+    rng = np.random.RandomState(16)
+    B, D = 2, 6
+    T_in = whole.num_input_frames
+    feats = rng.randn(B, T_in, D).astype(np.float32)
+    want = np.asarray(whole.forward(jnp.asarray(feats)))
+
+    win_total = chunk.ranges["input"][1] - chunk.ranges["input"][0]
+    state = chunk.init_state(B)
+    outs = []
+    for c in range(3):
+        t0 = c * 4
         window = feats[:, t0 : t0 + win_total]
         out, state = chunk.forward_with_state(jnp.asarray(window), state)
         outs.append(np.asarray(out))

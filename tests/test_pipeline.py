@@ -474,3 +474,51 @@ def test_confidence(profile_and_train):
     c_lo = lo.confidence_pcm(pcm)
     assert c_hi > 0.99, c_hi
     assert 0.0 < c_lo < 0.9, c_lo
+
+
+def test_recurrent_profile_end_to_end(tmp_path):
+    """A profile whose AM carries a real LSTM-style back-edge at delay 3
+    (ring depth 3 at subsampling 1) decodes exactly through the batch,
+    streaming, and batched-scheduler paths."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.pipeline.stream import Nnet3StreamTranscriber
+
+    lex = {k: LEXICON[k] for k in ("turn", "on", "off", "light")}
+    profile = build_synthetic_profile(tmp_path / "m", lex, recurrent_delay=3)
+    train_model_sync(
+        "en",
+        {"language": "en", "intents": {"M": {"data": [
+            {"sentences": ["turn (on|off) light"]}]}}},
+        tmp_path / "t",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang = tmp_path / "t" / lang_dir_name(LangSuffix.GRAMMAR)
+
+    t = Nnet3WavTranscriber(profile.model_dir, lang)
+    m = t.am.compiled(16).model
+    assert m.recurrent and m.recurrence == 3 and m.carry_depths == (3,)
+    pcm = synthesize_sentence(profile, "turn off light", seed=5)
+    assert t.transcribe_pcm_batch([pcm])[0] == ["turn off light"]
+
+    st = Nnet3StreamTranscriber(profile.model_dir, lang)
+    assert st.transcribe_pcm(pcm, chunk_samples=1024) == ["turn off light"]
+
+    sched = StreamScheduler(profile.model_dir, lang, max_streams=4)
+    texts = ["turn on light", "turn off light"]
+    sids = [sched.open_stream() for _ in texts]
+    pcms = [synthesize_sentence(profile, s, seed=10 + i)
+            for i, s in enumerate(texts)]
+    offs = [0, 0]
+    while any(o < p.shape[0] for o, p in zip(offs, pcms)):
+        for i, sid in enumerate(sids):
+            if offs[i] < pcms[i].shape[0]:
+                sched.feed(sid, pcms[i][offs[i] : offs[i] + 1600])
+                offs[i] += 1600
+        sched.step()
+    for sid in sids:
+        sched.finish(sid)
+    sched.run_until_idle()
+    for want, sid in zip(texts, sids):
+        got = sched.poll(sid)
+        assert got and got[0] == want, (want, got)
