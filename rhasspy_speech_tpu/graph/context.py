@@ -14,8 +14,11 @@ transition costs from the HmmTopology) is emitted, and p becomes pending.
 Word labels/weights ride the arc that introduces the phone, as graph-only
 epsilon arcs; the dense builder folds them (graph/dense.py).
 
-Supports N=3/P=1 (triphone) and degenerates to N=1 (monophone). Output
-convention matches graph/hclg.py: ilabel = pdf + 1, olabel = word id.
+Supports N=3/P=1 (triphone), N=2/P=1 (left biphone, common for chain
+models), N=2/P=0 (right biphone), and N=1 (monophone). Windows with right
+context use one phone of lookahead (the pending mechanism); left-only
+windows expand arcs immediately. Output convention matches graph/hclg.py:
+ilabel = pdf + 1, olabel = word id.
 """
 
 from __future__ import annotations
@@ -41,10 +44,19 @@ def make_hclg_from_tree(
 ) -> Tuple[Fst, int]:
     """Expand LG (lang-phone ilabels -> words) into HCLG (pdf+1 -> words)
     using a real decision tree. Returns (hclg, num_pdfs)."""
-    # Standard trees are N=3/P=1 (triphone) or N=1/P=0 (monophone); wider
-    # windows would need more than one phone of lookahead.
-    if not ((tree.N == 3 and tree.P == 1) or (tree.N == 1 and tree.P == 0)):
+    # Windows needing at most one phone of lookahead (right context <= 1)
+    # and one phone of memory (left context <= 1).
+    if (tree.N, tree.P) not in {(1, 0), (2, 0), (2, 1), (3, 1)}:
         raise NotImplementedError(f"tree N={tree.N} P={tree.P}")
+    lookahead = tree.N - 1 - tree.P > 0  # right context present
+    track_left = tree.P > 0
+
+    def context_window(left: int, phone: int, right: int):
+        if tree.N == 3:
+            return (left, phone, right)
+        if tree.N == 2:
+            return (left, phone) if tree.P == 1 else (phone, right)
+        return (phone,)
 
     disambig: Set[int] = set(lang.disambig_phone_ids)
 
@@ -78,7 +90,7 @@ def make_hclg_from_tree(
         """Emit phone's HMM chain from hclg state src to dst with context
         (left, phone, right); model phone ids, 0 = eps padding."""
         entry = topo_entry(phone)
-        window = (left, phone, right) if tree.N == 3 else (phone,)
+        window = context_window(left, phone, right)
         current = src
         for j, st in enumerate(entry):
             if st.forward_pdf_class == K_NO_PDF:
@@ -132,6 +144,14 @@ def make_hclg_from_tree(
                 new_key = (ns, left, pending)
                 dst = get_state(new_key)
                 hclg.add_arc(src, EPS_ID, olabel, weight, dst)
+            elif not lookahead:
+                # no right context: expand the phone on its own arc
+                p_model = lang_to_model[ilabel]
+                new_key = (ns, p_model if track_left else 0, None)
+                dst = get_state(new_key)
+                mid = hclg.add_state()
+                expand_phone(src, left, p_model, 0, mid)
+                hclg.add_arc(mid, EPS_ID, olabel, weight, dst)
             else:
                 p_model = lang_to_model[ilabel]
                 if pending is None:

@@ -166,3 +166,126 @@ def test_train_model_uses_tree(tmp_path):
     for i, text in enumerate(["open", "close"]):
         pcm = synthesize_sentence(profile, text, seed=i)
         assert t.transcribe_pcm_batch([pcm])[0] == [text]
+
+
+def test_biphone_hclg_decodes(tmp_path):
+    """Left-biphone (N=2,P=1) and right-biphone (N=2,P=0) windows expand
+    and decode exactly (context-independent tree == monophone answers)."""
+    import io as _io
+
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+    from rhasspy_speech_tpu.graph.context import make_hclg_from_tree
+    from rhasspy_speech_tpu.graph.dense import dense_from_hclg
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.io.nnet3_file import read_am_nnet3
+    from rhasspy_speech_tpu.lang import make_grammar_g, make_lg, prepare_lang
+    from rhasspy_speech_tpu.lexicon.g2p import LexiconDatabase
+    from rhasspy_speech_tpu.ops.decoder import (
+        DeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+    from rhasspy_speech_tpu.pipeline.transcribe import AcousticModel
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    ktm, _spec = read_am_nnet3(str(tmp_path / "model" / "model" / "final.mdl"))
+    with open(tmp_path / "model" / "model" / "phones.txt", encoding="utf-8") as f:
+        model_phones = SymbolTable.read_text(f)
+
+    intents = Intents.from_dict(
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["yes", "no"]}]}}}
+    )
+    lex = LexiconDatabase()
+    for w, p in lexicon.items():
+        lex.add(w, [p])
+    ctx = compile_intents(intents, _io.StringIO(), lex, number_language="en")
+    entries = [(w, p) for w, p in sorted(lexicon.items())]
+    entries.append(("<unk>", ["SPN"]))
+    lang = prepare_lang(entries, silence_phones=["SIL", "SPN"])
+    g = make_grammar_g(ctx.fst_file, lang.words)
+    lg = make_lg(lang, g)
+    am = AcousticModel(tmp_path / "model")
+
+    for n, p in ((2, 1), (2, 0)):
+        tree = ContextDependencyTree.monophone_from_tuples(
+            ktm.tuples, max_phone=int(ktm.tuples[:, 0].max()), n=n, p=p
+        )
+        hclg, num_pdfs = make_hclg_from_tree(lang, lg, tree, ktm, model_phones)
+        graph = dense_from_hclg(hclg, num_pdfs)
+        dev = DeviceGraph.from_dense(graph)
+        for i, text in enumerate(["yes", "no"]):
+            pcm = synthesize_sentence(profile, text, seed=i)
+            feats = am.features(pcm[None])
+            lp = am.log_probs(feats, feats.shape[1] // 3)
+            trace, fstate, cost = viterbi_decode(dev, lp)
+            words, _ = trace_to_words(
+                graph, np.asarray(trace), np.asarray(fstate),
+                np.asarray(cost), 0,
+            )
+            assert words is not None, (n, p, text)
+            got = " ".join(
+                lang.words.find_id(w) for w in words
+                if lang.words.find_id(w) not in ("<eps>",)
+            )
+            assert got == text, (n, p, got, text)
+
+
+def test_biphone_expansion_uses_true_left_context(tmp_path):
+    """With an N=2/P=1 tree that splits on the left phone, the expansion
+    must query the REAL predecessor: 'eh' only ever follows 'y' in this
+    grammar, so the left=y pdfs appear and the fallback pdf never does."""
+    import io as _io
+
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+    from rhasspy_speech_tpu.graph.context import make_hclg_from_tree
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.io.nnet3_file import read_am_nnet3
+    from rhasspy_speech_tpu.lang import make_grammar_g, make_lg, prepare_lang
+    from rhasspy_speech_tpu.lexicon.g2p import LexiconDatabase
+    from rhasspy_speech_tpu.testing import build_synthetic_profile
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    ktm, _ = read_am_nnet3(str(tmp_path / "model" / "model" / "final.mdl"))
+    with open(tmp_path / "model" / "model" / "phones.txt", encoding="utf-8") as f:
+        model_phones = SymbolTable.read_text(f)
+
+    base = ContextDependencyTree.monophone_from_tuples(
+        ktm.tuples, max_phone=int(ktm.tuples[:, 0].max()), n=2, p=1
+    )
+    m_eh = model_phones.find("eh_I")
+    m_y = model_phones.find("y_B")
+    assert m_eh is not None and m_y is not None
+    FAKE = 9999
+    _, key, table = base.root
+    table = list(table)
+    # eh_I: keep real pdfs when left == y_B, else a sentinel pdf
+    table[m_eh] = ("se", 0, frozenset({m_y}), table[m_eh], ("ce", FAKE))
+    tree = ContextDependencyTree(N=2, P=1, root=("te", key, table))
+
+    intents = Intents.from_dict(
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["yes", "no"]}]}}}
+    )
+    lex = LexiconDatabase()
+    for w, p in lexicon.items():
+        lex.add(w, [p])
+    ctx = compile_intents(intents, _io.StringIO(), lex, number_language="en")
+    entries = [(w, p) for w, p in sorted(lexicon.items())]
+    entries.append(("<unk>", ["SPN"]))
+    lang = prepare_lang(entries, silence_phones=["SIL", "SPN"])
+    lg = make_lg(lang, make_grammar_g(ctx.fst_file, lang.words))
+
+    hclg, _num = make_hclg_from_tree(lang, lg, tree, ktm, model_phones)
+    ilabels = {il for arcs in hclg.arcs for il, _, _, _ in arcs}
+    # the real eh pdfs (left=y path) must be present...
+    real_eh = base.compute((0, m_eh), 0)
+    assert real_eh + 1 in ilabels
+    # ...and the wrong-left sentinel must never have been queried
+    assert FAKE + 1 not in ilabels
