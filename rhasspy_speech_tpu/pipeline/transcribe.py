@@ -192,14 +192,20 @@ class AcousticModel:
         return mfcc_batch(self.frontend_params, jnp.asarray(pcm_batch))
 
     def log_probs(
-        self, feats: jnp.ndarray, num_out_frames: int
+        self,
+        feats: jnp.ndarray,
+        num_out_frames: int,
+        ivector_frame_weights: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """[B, T, D] features -> [B, N, num_pdfs] pdf log-likelihood terms.
 
         Edge frames are replicated for context (Kaldi online-feature edge
         handling); chain outputs are used raw (acoustic_scale applied at
         decode), xent models subtract log-priors
-        (nnet3/decodable-simple-looped.h:46-59 semantics)."""
+        (nnet3/decodable-simple-looped.h:46-59 semantics).
+        ivector_frame_weights [B, T] downweights frames in the i-vector
+        stats (OnlineSilenceWeighting's effect; see
+        Nnet3WavTranscriber silence_weight)."""
         bucket = self.compiled(num_out_frames)
         model = bucket.model
         T = feats.shape[1]
@@ -216,7 +222,11 @@ class AcousticModel:
                     from ..ops.cmvn import online_cmvn
 
                     iv_feats = online_cmvn(feats, self.ivector_cmvn_stats)
-                ivec = extract_ivectors(iv_feats, self.ivector_params)
+                ivec = extract_ivectors(
+                    iv_feats,
+                    self.ivector_params,
+                    frame_weights=ivector_frame_weights,
+                )
             else:
                 ivec = jnp.zeros(
                     (feats.shape[0], self.spec.ivector_dim), dtype=feats.dtype
@@ -243,6 +253,7 @@ class Nnet3WavTranscriber:
         lattice_beam: float = 8.0,
         acoustic_scale: float = 1.0,
         beam: float = 24.0,
+        silence_weight: Optional[float] = None,
     ):
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
@@ -250,12 +261,69 @@ class Nnet3WavTranscriber:
         self.max_active = max_active
         self.lattice_beam = lattice_beam
         self.beam = beam
+        # OnlineSilenceWeighting equivalent (online2/online-ivector-feature):
+        # with a weight set and an i-vector extractor present, a first-pass
+        # decode alignment downweights silence frames in the i-vector stats
+        # and the batch is decoded again. None/1.0 = off (the reference's
+        # default silence-weight is 1.0, a no-op, transcribe_wav.py config).
+        self.silence_weight = silence_weight
 
         self.am = AcousticModel(self.model_dir)
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None, f"no graph.npz in {graph_dir}"
         self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)
         self._lang_cache: Dict[str, LangArtifacts] = {}
+        self._silence_pdfs: Optional[frozenset] = None
+
+    def _get_silence_pdfs(self) -> frozenset:
+        if self._silence_pdfs is None:
+            from ..fst.core import SymbolTable
+            from .endpoint import silence_pdfs_from_model
+
+            pdfs = frozenset()
+            phones_path = (
+                self.am._resolved_model_dir / "model" / "phones.txt"
+            )
+            if phones_path.exists():
+                with open(phones_path, "r", encoding="utf-8") as f:
+                    model_phones = SymbolTable.read_text(f)
+                pdfs = frozenset(
+                    silence_pdfs_from_model(
+                        self.am.transition_model, model_phones
+                    )
+                )
+            self._silence_pdfs = pdfs
+        return self._silence_pdfs
+
+    def _silence_frame_weights(
+        self, log_probs: jnp.ndarray, lengths: jnp.ndarray, num_in_frames: int
+    ) -> Optional[jnp.ndarray]:
+        """First-pass 1-best alignment -> [B, T_in] i-vector frame weights
+        (silence frames get self.silence_weight, speech frames 1.0)."""
+        sil_pdfs = self._get_silence_pdfs()
+        if not sil_pdfs:
+            return None
+        trace, _fstate, _cost = viterbi_decode(
+            self.device_graph,
+            log_probs,
+            acoustic_scale=self.acoustic_scale,
+            lengths=lengths,
+        )
+        trace = np.asarray(trace)  # [B, T_out]; arc id, STAY, or -1
+        graph = self.artifacts.graph
+        B, T_out = trace.shape
+        # forward-fill self-loop (STAY) frames with the last real arc
+        filled = trace.copy()
+        for t in range(1, T_out):
+            m = filled[:, t] < 0
+            filled[m, t] = filled[m, t - 1]
+        pdf = np.where(filled >= 0, graph.arc_pdf[np.maximum(filled, 0)], -1)
+        is_sil = np.isin(pdf, np.fromiter(sil_pdfs, dtype=np.int64))
+        w_out = np.where(is_sil, float(self.silence_weight), 1.0)
+        # upsample output-frame weights to the input frame rate
+        sub = self.am.subsampling
+        idx = np.minimum(np.arange(num_in_frames) // sub, T_out - 1)
+        return jnp.asarray(w_out[:, idx].astype(np.float32))
 
     # -- helpers ------------------------------------------------------------
 
@@ -312,6 +380,20 @@ class Nnet3WavTranscriber:
             log_probs.block_until_ready()
         k = max(nbest, 1)
         lengths = jnp.asarray(n_out, dtype=jnp.int32)
+        if (
+            self.silence_weight is not None
+            and self.silence_weight != 1.0
+            and self.am.ivector_params is not None
+        ):
+            # decoder-driven silence weighting: re-extract i-vectors with
+            # first-pass silence frames downweighted, then decode again
+            w = self._silence_frame_weights(log_probs, lengths, feats.shape[1])
+            if w is not None:
+                with StageTimer("acoustic", metrics):
+                    log_probs = self.am.log_probs(
+                        feats, bucket_out, ivector_frame_weights=w
+                    )
+                    log_probs.block_until_ready()
         graph = self.artifacts.graph
         if k == 1:
             # 1-best fast path: on-device backtrace, O(B*T) transfer

@@ -116,6 +116,7 @@ def build_synthetic_profile(
     tau: float = 50.0,
     seed: int = 1234,
     recurrent_delay: Optional[int] = None,
+    with_ivector: bool = False,
 ) -> SyntheticProfile:
     """Write a model dir (config.json, model/final.mdl, model/phones.txt,
     model/frontend.json) whose AM recognizes audio from synthesize_sentence.
@@ -124,7 +125,13 @@ def build_synthetic_profile(
     real LSTM-style back-edge at that delay whose output contribution is
     exactly zero (zero-weight projection into the Sum) — transcripts stay
     deterministic while every recurrent code path (stepwise scan, ring
-    carry, streaming state) is exercised end to end."""
+    carry, streaming state) is exercised end to end.
+
+    With ``with_ivector`` the model dir additionally ships a synthetic
+    extractor/ (final.dubm, final.ie, final.mat) and the AM consumes
+    Append(input, ReplaceIndex(ivector, t, 0)) with ZERO weights on the
+    i-vector columns — the full i-vector pipeline (splice, LDA, gselect,
+    stats, solve) runs on every decode without perturbing transcripts."""
     model_dir = Path(model_dir)
     (model_dir / "model").mkdir(parents=True, exist_ok=True)
     if frontend is None:
@@ -191,13 +198,27 @@ def build_synthetic_profile(
     log_probs[0] = 0.0
     ktm = KaldiTransitionModel(topology=topo, tuples=tuples, log_probs=log_probs)
 
+    IVEC_DIM = 8
+    if with_ivector:
+        aff_rows = np.concatenate(
+            [rows, np.zeros((rows.shape[0], IVEC_DIM), dtype=np.float32)],
+            axis=1,
+        )
+        aff_input = "Append(input, ReplaceIndex(ivector, t, 0))"
+    else:
+        aff_rows = rows
+        aff_input = "input"
     nodes = [
         NodeSpec(kind="input", name="input", dim=frontend.num_ceps),
+    ]
+    if with_ivector:
+        nodes.append(NodeSpec(kind="input", name="ivector", dim=IVEC_DIM))
+    nodes += [
         NodeSpec(
             kind="component",
             name="gauss.affine",
             component="gauss.affine",
-            input=parse_descriptor("input"),
+            input=parse_descriptor(aff_input),
         ),
         NodeSpec(
             kind="component",
@@ -210,7 +231,7 @@ def build_synthetic_profile(
         "gauss.affine": ComponentSpec(
             "gauss.affine",
             "FixedAffineComponent",
-            {"LinearParams": rows, "BiasParams": bias},
+            {"LinearParams": aff_rows, "BiasParams": bias},
         ),
         "gauss.logsoftmax": ComponentSpec(
             "gauss.logsoftmax",
@@ -333,6 +354,37 @@ def build_synthetic_profile(
             encoding="utf-8",
         ) as f:
             f.write("1\n")
+    if with_ivector:
+        from ..io.ivector import DiagGmm, IvectorExtractor
+        from ..io.kaldi_io import KaldiWriter
+
+        num_gauss, lda_out, splice = 16, 12, 3
+        spliced_dim = frontend.num_ceps * (2 * splice + 1)
+        means = rng.randn(num_gauss, lda_out) * 2.0
+        variances = 0.5 + rng.rand(num_gauss, lda_out)
+        gmm_weights = rng.dirichlet(np.ones(num_gauss))
+        dubm = DiagGmm.from_means_vars(gmm_weights, means, variances)
+        M = (rng.randn(num_gauss, lda_out, IVEC_DIM) * 0.3).astype(np.float64)
+        sigma_inv = np.zeros((num_gauss, lda_out, lda_out))
+        for i in range(num_gauss):
+            a = rng.randn(lda_out, lda_out) * 0.1
+            sigma_inv[i] = np.eye(lda_out) + a @ a.T
+        extractor = IvectorExtractor(
+            w=np.zeros((0, 0), dtype=np.float32),
+            w_vec=gmm_weights.astype(np.float32),
+            M=M.astype(np.float32),
+            sigma_inv=sigma_inv.astype(np.float32),
+            prior_offset=4.0,
+        )
+        lda = (rng.randn(lda_out, spliced_dim + 1) * 0.2).astype(np.float32)
+        ext_dir = model_dir / "extractor"
+        ext_dir.mkdir(exist_ok=True)
+        with open(ext_dir / "final.dubm", "wb") as f:
+            dubm.write(KaldiWriter(f))
+        with open(ext_dir / "final.ie", "wb") as f:
+            extractor.write(KaldiWriter(f))
+        with open(ext_dir / "final.mat", "wb") as f:
+            KaldiWriter(f).write_matrix(lda)
     with open(model_dir / "model" / "phones.txt", "w", encoding="utf-8") as f:
         phones.write_text(f)
     with open(model_dir / "model" / "frontend.json", "w", encoding="utf-8") as f:

@@ -522,3 +522,58 @@ def test_recurrent_profile_end_to_end(tmp_path):
     for want, sid in zip(texts, sids):
         got = sched.poll(sid)
         assert got and got[0] == want, (want, got)
+
+
+def test_silence_weighted_ivector_decode(tmp_path):
+    """Decoder-driven silence weighting (OnlineSilenceWeighting equivalent):
+    a first-pass alignment downweights silence frames in the i-vector
+    stats; the weighted second pass still decodes exactly."""
+    import jax.numpy as jnp
+
+    from rhasspy_speech_tpu.ops.frontend import num_frames
+    from rhasspy_speech_tpu.ops.ivector import extract_ivectors
+    from rhasspy_speech_tpu.testing.synthetic import _silence_wave
+
+    lex = {k: LEXICON[k] for k in ("turn", "on", "off", "light")}
+    profile = build_synthetic_profile(tmp_path / "m", lex, with_ivector=True)
+    train_model_sync(
+        "en",
+        {"language": "en", "intents": {"M": {"data": [
+            {"sentences": ["turn (on|off) light"]}]}}},
+        tmp_path / "t",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang = tmp_path / "t" / lang_dir_name(LangSuffix.GRAMMAR)
+
+    pcm = synthesize_sentence(profile, "turn on light", seed=1)
+    sil = _silence_wave(16000, np.random.RandomState(0))[:8000]
+    pcm_sil = np.concatenate([sil, pcm, sil])
+
+    t = Nnet3WavTranscriber(profile.model_dir, lang)
+    assert t.am.ivector_params is not None
+    assert t.transcribe_pcm_batch([pcm_sil])[0] == ["turn on light"]
+
+    tw = Nnet3WavTranscriber(profile.model_dir, lang, silence_weight=0.0)
+    assert tw.transcribe_pcm_batch([pcm_sil])[0] == ["turn on light"]
+
+    # weights from the first-pass alignment: silence edges 0, speech 1
+    cfg = tw.am.frontend_config
+    sub = tw.am.subsampling
+    n_out = -(-num_frames(cfg, pcm_sil.shape[0]) // sub)
+    feats = tw.am.features(pcm_sil[None])
+    lp = tw.am.log_probs(feats, n_out)
+    w = np.asarray(
+        tw._silence_frame_weights(lp, jnp.asarray([n_out]), feats.shape[1])
+    )
+    assert w.shape == (1, feats.shape[1])
+    assert w[0, :10].mean() < 0.5
+    assert w[0, w.shape[1] // 2] == 1.0
+
+    # and the weights genuinely change the extracted i-vector
+    iv_plain = np.asarray(extract_ivectors(feats, tw.am.ivector_params))
+    iv_weighted = np.asarray(
+        extract_ivectors(feats, tw.am.ivector_params,
+                         frame_weights=jnp.asarray(w))
+    )
+    assert np.abs(iv_plain - iv_weighted).max() > 1e-3
