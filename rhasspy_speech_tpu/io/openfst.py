@@ -35,25 +35,39 @@ class OpenFstFormatError(ValueError):
     pass
 
 
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    data = f.read(n)
+    if len(data) != n:
+        raise OpenFstFormatError(
+            f"unexpected EOF (wanted {n} bytes, got {len(data)})"
+        )
+    return data
+
+
 def _read_i32(f: BinaryIO) -> int:
-    return struct.unpack("<i", f.read(4))[0]
+    return struct.unpack("<i", _read_exact(f, 4))[0]
 
 
 def _read_i64(f: BinaryIO) -> int:
-    return struct.unpack("<q", f.read(8))[0]
+    return struct.unpack("<q", _read_exact(f, 8))[0]
 
 
 def _read_u64(f: BinaryIO) -> int:
-    return struct.unpack("<Q", f.read(8))[0]
+    return struct.unpack("<Q", _read_exact(f, 8))[0]
 
 
 def _read_f32(f: BinaryIO) -> float:
-    return struct.unpack("<f", f.read(4))[0]
+    return struct.unpack("<f", _read_exact(f, 4))[0]
 
 
 def _read_string(f: BinaryIO) -> str:
     n = _read_i32(f)
-    return f.read(n).decode("utf-8")
+    if n < 0:
+        raise OpenFstFormatError(f"bad string length {n}")
+    try:
+        return _read_exact(f, n).decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise OpenFstFormatError(f"bad string payload: {e}") from e
 
 
 def _write_i32(f: BinaryIO, v: int) -> None:
@@ -136,12 +150,37 @@ def read_openfst(f: BinaryIO) -> Fst:
 
     fst = Fst(isymbols=isymbols, osymbols=osymbols)
     if numstates != NO_STATE:
+        if numstates < 0:
+            raise OpenFstFormatError(f"bad state count {numstates}")
+        # bound a corrupt count by the remaining bytes when seekable
+        # (each state record is at least 12 bytes: final f32 + narcs i64)
+        try:
+            pos = f.tell()
+            f.seek(0, 2)
+            remaining = f.tell() - pos
+            f.seek(pos)
+            if numstates > remaining // 12 + 1:
+                raise OpenFstFormatError(
+                    f"state count {numstates} exceeds file size"
+                )
+        except OSError:
+            # unseekable stream: no size to bound against — refuse counts
+            # large enough that pre-allocating would hang on corrupt input
+            if numstates > 2**26:
+                raise OpenFstFormatError(
+                    f"state count {numstates} too large to validate on an "
+                    "unseekable stream"
+                )
         fst.add_states(numstates)
     state = 0
     while numstates == NO_STATE or state < numstates:
         data = f.read(4)
         if len(data) < 4:
-            break
+            if numstates == NO_STATE:
+                break
+            raise OpenFstFormatError(
+                f"unexpected EOF at state {state}/{numstates}"
+            )
         final = struct.unpack("<f", data)[0]
         if numstates == NO_STATE:
             while fst.num_states <= state:
@@ -149,7 +188,14 @@ def read_openfst(f: BinaryIO) -> Fst:
         if final != INF_OPENFST:
             fst.finals[state] = final
         narcs = _read_i64(f)
+        if narcs < 0 or narcs > 2**40:
+            raise OpenFstFormatError(f"bad arc count {narcs}")
         raw = f.read(16 * narcs)
+        if len(raw) != 16 * narcs:
+            raise OpenFstFormatError(
+                f"unexpected EOF in arcs of state {state} "
+                f"(wanted {16 * narcs} bytes, got {len(raw)})"
+            )
         for i in range(narcs):
             il, ol, w, ns = struct.unpack_from("<iifi", raw, 16 * i)
             fst.add_arc(state, il, ol, w, ns)
