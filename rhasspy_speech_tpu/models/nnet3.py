@@ -428,9 +428,19 @@ class CompiledNnet3:
                     out = out + p
                 return out
             if kind == "switch":
-                # Switch(d0, d1, ...): selects by t mod n; only used in rare
-                # discretized setups — implement by interleave.
-                raise NotImplementedError("Switch descriptor")
+                # Switch(d0..d_{n-1}): value at time t comes from d_{t mod n}
+                # (nnet-descriptor.h SwitchingForwardingDescriptor; the mod
+                # is normalized to [0, n) for negative t). All branches are
+                # evaluated over the block and selected per frame — the
+                # static-shape interleave XLA fuses into a select.
+                subs = desc[1]
+                n = len(subs)
+                parts = [eval_desc(s, lo, hi) for s in subs]
+                sel = jnp.asarray(np.arange(lo, hi) % n)
+                out = parts[0]
+                for i in range(1, n):
+                    out = jnp.where((sel == i)[None, :, None], parts[i], out)
+                return out
             if kind == "scale":
                 return desc[1] * eval_desc(desc[2], lo, hi)
             if kind == "const":
@@ -476,7 +486,7 @@ class CompiledNnet3:
             if kind == "offset":
                 lo, hi = _computable_range(desc[1])
                 return lo - desc[2], hi - desc[2]
-            if kind in ("append", "sum"):
+            if kind in ("append", "sum", "switch"):
                 los, his = zip(*(_computable_range(s) for s in desc[1]))
                 return max(los), min(his)
             if kind == "scale":
@@ -656,6 +666,18 @@ class CompiledNnet3:
                     out = parts[0]
                     for p in parts[1:]:
                         out = out + p
+                    return out
+                if kind == "switch":
+                    # absolute input-clock time of this step is i * stride
+                    subs = desc[1]
+                    n = len(subs)
+                    parts = [eval_desc(s, lo_t, hi_t) for s in subs]
+                    sel = (i * s + jnp.arange(lo_t, hi_t)) % n
+                    out = parts[0]
+                    for k2 in range(1, n):
+                        out = jnp.where(
+                            (sel == k2)[None, :, None], parts[k2], out
+                        )
                     return out
                 if kind == "scale":
                     return desc[1] * eval_desc(desc[2], lo_t, hi_t)

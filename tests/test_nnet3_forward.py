@@ -331,3 +331,86 @@ def test_lstm_delay3_chunked_state_matches_whole():
         outs.append(np.asarray(out))
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_switch_descriptor():
+    """Switch(a, b): frame t takes branch t mod 2 (nnet-descriptor.h
+    SwitchingForwardingDescriptor semantics)."""
+    from rhasspy_speech_tpu.io import (
+        ComponentSpec,
+        NodeSpec,
+        Nnet3Spec,
+        parse_descriptor,
+    )
+
+    rng = np.random.RandomState(21)
+    D, H = 5, 4
+    wa = (rng.randn(H, D) * 0.5).astype(np.float32)
+    wb = (rng.randn(H, D) * 0.5).astype(np.float32)
+    comps = {
+        "a": ComponentSpec("a", "FixedAffineComponent",
+                           {"LinearParams": wa,
+                            "BiasParams": np.zeros(H, np.float32)}),
+        "b": ComponentSpec("b", "FixedAffineComponent",
+                           {"LinearParams": wb,
+                            "BiasParams": np.zeros(H, np.float32)}),
+    }
+    nodes = [
+        NodeSpec(kind="input", name="input", dim=D),
+        NodeSpec(kind="component", name="a", component="a",
+                 input=parse_descriptor("input")),
+        NodeSpec(kind="component", name="b", component="b",
+                 input=parse_descriptor("input")),
+        NodeSpec(kind="output", name="output",
+                 input=parse_descriptor("Switch(a, b)")),
+    ]
+    model = compile_nnet3(Nnet3Spec(nodes=nodes, components=comps),
+                          num_out_frames=6, subsampling=1)
+    feats = rng.randn(2, model.num_input_frames, D).astype(np.float32)
+    got = np.asarray(model.forward(jnp.asarray(feats)))
+    for t in range(6):
+        w = wa if t % 2 == 0 else wb
+        want = feats[:, t] @ w.T
+        np.testing.assert_allclose(got[:, t], want, rtol=1e-5, atol=1e-5)
+
+
+def test_switch_descriptor_recurrent():
+    """Switch works inside the stepwise recurrent evaluator (selection by
+    the absolute step time, which is traced)."""
+    from rhasspy_speech_tpu.io import ComponentSpec, NodeSpec, parse_descriptor
+
+    spec = _lstmp_spec(np.random.RandomState(22))
+    plain = compile_nnet3(spec, num_out_frames=8, subsampling=1)
+
+    import copy
+
+    spec2 = _lstmp_spec(np.random.RandomState(22))
+    spec2.components["W_zero"] = ComponentSpec(
+        "W_zero", "NaturalGradientAffineComponent",
+        {"LearningRate": 1e-3,
+         "LinearParams": np.zeros((3, 4), np.float32),
+         "BiasParams": np.zeros(3, np.float32),
+         "RankIn": 20, "RankOut": 80, "UpdatePeriod": 4,
+         "NumSamplesHistory": 2000.0, "Alpha": 4.0},
+    )
+    nodes = list(spec2.nodes)
+    out_idx = next(i for i, nd in enumerate(nodes) if nd.kind == "output")
+    nodes.insert(out_idx, NodeSpec(kind="component", name="W_zero",
+                                   component="W_zero",
+                                   input=parse_descriptor("r_t")))
+    nodes[out_idx + 1] = NodeSpec(kind="output", name="output",
+                                  input=parse_descriptor("Switch(W_out, W_zero)"))
+    spec2.nodes = nodes
+    switched = compile_nnet3(spec2, num_out_frames=8, subsampling=1)
+    assert switched.recurrent
+
+    rng = np.random.RandomState(23)
+    feats = rng.randn(2, plain.num_input_frames, 6).astype(np.float32)
+    want = np.asarray(plain.forward(jnp.asarray(feats)))
+    got = np.asarray(switched.forward(jnp.asarray(feats)))
+    for t in range(8):
+        if t % 2 == 0:
+            np.testing.assert_allclose(got[:, t], want[:, t], rtol=1e-5,
+                                       atol=1e-5)
+        else:
+            np.testing.assert_allclose(got[:, t], 0.0, atol=1e-6)
