@@ -1,0 +1,288 @@
+"""Kaldi lattice binary I/O: Lattice / CompactLattice (+ ark archives).
+
+Format parity with lat/kaldi-lattice.cc (reference kaldi):
+- A binary (Compact)Lattice is an OpenFST VectorFst serialization whose arc
+  type is one of "lattice4"/"lattice8" (weight = graph_cost, acoustic_cost
+  as f32/f64 pairs; fstext/lattice-weight.h:84-87,141-145) or
+  "compactlattice44"/"compactlattice48" (that pair + an int32-counted string
+  of int32 transition-ids; lattice-weight.h:471-474,532-543).
+- Ark archives frame each entry as ``key`` + ' ' + "\\0B" + object
+  (kaldi-lattice.cc:62-70 via Table I/O), exactly like matrix arks.
+
+CompactLattice here is an ACCEPTOR over word ids whose weights carry
+(graph_cost, acoustic_cost, transition-id string) — the exchange format the
+reference pipes between latgen / lattice-* binaries (transcribe_wav.py:45-202).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import BinaryIO, Dict, Iterator, List, Optional, Tuple, Union
+
+from .openfst import (
+    FST_MAGIC,
+    NO_STATE,
+    OpenFstFormatError,
+    _read_exact,
+    _read_i32,
+    _read_i64,
+    _read_string,
+    _read_u64,
+    _write_i32,
+    _write_i64,
+    _write_string,
+    _write_u64,
+)
+
+# weight = (graph_cost, acoustic_cost, transition_ids)
+CompactWeight = Tuple[float, float, Tuple[int, ...]]
+# arc = (word_label, graph_cost, acoustic_cost, transition_ids, nextstate)
+CompactArc = Tuple[int, float, float, Tuple[int, ...], int]
+
+_FLOAT_FMT = {"4": ("<f", 4), "8": ("<d", 8)}
+
+
+@dataclass
+class KaldiCompactLattice:
+    """A CompactLattice: word acceptor, weights (graph, acoustic, tid string)."""
+
+    start: int = -1
+    arcs: List[List[CompactArc]] = field(default_factory=list)
+    finals: Dict[int, CompactWeight] = field(default_factory=dict)
+
+    @property
+    def num_states(self) -> int:
+        return len(self.arcs)
+
+    def num_arcs(self) -> int:
+        return sum(len(a) for a in self.arcs)
+
+    def add_state(self) -> int:
+        self.arcs.append([])
+        return len(self.arcs) - 1
+
+    def to_fst(self, acoustic_scale: float = 1.0):
+        """Collapse to a host Fst acceptor over words with combined cost
+        graph + acoustic_scale * acoustic (lattice-scale semantics), for the
+        generic toolbox (compose/shortest_path/nbest)."""
+        from ..fst.core import Fst
+
+        fst = Fst()
+        fst.add_states(self.num_states)
+        fst.start = self.start
+        for s, arcs in enumerate(self.arcs):
+            for word, g, a, _tids, ns in arcs:
+                fst.add_arc(s, word, word, g + acoustic_scale * a, ns)
+        for s, (g, a, _tids) in self.finals.items():
+            fst.set_final(s, g + acoustic_scale * a)
+        return fst
+
+
+def _read_compact_weight(f: BinaryIO, fmt: str, size: int) -> CompactWeight:
+    g, a = (
+        struct.unpack(fmt, _read_exact(f, size))[0],
+        struct.unpack(fmt, _read_exact(f, size))[0],
+    )
+    n = _read_i32(f)
+    if n < 0 or n > 2**24:
+        raise OpenFstFormatError(f"bad lattice string size {n}")
+    tids = tuple(
+        struct.unpack_from("<%di" % n, _read_exact(f, 4 * n))
+    ) if n else ()
+    return float(g), float(a), tids
+
+
+def _read_plain_weight(f: BinaryIO, fmt: str, size: int) -> Tuple[float, float]:
+    g = struct.unpack(fmt, _read_exact(f, size))[0]
+    a = struct.unpack(fmt, _read_exact(f, size))[0]
+    return float(g), float(a)
+
+
+_F32_INF = float("inf")
+
+
+def read_lattice(f: BinaryIO) -> KaldiCompactLattice:
+    """Read one binary (Compact)Lattice; plain lattices (arc types
+    lattice4/8, ilabel=transition-id, olabel=word) are converted to the
+    compact form the way ConvertToCompactLattice does (word acceptor with
+    per-arc singleton tid strings; kaldi-lattice.cc:304-346)."""
+    magic = _read_i32(f)
+    if magic != FST_MAGIC:
+        raise OpenFstFormatError(f"bad FST magic {magic}")
+    fsttype = _read_string(f)
+    arctype = _read_string(f)
+    _version = _read_i32(f)
+    _flags = _read_i32(f)
+    _properties = _read_u64(f)
+    start = _read_i64(f)
+    numstates = _read_i64(f)
+    _numarcs = _read_i64(f)
+    if fsttype != "vector":
+        raise OpenFstFormatError(f"unsupported lattice fst type {fsttype!r}")
+    compact = arctype.startswith("compactlattice")
+    plain = arctype.startswith("lattice") and not compact
+    if not (compact or plain):
+        raise OpenFstFormatError(f"not a lattice arc type: {arctype!r}")
+    fsz = arctype[-1] if plain else arctype[-2]
+    if fsz not in _FLOAT_FMT:
+        raise OpenFstFormatError(f"bad lattice arc type {arctype!r}")
+    fmt, size = _FLOAT_FMT[fsz]
+    if compact and arctype[-1] != "4":
+        raise OpenFstFormatError(
+            f"unsupported lattice int width in {arctype!r}"
+        )
+    if numstates < 0 or numstates > 2**40:
+        raise OpenFstFormatError(f"bad state count {numstates}")
+
+    lat = KaldiCompactLattice(start=int(start) if start != NO_STATE else -1)
+    for _ in range(numstates):
+        lat.add_state()
+    for s in range(numstates):
+        if compact:
+            fw = _read_compact_weight(f, fmt, size)
+            if not (fw[0] == _F32_INF and fw[1] == _F32_INF):
+                lat.finals[s] = fw
+        else:
+            g, a = _read_plain_weight(f, fmt, size)
+            if not (g == _F32_INF and a == _F32_INF):
+                lat.finals[s] = (g, a, ())
+        narcs = _read_i64(f)
+        if narcs < 0 or narcs > 2**40:
+            raise OpenFstFormatError(f"bad arc count {narcs}")
+        for _ in range(narcs):
+            il = _read_i32(f)
+            ol = _read_i32(f)
+            if compact:
+                g, a, tids = _read_compact_weight(f, fmt, size)
+                ns = _read_i32(f)
+                lat.arcs[s].append((il, g, a, tids, ns))
+            else:
+                g, a = _read_plain_weight(f, fmt, size)
+                ns = _read_i32(f)
+                # plain lattice: ilabel = transition-id, olabel = word
+                lat.arcs[s].append((ol, g, a, (il,) if il else (), ns))
+    return lat
+
+
+def write_compact_lattice(f: BinaryIO, lat: KaldiCompactLattice) -> None:
+    """Write binary arc type compactlattice44 (the format every Kaldi
+    lattice tool consumes)."""
+    _write_i32(f, FST_MAGIC)
+    _write_string(f, "vector")
+    _write_string(f, "compactlattice44")
+    _write_i32(f, 2)  # version
+    _write_i32(f, 0)  # flags: no symbol tables
+    _write_u64(f, 0)  # properties
+    _write_i64(f, lat.start if lat.start >= 0 else NO_STATE)
+    _write_i64(f, lat.num_states)
+    _write_i64(f, lat.num_arcs())
+
+    def w_weight(g: float, a: float, tids: Tuple[int, ...]) -> None:
+        f.write(struct.pack("<f", g))
+        f.write(struct.pack("<f", a))
+        _write_i32(f, len(tids))
+        for t in tids:
+            _write_i32(f, t)
+
+    for s in range(lat.num_states):
+        if s in lat.finals:
+            w_weight(*lat.finals[s])
+        else:
+            w_weight(_F32_INF, _F32_INF, ())
+        _write_i64(f, len(lat.arcs[s]))
+        for word, g, a, tids, ns in lat.arcs[s]:
+            _write_i32(f, word)
+            _write_i32(f, word)
+            w_weight(g, a, tids)
+            _write_i32(f, ns)
+
+
+def read_lattice_ark(
+    path: Union[str, Path]
+) -> Iterator[Tuple[str, KaldiCompactLattice]]:
+    """Iterate (utterance key, lattice) from a binary lattice ark."""
+    with open(path, "rb") as f:
+        while True:
+            key_chars: List[bytes] = []
+            while True:
+                c = f.read(1)
+                if not c:
+                    if key_chars:
+                        raise OpenFstFormatError("EOF inside ark key")
+                    return
+                if c == b" ":
+                    break
+                key_chars.append(c)
+            key = b"".join(key_chars).decode("utf-8")
+            header = f.read(2)
+            if header != b"\x00B":
+                raise OpenFstFormatError(
+                    f"entry {key!r}: not in binary mode (got {header!r})"
+                )
+            yield key, read_lattice(f)
+
+
+def write_lattice_ark(
+    path: Union[str, Path],
+    items: Iterator[Tuple[str, KaldiCompactLattice]],
+) -> None:
+    with open(path, "wb") as f:
+        for key, lat in items:
+            f.write(key.encode("utf-8") + b" \x00B")
+            write_compact_lattice(f, lat)
+
+
+def compact_lattice_from_decode(
+    lattice,  # ops.lattice.Lattice
+    graph,  # graph.dense.DenseGraph
+) -> KaldiCompactLattice:
+    """Export a decode lattice (ops/lattice.py) as a word-level
+    CompactLattice. Transition-id strings are left empty: the dense TPU
+    graph folds epsilon closures at build time, so frame-level alignments
+    are not retained — word-level rescoring/composition tools still apply."""
+    out = KaldiCompactLattice()
+    # + a superfinal state so multi-word word sequences can be spelled out
+    for _ in range(lattice.num_nodes):
+        out.add_state()
+
+    def emit_words(src: int, words: Tuple[int, ...], cost: float,
+                   dst: Optional[int]) -> None:
+        """Chain of single-word arcs from src, ending at dst (or final)."""
+        cur = src
+        seq = [w for w in words if w != 0]
+        if dst is None and not seq:
+            out.finals[cur] = (cost, 0.0, ())
+            return
+        for i, w in enumerate(seq):
+            last = i == len(seq) - 1
+            if last and dst is not None:
+                nxt = dst
+            else:
+                nxt = out.add_state()
+            out.arcs[cur].append((w, cost if i == 0 else 0.0, 0.0, (), nxt))
+            cur = nxt
+        if dst is None:
+            out.finals[cur] = (0.0, 0.0, ())
+        elif not seq:
+            out.arcs[cur].append((0, cost, 0.0, (), dst))
+
+    start = out.add_state()
+    out.start = start
+    for n in lattice.starts:
+        state = lattice.node_frame_state[n][1]
+        words = graph.words_of(int(graph.init_wseq[state]))
+        emit_words(start, tuple(words), float(graph.init_weight[state]), n)
+    for src, dst, wseq, cost in lattice.arcs:
+        emit_words(src, tuple(graph.words_of(wseq)), cost, dst)
+    for n, fcost in lattice.finals.items():
+        state = lattice.node_frame_state[n][1]
+        words = tuple(graph.words_of(int(graph.final_wseq[state])))
+        if words:
+            tail = out.add_state()
+            emit_words(n, words, fcost, tail)
+            out.finals[tail] = (0.0, 0.0, ())
+        else:
+            out.finals[n] = (fcost, 0.0, ())
+    return out

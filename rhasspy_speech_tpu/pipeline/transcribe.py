@@ -125,6 +125,28 @@ class AcousticModel:
         self.frontend_config = frontend
         self.frontend_params = make_frontend_params(frontend)
         self.subsampling = subsampling
+
+        # Optional Kaldi pitch features appended to MFCCs, enabled the way
+        # prepare_online_decoding.sh does: --add-pitch=true in online.conf
+        # (online2/online-nnet2-feature-pipeline.cc:90-140).
+        self.pitch_config = None
+        online_conf = model_dir / "model" / "conf" / "online.conf"
+        if online_conf.exists():
+            text = online_conf.read_text(encoding="utf-8")
+            if "--add-pitch=true" in text.replace(" ", ""):
+                from ..ops.pitch import PitchConfig, pitch_config_from_conf
+
+                pitch_conf = model_dir / "model" / "conf" / "pitch.conf"
+                if pitch_conf.exists():
+                    self.pitch_config = pitch_config_from_conf(
+                        pitch_conf, samp_freq=frontend.samp_freq
+                    )
+                else:
+                    self.pitch_config = PitchConfig(
+                        samp_freq=frontend.samp_freq,
+                        frame_shift_ms=frontend.frame_shift_ms,
+                        frame_length_ms=frontend.frame_length_ms,
+                    )
         self._buckets: Dict[int, _CompiledBucket] = {}
         self._has_ivector = any(
             n.kind == "input" and n.name == "ivector" for n in self.spec.nodes
@@ -188,8 +210,31 @@ class AcousticModel:
         if platform == "tpu" and self.frontend_config.dither == 0.0:
             from ..ops.pallas_mfcc import mfcc_pallas
 
-            return mfcc_pallas(self.frontend_config, jnp.asarray(pcm_batch))
-        return mfcc_batch(self.frontend_params, jnp.asarray(pcm_batch))
+            mfcc = mfcc_pallas(self.frontend_config, jnp.asarray(pcm_batch))
+        else:
+            mfcc = mfcc_batch(self.frontend_params, jnp.asarray(pcm_batch))
+        if self.pitch_config is not None:
+            mfcc = self._append_pitch(mfcc, pcm_batch)
+        return mfcc
+
+    def _append_pitch(
+        self, mfcc: jnp.ndarray, pcm_batch: np.ndarray
+    ) -> jnp.ndarray:
+        """Append 3-dim Kaldi pitch features, aligned to the MFCC frame
+        count (the online pipeline repeats the last pitch frame when the
+        4 kHz pitch stream yields fewer frames)."""
+        from ..ops.pitch import pitch_batch
+
+        pf = pitch_batch(self.pitch_config, jnp.asarray(pcm_batch))
+        T = mfcc.shape[1]
+        Tp = pf.shape[1]
+        if Tp >= T:
+            pf = pf[:, :T]
+        else:
+            pf = jnp.concatenate(
+                [pf, jnp.repeat(pf[:, -1:], T - Tp, axis=1)], axis=1
+            )
+        return jnp.concatenate([mfcc, pf], axis=-1)
 
     def log_probs(
         self,
@@ -532,6 +577,22 @@ class Nnet3WavTranscriber:
             ),
             acoustic_scale=self.acoustic_scale,
         )
+
+    def get_compact_lattice(
+        self,
+        wav_path: Union[str, Path],
+        lattice_beam: Optional[float] = None,
+    ):
+        """Word-level Kaldi CompactLattice for one utterance — writable to
+        lattice arks with io.lattice_io.write_lattice_ark for interchange
+        with Kaldi's lattice-* tools (the ark format transcribe_wav.py pipes
+        between binaries)."""
+        from ..io.lattice_io import compact_lattice_from_decode
+
+        lat = self.get_lattice(wav_path, lattice_beam=lattice_beam)
+        if lat is None:
+            return None
+        return compact_lattice_from_decode(lat, self.artifacts.graph)
 
     def confidence_pcm(self, pcm: np.ndarray, n: int = 8) -> float:
         """Posterior of the 1-best transcript over the lattice's n-best

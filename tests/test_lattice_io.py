@@ -1,0 +1,127 @@
+"""Kaldi lattice binary I/O: round-trips + export from decode lattices."""
+
+import io
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rhasspy_speech_tpu.io.lattice_io import (
+    KaldiCompactLattice,
+    compact_lattice_from_decode,
+    read_lattice,
+    read_lattice_ark,
+    write_compact_lattice,
+    write_lattice_ark,
+)
+
+
+def _toy_lattice():
+    lat = KaldiCompactLattice()
+    for _ in range(4):
+        lat.add_state()
+    lat.start = 0
+    lat.arcs[0].append((5, 1.0, 2.5, (3, 4, 5), 1))
+    lat.arcs[0].append((7, 0.5, 1.5, (9,), 2))
+    lat.arcs[1].append((8, 0.25, 0.0, (), 3))
+    lat.arcs[2].append((8, 0.75, 0.25, (1, 2), 3))
+    lat.finals[3] = (0.125, 0.25, (11,))
+    return lat
+
+
+def test_compact_lattice_roundtrip():
+    lat = _toy_lattice()
+    buf = io.BytesIO()
+    write_compact_lattice(buf, lat)
+    buf.seek(0)
+    got = read_lattice(buf)
+    assert got.start == 0 and got.num_states == 4
+    assert got.arcs == lat.arcs
+    assert got.finals == lat.finals
+
+
+def test_lattice_ark_roundtrip(tmp_path):
+    lat = _toy_lattice()
+    path = tmp_path / "lat.ark"
+    write_lattice_ark(path, [("utt1", lat), ("utt2", lat)])
+    entries = list(read_lattice_ark(path))
+    assert [k for k, _ in entries] == ["utt1", "utt2"]
+    for _, got in entries:
+        assert got.arcs == lat.arcs and got.finals == lat.finals
+
+
+def test_plain_lattice_converts_to_compact():
+    """Arc type lattice4 (ilabel=tid, olabel=word) reads as a word acceptor
+    with singleton tid strings."""
+    import struct
+
+    from rhasspy_speech_tpu.io.openfst import (
+        FST_MAGIC,
+        _write_i32,
+        _write_i64,
+        _write_string,
+        _write_u64,
+    )
+
+    buf = io.BytesIO()
+    _write_i32(buf, FST_MAGIC)
+    _write_string(buf, "vector")
+    _write_string(buf, "lattice4")
+    _write_i32(buf, 2)
+    _write_i32(buf, 0)
+    _write_u64(buf, 0)
+    _write_i64(buf, 0)  # start
+    _write_i64(buf, 2)  # states
+    _write_i64(buf, 1)  # arcs
+    INF = float("inf")
+    # state 0: non-final, one arc tid=42, word=7, (g=0.5, a=1.25) -> state 1
+    buf.write(struct.pack("<ff", INF, INF))
+    _write_i64(buf, 1)
+    _write_i32(buf, 42)
+    _write_i32(buf, 7)
+    buf.write(struct.pack("<ff", 0.5, 1.25))
+    _write_i32(buf, 1)
+    # state 1: final (0.0, 0.0), no arcs
+    buf.write(struct.pack("<ff", 0.0, 0.0))
+    _write_i64(buf, 0)
+    buf.seek(0)
+    lat = read_lattice(buf)
+    assert lat.arcs[0] == [(7, 0.5, 1.25, (42,), 1)]
+    assert lat.finals[1] == (0.0, 0.0, ())
+
+
+def test_export_decode_lattice(tmp_path):
+    """A TPU decode lattice exports to CompactLattice whose best path (word
+    sequence + cost) matches the in-memory lattice's."""
+    from rhasspy_speech_tpu.fst.core import EPS_ID
+    from rhasspy_speech_tpu.fst.ops import shortest_path
+    from rhasspy_speech_tpu.ops.decoder import DeviceGraph
+    from rhasspy_speech_tpu.ops.lattice import build_lattice, forward_backward
+
+    from tests.test_decoder import _random_graph
+
+    rng = np.random.RandomState(77)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(1, 9))).astype(
+        np.float32
+    )
+    alphas, betas = (
+        np.asarray(v) for v in forward_backward(dev, jnp.asarray(lp))
+    )
+    lat = build_lattice(graph, alphas, betas, lp, 0, lattice_beam=10.0)
+    want_words, want_cost = lat.shortest_path_words(graph)
+
+    clat = compact_lattice_from_decode(lat, graph)
+    # binary round-trip, then best path via the generic toolbox
+    buf = io.BytesIO()
+    write_compact_lattice(buf, clat)
+    buf.seek(0)
+    clat2 = read_lattice(buf)
+    best = shortest_path(clat2.to_fst(acoustic_scale=1.0), nshortest=1)
+    paths = best.paths()
+    assert len(paths) == 1
+    ipath, _opath, weight = paths[0]
+    got_words = [w for w in ipath if w != EPS_ID]
+    assert got_words == [w for w in want_words if w != 0]
+    np.testing.assert_allclose(weight, want_cost, rtol=1e-4)
