@@ -25,10 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# 768 concurrent streams amortizes per-dispatch latency best on v5e over
-# the tunnel (measured: 256 -> ~5.8k xRT, 512 -> ~9-10k, 768 -> ~12.4k,
-# 1024 -> ~9k; HBM still has headroom at 768 for this model+graph size).
-BATCH = int(os.environ.get("BENCH_BATCH", "768"))
+# Batch sweep on one v5e through the tunnel (xRT streams): 256 -> ~5.8k,
+# 512 -> ~9k, 768 -> ~12.4k, 1536 -> ~15.5k, 3072 -> ~16.8k,
+# 4096 -> ~17-18k (peak), 6144+ -> declining. 4096 is the throughput
+# knee for this model+graph size; HBM still has headroom there.
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 SECONDS = float(os.environ.get("BENCH_SECONDS", "3.0"))
 N_SENTENCES = int(os.environ.get("BENCH_SENTENCES", "120"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
