@@ -114,12 +114,36 @@ def frontend_from_mfcc_conf(path) -> FrontendConfig:
 
 
 def num_frames(cfg: FrontendConfig, num_samples: int) -> int:
-    """Frame count for snip_edges=True (feature-window.cc NumFrames)."""
+    """Frame count (feature-window.cc NumFrames; snip_edges=False uses the
+    flush=true count: round(num_samples / frame_shift))."""
     if not cfg.snip_edges:
-        raise NotImplementedError("snip_edges=False is not used by the reference path")
+        return (num_samples + cfg.frame_shift // 2) // cfg.frame_shift
     if num_samples < cfg.frame_length:
         return 0
     return 1 + (num_samples - cfg.frame_length) // cfg.frame_shift
+
+
+def frame_indices(cfg: FrontendConfig, num_samples: int) -> np.ndarray:
+    """[T, frame_length] sample indices per frame.
+
+    snip_edges=True: frame f starts at f*shift, fully inside the signal.
+    snip_edges=False: frame f is centered at f*shift + shift/2, with
+    out-of-range samples reflected around the signal edges
+    (feature-window.cc FirstSampleOfFrame:30-41, ExtractWindow:199-216)."""
+    T = num_frames(cfg, num_samples)
+    if cfg.snip_edges:
+        starts = np.arange(T) * cfg.frame_shift
+        return starts[:, None] + np.arange(cfg.frame_length)[None, :]
+    starts = (
+        np.arange(T) * cfg.frame_shift
+        + cfg.frame_shift // 2
+        - cfg.frame_length // 2
+    )
+    idx = starts[:, None] + np.arange(cfg.frame_length)[None, :]
+    for _ in range(2):  # repeated reflection only for pathological lengths
+        idx = np.where(idx < 0, -idx - 1, idx)
+        idx = np.where(idx >= num_samples, 2 * num_samples - 1 - idx, idx)
+    return np.clip(idx, 0, num_samples - 1)
 
 
 def _mel_scale(freq: np.ndarray) -> np.ndarray:
@@ -220,12 +244,11 @@ def make_frontend_params(cfg: FrontendConfig, dtype=jnp.float32) -> FrontendPara
     )
 
 
-def _frames_from_samples(samples: jnp.ndarray, frame_length: int, frame_shift: int,
-                         n_frames: int) -> jnp.ndarray:
-    """[B, S] -> [B, T, frame_length] strided frame gather."""
-    starts = jnp.arange(n_frames) * frame_shift
-    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
-    return samples[:, idx]
+def _frames_from_samples(samples: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """[B, S] -> [B, T, frame_length] frame gather (handles both
+    snip_edges modes via frame_indices)."""
+    idx = frame_indices(cfg, samples.shape[1])
+    return samples[:, jnp.asarray(idx)]
 
 
 def mfcc_batch(
@@ -251,7 +274,7 @@ def mfcc_batch(
     if T == 0:
         return jnp.zeros((B, 0, cfg.num_ceps), dtype=samples.dtype)
 
-    frames = _frames_from_samples(samples, cfg.frame_length, cfg.frame_shift, T)
+    frames = _frames_from_samples(samples, cfg)
 
     if cfg.dither != 0.0 and dither_key is not None:
         noise = jax.random.normal(dither_key, frames.shape, dtype=frames.dtype)
@@ -329,9 +352,10 @@ def mfcc_numpy(cfg: FrontendConfig, samples: np.ndarray) -> np.ndarray:
     padded = cfg.padded_window_size
     eps = float(np.finfo(np.float32).eps)
 
+    idx = frame_indices(cfg, samples.shape[0])
     out = np.zeros((T, cfg.num_ceps), dtype=np.float64)
     for t in range(T):
-        frame = samples[t * cfg.frame_shift : t * cfg.frame_shift + cfg.frame_length].copy()
+        frame = samples[idx[t]].copy()
         if cfg.remove_dc_offset:
             frame -= frame.mean()
         if cfg.use_energy and cfg.raw_energy:

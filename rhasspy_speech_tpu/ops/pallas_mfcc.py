@@ -146,9 +146,10 @@ def mfcc_pallas(
     padded = cfg.padded_window_size
 
     # Framing gather outside the kernel: [B, T, padded] with zero tail
-    starts = np.arange(T) * cfg.frame_shift
-    idx = starts[:, None] + np.arange(cfg.frame_length)[None, :]
-    frames = samples[:, idx]  # [B, T, frame_length]
+    from .frontend import frame_indices
+
+    idx = frame_indices(cfg, S)
+    frames = samples[:, jnp.asarray(idx)]  # [B, T, frame_length]
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - cfg.frame_length)))
 
     kernel = functools.partial(_kernel, cfg=cfg)

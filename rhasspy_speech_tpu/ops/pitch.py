@@ -219,7 +219,6 @@ def pitch_track(
     norm = e1[:, :, None] * e2
 
     # cumulative signal variance up to each frame end (ballast, online mode)
-    ends = jnp.asarray(starts + full, dtype=jnp.float32)
     csum = jnp.cumsum(ds, axis=1)
     csum2 = jnp.cumsum(ds * ds, axis=1)
     end_i = np.minimum(starts + full, n_ds) - 1

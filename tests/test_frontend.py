@@ -127,3 +127,39 @@ def test_frontend_from_mfcc_conf(tmp_path):
     assert cfg.high_freq == -400.0
     assert cfg.use_energy is False
     assert cfg.dither == 0.0
+
+
+def test_snip_edges_false_matches_numpy():
+    """snip_edges=False: centered frames with edge reflection
+    (feature-window.cc FirstSampleOfFrame/ExtractWindow semantics)."""
+    from rhasspy_speech_tpu.ops.frontend import (
+        FrontendConfig,
+        frame_indices,
+        make_frontend_params,
+        mfcc_batch,
+        mfcc_numpy,
+        num_frames,
+    )
+
+    cfg = FrontendConfig(snip_edges=False, num_mel_bins=20, num_ceps=13)
+    rng = np.random.RandomState(8)
+    S = 16000 + 123  # not a multiple of the shift
+    pcm = (1000 * rng.randn(S)).astype(np.float32)
+
+    # frame count = round(S / shift)
+    assert num_frames(cfg, S) == (S + cfg.frame_shift // 2) // cfg.frame_shift
+
+    # first frame's indices reflect around the start: -1 -> 0, -2 -> 1, ...
+    idx = frame_indices(cfg, S)
+    start = cfg.frame_shift // 2 - cfg.frame_length // 2  # negative
+    lead = -start
+    np.testing.assert_array_equal(idx[0, :lead], np.arange(lead)[::-1])
+    np.testing.assert_array_equal(
+        idx[0, lead:], np.arange(cfg.frame_length - lead)
+    )
+    # last frame reflects around the end
+    assert idx[-1].max() == S - 1
+
+    got = np.asarray(mfcc_batch(make_frontend_params(cfg), jnp.asarray(pcm[None])))[0]
+    want = mfcc_numpy(cfg, pcm)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
