@@ -246,6 +246,114 @@ def witten_bell(counts: NgramCounts, order: int) -> ArpaModel:
     return model
 
 
+def kneser_ney(
+    counts: NgramCounts, order: int, discount: Optional[float] = None
+) -> ArpaModel:
+    """Interpolated Kneser-Ney in backoff ARPA form (the ngrammake
+    --method=kneser_ney alternative the reference's toolchain offers,
+    ngrammake-main.cc:78).
+
+    Highest order uses raw counts; lower orders use continuation (distinct
+    left-context) counts. The interpolated probabilities are stored
+    directly, with backoff weights D*T(h)/denom(h) — the standard
+    "interpolated model in backoff form" every ARPA consumer (including
+    pipeline/fuzzy.lm_score's phi walk) evaluates correctly."""
+    by_order: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    for ngram, count in counts.items():
+        if len(ngram) <= order:
+            by_order[len(ngram) - 1][ngram] = count
+
+    vocab = {ng[0] for ng in by_order[0]}
+    vocab.discard(BOS)
+    v_size = max(1, len(vocab))
+
+    if discount is None:
+        # Ney's estimate from counts-of-counts at the highest order when the
+        # counts are near-integers; 0.75 otherwise (weighted FST counts).
+        top = list(by_order[order - 1].values()) or list(by_order[0].values())
+        if top and all(abs(c - round(c)) < 1e-6 for c in top):
+            n1 = sum(1 for c in top if round(c) == 1)
+            n2 = sum(1 for c in top if round(c) == 2)
+            discount = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75
+        else:
+            discount = 0.75
+    D = float(discount)
+
+    # Effective counts per level: raw at the top, continuation types below.
+    eff: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    eff[order - 1] = dict(by_order[order - 1])
+    for n in range(order - 1, 0, -1):
+        # continuation count of an n-gram = #distinct words preceding it
+        # among the (n+1)-grams
+        cont: Dict[Tuple[str, ...], float] = {}
+        for ngram in by_order[n]:
+            cont[ngram[1:]] = cont.get(ngram[1:], 0.0) + 1.0
+        # n-grams with no observed left extension (e.g. starting with <s>)
+        # keep their raw counts
+        for ngram, c in by_order[n - 1].items():
+            eff[n - 1][ngram] = cont.get(ngram, c if ngram[0] == BOS else 0.0)
+        for ngram, c in cont.items():
+            eff[n - 1].setdefault(ngram, c)
+
+    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+
+    # Unigrams from continuation mass, discounted + interpolated to uniform
+    z = sum(c for ng, c in eff[0].items() if ng[0] != BOS)
+    t0 = sum(1 for ng in eff[0] if ng[0] != BOS)
+    z = max(z, 1e-10)
+    for ngram, c in eff[0].items():
+        if ngram[0] == BOS:
+            continue
+        probs[0][ngram] = max(c - D, 0.0) / z + D * t0 / z * (1.0 / v_size)
+
+    for n in range(2, order + 1):
+        level = eff[n - 1]
+        hist_count: Dict[Tuple[str, ...], float] = {}
+        hist_types: Dict[Tuple[str, ...], int] = {}
+        for ngram, c in level.items():
+            hist = ngram[:-1]
+            hist_count[hist] = hist_count.get(hist, 0.0) + c
+            hist_types[hist] = hist_types.get(hist, 0) + 1
+        for ngram, c in level.items():
+            hist = ngram[:-1]
+            denom = max(hist_count[hist], 1e-10)
+            lam = D * hist_types[hist] / denom
+            lower = probs[n - 2].get(ngram[1:], 1.0 / v_size)
+            probs[n - 1][ngram] = max(c - D, 0.0) / denom + lam * lower
+
+    model = ArpaModel(order=order, ngrams=[dict() for _ in range(order)])
+
+    def log10_safe(p: float) -> float:
+        return math.log10(p) if p > 0 else _LOG10_MIN
+
+    for n in range(1, order + 1):
+        level = by_order[n - 1]
+        next_eff = eff[n] if n < order else {}
+        next_hist_count: Dict[Tuple[str, ...], float] = {}
+        next_hist_types: Dict[Tuple[str, ...], int] = {}
+        for ngram, c in next_eff.items():
+            hist = ngram[:-1]
+            next_hist_count[hist] = next_hist_count.get(hist, 0.0) + c
+            next_hist_types[hist] = next_hist_types.get(hist, 0) + 1
+
+        for ngram in level:
+            if n == 1 and ngram[0] == BOS:
+                logp = _LOG10_MIN
+            else:
+                logp = log10_safe(probs[n - 1].get(ngram, 0.0))
+            backoff: Optional[float] = None
+            if n < order and (ngram in next_hist_count or ngram[-1] != EOS):
+                c_h = next_hist_count.get(ngram, 0.0)
+                t_h = next_hist_types.get(ngram, 0)
+                if t_h > 0:
+                    backoff = log10_safe(D * t_h / max(c_h, 1e-10))
+                elif ngram[-1] != EOS:
+                    backoff = 0.0
+            model.ngrams[n - 1][ngram] = (logp, backoff)
+
+    return model
+
+
 # ---------------------------------------------------------------------------
 # ARPA → G.fst
 # ---------------------------------------------------------------------------
@@ -334,7 +442,15 @@ def make_arpa_from_fst(
     grammar_fst: Fst,
     order: int = 3,
     symbols: Optional[SymbolTable] = None,
+    method: str = "witten_bell",
 ) -> ArpaModel:
-    """ngramcount | ngrammake --method=witten_bell | ngramprint --ARPA."""
+    """ngramcount | ngrammake --method=<method> | ngramprint --ARPA.
+
+    witten_bell is the reference's choice (kaldi.py:274-291);
+    kneser_ney is the other common ngrammake method."""
     counts = count_ngrams(grammar_fst, order, symbols=symbols)
-    return witten_bell(counts, order)
+    if method == "witten_bell":
+        return witten_bell(counts, order)
+    if method == "kneser_ney":
+        return kneser_ney(counts, order)
+    raise ValueError(f"unknown smoothing method {method!r}")

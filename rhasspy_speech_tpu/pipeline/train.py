@@ -91,6 +91,7 @@ def train_model_sync(
     words: Optional[Dict[str, Union[str, List[str]]]] = None,
     lang_suffixes: Optional[Collection[LangSuffix]] = None,
     rescore_order: int = 5,
+    smoothing: str = "witten_bell",
 ) -> None:
     train_dir = Path(train_dir)
     model_dir = Path(model_dir)
@@ -240,7 +241,9 @@ def train_model_sync(
                 g_text_transducer, ctx.vocab, lang.words, self_loops=False
             )
         elif suffix == LangSuffix.ARPA:
-            arpa = make_arpa_from_fst(g_grammar, order=3, symbols=lang.words)
+            arpa = make_arpa_from_fst(
+                g_grammar, order=3, symbols=lang.words, method=smoothing
+            )
             g = arpa_to_fst(arpa, lang.words)
             # The reference's ARPA fuzzy also copies the raw template
             # transducer (kaldi.py:343-349 finds G.arpa.fst.txt, written
@@ -251,7 +254,8 @@ def train_model_sync(
             )
         elif suffix == LangSuffix.ARPA_RESCORE:
             arpa = make_arpa_from_fst(
-                g_grammar, order=rescore_order, symbols=lang.words
+                g_grammar, order=rescore_order, symbols=lang.words,
+                method=smoothing,
             )
             g = arpa_to_fst(arpa, lang.words)
             fuzzy = None

@@ -348,3 +348,88 @@ def test_lm_score_matches_phi_composition():
         # shortest path, and equal when backoff is forced (no double match)
         if walk != float("inf") and total != INF:
             assert walk >= total - 1e-4, (seq_words, walk, total)
+
+
+def test_kneser_ney_probabilities_sum_to_one():
+    """Interpolated KN in backoff form: per-history total mass ~= 1."""
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import kneser_ney
+
+    table = SymbolTable()
+    fst = _sentence_fst(
+        ["a b", "a c", "b c a", "a b c", "c a"], table
+    )
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+    arpa = kneser_ney(counts, order=2)
+
+    unigrams = {
+        ng[0]: 10 ** logp
+        for ng, (logp, _b) in arpa.ngrams[0].items()
+        if ng[0] != "<s>"
+    }
+    assert sum(unigrams.values()) == pytest.approx(1.0, abs=0.02)
+    for hist_tuple, (_p, backoff) in arpa.ngrams[0].items():
+        if backoff is None:
+            continue
+        hist = hist_tuple[0]
+        seen = {
+            ng[1]: 10 ** logp
+            for ng, (logp, _) in arpa.ngrams[1].items()
+            if ng[0] == hist
+        }
+        alpha = 10 ** backoff
+        unseen_mass = sum(p for w, p in unigrams.items() if w not in seen)
+        total = sum(seen.values()) + alpha * unseen_mass
+        assert total == pytest.approx(1.0, abs=0.02), hist
+
+
+def test_kneser_ney_continuation_effect():
+    """KN's signature: a word frequent in ONE context only gets a smaller
+    unigram (continuation) probability than a word of equal raw frequency
+    spread over many contexts."""
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import kneser_ney
+
+    table = SymbolTable()
+    # 'x' appears 4x but ALWAYS after 'q'; 'y' appears 4x after 4 contexts
+    sents = ["q x", "q x", "q x", "q x",
+             "a y", "b y", "c y", "d y"]
+    fst = _sentence_fst(sents, table)
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+    arpa = kneser_ney(counts, order=2)
+    p_x = 10 ** arpa.ngrams[0][("x",)][0]
+    p_y = 10 ** arpa.ngrams[0][("y",)][0]
+    assert p_y > 2.0 * p_x, (p_x, p_y)
+
+
+def test_kneser_ney_arpa_roundtrip_and_g_fst():
+    """KN ARPA survives write/read and compiles into a scoring G.fst."""
+    import io as _io
+
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import ArpaModel, arpa_to_fst, kneser_ney
+
+    table = SymbolTable()
+    fst = _sentence_fst(["a b c", "a c", "b a"], table)
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=3, symbols=table)
+    arpa = kneser_ney(counts, order=3)
+
+    buf = _io.StringIO()
+    arpa.write(buf)
+    buf.seek(0)
+    arpa2 = ArpaModel.read(buf)
+    assert arpa2.order == 3
+    for lvl_a, lvl_b in zip(arpa.ngrams, arpa2.ngrams):
+        assert set(lvl_a) == set(lvl_b)
+
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for w, _ in sorted(table, key=lambda kv: kv[1]):
+        if w not in ("<eps>",):
+            words.add(w)
+    words.add("#0")
+    g = arpa_to_fst(arpa, words)
+    assert g.num_states > 0 and g.num_arcs > 0

@@ -577,3 +577,23 @@ def test_silence_weighted_ivector_decode(tmp_path):
                          frame_weights=jnp.asarray(w))
     )
     assert np.abs(iv_plain - iv_weighted).max() > 1e-3
+
+
+def test_train_with_kneser_ney(tmp_path):
+    """smoothing='kneser_ney' trains a working ARPA decode graph."""
+    lex = {k: LEXICON[k] for k in ("turn", "on", "off", "light", "fan")}
+    profile = build_synthetic_profile(tmp_path / "m", lex)
+    train_model_sync(
+        "en",
+        {"language": "en", "intents": {"M": {"data": [
+            {"sentences": ["turn (on|off) (light|fan)"]}]}}},
+        tmp_path / "t",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.ARPA],
+        smoothing="kneser_ney",
+    )
+    t = Nnet3WavTranscriber(
+        profile.model_dir, tmp_path / "t" / lang_dir_name(LangSuffix.ARPA)
+    )
+    pcm = synthesize_sentence(profile, "turn off fan", seed=2)
+    assert t.transcribe_pcm_batch([pcm], nbest=3)[0][0] == "turn off fan"
