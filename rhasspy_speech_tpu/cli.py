@@ -28,6 +28,7 @@ def _cmd_train(args) -> int:
         args.model_dir,
         lang_suffixes=suffixes,
         rescore_order=args.rescore_order,
+        smoothing=args.smoothing,
     )
     print(f"trained {args.train_dir} ({args.lang_suffixes})")
     return 0
@@ -40,6 +41,7 @@ def _cmd_transcribe(args) -> int:
         args.model_dir,
         args.graph_dir,
         acoustic_scale=args.acoustic_scale,
+        silence_weight=args.silence_weight,
     )
     results = t.transcribe_batch(
         args.wav,
@@ -49,8 +51,11 @@ def _cmd_transcribe(args) -> int:
         require_fuzzy=args.require_fuzzy,
     )
     for path, texts in zip(args.wav, results):
-        print(json.dumps({"wav": str(path), "text": texts[0] if texts else "",
-                          "nbest": texts}))
+        row = {"wav": str(path), "text": texts[0] if texts else "",
+               "nbest": texts}
+        if args.confidence:
+            row["confidence"] = round(t.confidence(path), 4)
+        print(json.dumps(row))
     return 0
 
 
@@ -73,6 +78,8 @@ def main(argv=None) -> int:
     p_train.add_argument("--train-dir", required=True)
     p_train.add_argument("--lang-suffixes", default="grammar,arpa")
     p_train.add_argument("--rescore-order", type=int, default=5)
+    p_train.add_argument("--smoothing", default="witten_bell",
+                         choices=["witten_bell", "kneser_ney"])
     p_train.set_defaults(func=_cmd_train)
 
     p_tr = sub.add_parser("transcribe", help="decode WAV files")
@@ -84,6 +91,11 @@ def main(argv=None) -> int:
     p_tr.add_argument("--max-fuzzy-cost", type=float, default=None)
     p_tr.add_argument("--require-fuzzy", action="store_true")
     p_tr.add_argument("--acoustic-scale", type=float, default=1.0)
+    p_tr.add_argument("--silence-weight", type=float, default=None,
+                      help="enable decoder-driven silence weighting of "
+                           "i-vector stats (e.g. 0.0)")
+    p_tr.add_argument("--confidence", action="store_true",
+                      help="also report a decoder-native confidence score")
     p_tr.set_defaults(func=_cmd_transcribe)
 
     p_m = sub.add_parser("metrics", help="dump process decode metrics")
