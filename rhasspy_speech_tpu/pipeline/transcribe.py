@@ -241,6 +241,7 @@ class AcousticModel:
         feats: jnp.ndarray,
         num_out_frames: int,
         ivector_frame_weights: Optional[jnp.ndarray] = None,
+        feat_lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """[B, T, D] features -> [B, N, num_pdfs] pdf log-likelihood terms.
 
@@ -250,7 +251,9 @@ class AcousticModel:
         (nnet3/decodable-simple-looped.h:46-59 semantics).
         ivector_frame_weights [B, T] downweights frames in the i-vector
         stats (OnlineSilenceWeighting's effect; see
-        Nnet3WavTranscriber silence_weight)."""
+        Nnet3WavTranscriber silence_weight); feat_lengths [B] masks each
+        stream's padding frames out of the i-vector stats (mixed-length
+        batches)."""
         bucket = self.compiled(num_out_frames)
         model = bucket.model
         T = feats.shape[1]
@@ -270,6 +273,7 @@ class AcousticModel:
                 ivec = extract_ivectors(
                     iv_feats,
                     self.ivector_params,
+                    lengths=feat_lengths,
                     frame_weights=ivector_frame_weights,
                 )
             else:
@@ -420,8 +424,11 @@ class Nnet3WavTranscriber:
         with StageTimer("frontend", metrics):
             feats = self.am.features(pcm)
             feats.block_until_ready()
+        feat_lengths = jnp.asarray(n_frames, dtype=jnp.int32)
         with StageTimer("acoustic", metrics):
-            log_probs = self.am.log_probs(feats, bucket_out)
+            log_probs = self.am.log_probs(
+                feats, bucket_out, feat_lengths=feat_lengths
+            )
             log_probs.block_until_ready()
         k = max(nbest, 1)
         lengths = jnp.asarray(n_out, dtype=jnp.int32)
@@ -436,7 +443,10 @@ class Nnet3WavTranscriber:
             if w is not None:
                 with StageTimer("acoustic", metrics):
                     log_probs = self.am.log_probs(
-                        feats, bucket_out, ivector_frame_weights=w
+                        feats,
+                        bucket_out,
+                        ivector_frame_weights=w,
+                        feat_lengths=feat_lengths,
                     )
                     log_probs.block_until_ready()
         graph = self.artifacts.graph

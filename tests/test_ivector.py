@@ -250,3 +250,27 @@ def test_acoustic_model_ivector_cmvn(tmp_path):
     pcm = (1000 * rng.randn(1, 8000)).astype(np.float32)
     out = am.log_probs(am.features(pcm), num_out_frames=8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ivector_padding_independence():
+    """lengths masking makes a padded batch member's i-vector equal its
+    unpadded solo i-vector (mixed-length transcribe batches)."""
+    rng = np.random.RandomState(11)
+    dubm, extractor, lda = _synthetic_system(rng)
+    cfg = OnlineIvectorConfig()
+    params = make_ivector_params(dubm, extractor, lda, cfg)
+
+    short = rng.randn(1, 12, 6).astype(np.float32)
+    padded = np.concatenate([short, np.zeros((1, 20, 6), np.float32)], axis=1)
+
+    iv_solo = np.asarray(extract_ivectors(jnp.asarray(short), params))
+    iv_masked = np.asarray(
+        extract_ivectors(
+            jnp.asarray(padded), params, lengths=jnp.asarray([12])
+        )
+    )
+    iv_unmasked = np.asarray(extract_ivectors(jnp.asarray(padded), params))
+    # masked == solo up to splice-context edge effects; unmasked differs more
+    d_masked = np.abs(iv_masked - iv_solo).max()
+    d_unmasked = np.abs(iv_unmasked - iv_solo).max()
+    assert d_masked < 0.35 * d_unmasked, (d_masked, d_unmasked)
