@@ -597,3 +597,72 @@ def test_train_with_kneser_ney(tmp_path):
     )
     pcm = synthesize_sentence(profile, "turn off fan", seed=2)
     assert t.transcribe_pcm_batch([pcm], nbest=3)[0][0] == "turn off fan"
+
+
+def test_real_wavs_through_full_scale_graph(tmp_path):
+    """The reference's real speech fixtures (tests/wav/*.wav, incl. the
+    out-of-grammar 'spell' negatives) run through the full test_en.yaml
+    pipeline without crashing, and fuzzy-gated output is closed over the
+    grammar: every non-empty transcript uses only grammar vocabulary
+    (test_en.py:40-65's acceptance/rejection structure; exact transcripts
+    need the real acoustic model, which is not downloadable here)."""
+    import os
+    import wave as wave_mod
+
+    import yaml
+
+    path = "/root/reference/tests/test_en.yaml"
+    wav_dir = "/root/reference/tests/wav"
+    if not (os.path.exists(path) and os.path.isdir(wav_dir)):
+        pytest.skip("reference fixtures unavailable")
+
+    import io as _io
+    import re
+
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.lexicon import LexiconDatabase
+
+    raw = yaml.safe_load(open(path, encoding="utf-8"))
+    intents_dict = {
+        "language": raw["language"],
+        "intents": {"All": {"data": [{"sentences": raw["sentences"]}]}},
+        "lists": raw.get("lists", {}),
+    }
+    ctx = compile_intents(
+        Intents.from_dict(intents_dict), _io.StringIO(), LexiconDatabase(),
+        number_language="en",
+    )
+    lexicon = {
+        w: [f"p{ord(c)}" for c in re.sub(r"\s", "", w)] or ["px"]
+        for w in sorted(ctx.vocab)
+    }
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_dir = tmp_path / "train"
+    train_model_sync("en", intents_dict, train_dir, profile.model_dir,
+                     lang_suffixes=[LangSuffix.GRAMMAR, LangSuffix.ARPA])
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.ARPA)
+    )
+
+    names = ["avada-kedavra.wav", "lumioso.wav", "what-time-is-it.wav",
+             "turn-off-basement-light.wav", "nevermind.wav"]
+    pcms = []
+    for name in names:
+        with wave_mod.open(os.path.join(wav_dir, name), "rb") as w:
+            assert w.getframerate() == 16000 and w.getnchannels() == 1
+            pcms.append(
+                np.frombuffer(w.readframes(w.getnframes()), np.int16)
+                .astype(np.float32)
+            )
+
+    results = t.transcribe_pcm_batch(
+        pcms,
+        lang_dir=train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        nbest=3, max_fuzzy_cost=0.5, require_fuzzy=True,
+    )
+    vocab = set(ctx.vocab)
+    for name, texts in zip(names, results):
+        assert isinstance(texts, list), name
+        for text in texts:
+            for tok in text.split():
+                assert tok in vocab, (name, text, tok)
