@@ -265,7 +265,12 @@ class AcousticModel:
             if self.ivector_params is not None:
                 from ..ops.ivector import extract_ivectors
 
+                # the i-vector branch taps the BASE MFCC — pitch dims are
+                # appended only on the nnet input side
+                # (online-nnet2-feature-pipeline.cc:90-140 branch structure)
                 iv_feats = feats
+                if self.pitch_config is not None:
+                    iv_feats = feats[..., : self.frontend_config.num_ceps]
                 if getattr(self, "ivector_cmvn_stats", None) is not None:
                     from ..ops.cmvn import online_cmvn
 

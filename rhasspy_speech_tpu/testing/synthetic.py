@@ -117,6 +117,7 @@ def build_synthetic_profile(
     seed: int = 1234,
     recurrent_delay: Optional[int] = None,
     with_ivector: bool = False,
+    with_pitch: bool = False,
 ) -> SyntheticProfile:
     """Write a model dir (config.json, model/final.mdl, model/phones.txt,
     model/frontend.json) whose AM recognizes audio from synthesize_sentence.
@@ -131,7 +132,11 @@ def build_synthetic_profile(
     extractor/ (final.dubm, final.ie, final.mat) and the AM consumes
     Append(input, ReplaceIndex(ivector, t, 0)) with ZERO weights on the
     i-vector columns — the full i-vector pipeline (splice, LDA, gselect,
-    stats, solve) runs on every decode without perturbing transcripts."""
+    stats, solve) runs on every decode without perturbing transcripts.
+
+    ``with_pitch`` writes conf/online.conf with --add-pitch=true and widens
+    the AM input by the 3 pitch dims (zero weights), so the pitch pipeline
+    runs end to end with transcripts unchanged."""
     model_dir = Path(model_dir)
     (model_dir / "model").mkdir(parents=True, exist_ok=True)
     if frontend is None:
@@ -199,17 +204,22 @@ def build_synthetic_profile(
     ktm = KaldiTransitionModel(topology=topo, tuples=tuples, log_probs=log_probs)
 
     IVEC_DIM = 8
+    input_dim = frontend.num_ceps + (3 if with_pitch else 0)
+    aff_rows = rows
+    if with_pitch:
+        aff_rows = np.concatenate(
+            [aff_rows, np.zeros((rows.shape[0], 3), dtype=np.float32)], axis=1
+        )
     if with_ivector:
         aff_rows = np.concatenate(
-            [rows, np.zeros((rows.shape[0], IVEC_DIM), dtype=np.float32)],
+            [aff_rows, np.zeros((rows.shape[0], IVEC_DIM), dtype=np.float32)],
             axis=1,
         )
         aff_input = "Append(input, ReplaceIndex(ivector, t, 0))"
     else:
-        aff_rows = rows
         aff_input = "input"
     nodes = [
-        NodeSpec(kind="input", name="input", dim=frontend.num_ceps),
+        NodeSpec(kind="input", name="input", dim=input_dim),
     ]
     if with_ivector:
         nodes.append(NodeSpec(kind="input", name="ivector", dim=IVEC_DIM))
@@ -354,6 +364,11 @@ def build_synthetic_profile(
             encoding="utf-8",
         ) as f:
             f.write("1\n")
+    if with_pitch:
+        conf_dir = model_dir / "model" / "conf"
+        conf_dir.mkdir(exist_ok=True)
+        with open(conf_dir / "online.conf", "w", encoding="utf-8") as f:
+            f.write("--add-pitch=true\n")
     if with_ivector:
         from ..io.ivector import DiagGmm, IvectorExtractor
         from ..io.kaldi_io import KaldiWriter

@@ -86,3 +86,26 @@ def test_acoustic_model_appends_pitch(tmp_path):
     assert feats.shape[-1] == am.frontend_config.num_ceps + 3
     # pitch block is populated (not all zeros) and aligned to MFCC frames
     assert np.abs(feats[:, :, -3:]).max() > 0.01
+
+
+def test_pitch_and_ivector_coexist(tmp_path):
+    """With both --add-pitch and an extractor, the i-vector branch taps the
+    base MFCC while the nnet input gets MFCC+pitch — transcripts stay exact
+    on a profile whose AM consumes both inputs (zero-weight extras)."""
+    import numpy as np
+
+    from rhasspy_speech_tpu.pipeline.transcribe import AcousticModel
+    from rhasspy_speech_tpu.testing import build_synthetic_profile
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    profile = build_synthetic_profile(
+        tmp_path / "m", lexicon, with_ivector=True, with_pitch=True
+    )
+
+    am = AcousticModel(tmp_path / "m")
+    assert am.pitch_config is not None and am.ivector_params is not None
+    pcm = _tone(150.0, secs=0.5)[None]
+    feats = am.features(pcm)
+    assert feats.shape[-1] == am.frontend_config.num_ceps + 3
+    out = np.asarray(am.log_probs(feats, num_out_frames=8))
+    assert np.isfinite(out).all()
