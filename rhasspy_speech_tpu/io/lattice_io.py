@@ -135,6 +135,23 @@ def read_lattice(f: BinaryIO) -> KaldiCompactLattice:
         )
     if numstates < 0 or numstates > 2**40:
         raise OpenFstFormatError(f"bad state count {numstates}")
+    # bound a corrupt count by the remaining bytes when seekable (each
+    # state record is at least 12 bytes: final weight + arc count)
+    try:
+        pos = f.tell()
+        f.seek(0, 2)
+        remaining = f.tell() - pos
+        f.seek(pos)
+        if numstates > remaining // 12 + 1:
+            raise OpenFstFormatError(
+                f"state count {numstates} exceeds file size"
+            )
+    except OSError:
+        if numstates > 2**26:
+            raise OpenFstFormatError(
+                f"state count {numstates} too large to validate on an "
+                "unseekable stream"
+            )
 
     lat = KaldiCompactLattice(start=int(start) if start != NO_STATE else -1)
     for _ in range(numstates):

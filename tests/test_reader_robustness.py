@@ -123,3 +123,101 @@ def test_reader_vector_count_guard():
     buf.seek(0)
     with pytest.raises(ACCEPTED):
         KaldiReader(buf).read_vector()
+
+
+def _valid_tree_bytes():
+    from rhasspy_speech_tpu.io.transition_model import KaldiTransitionModel
+    from rhasspy_speech_tpu.io.tree import ContextDependencyTree
+
+    ktm = KaldiTransitionModel.from_monophone_chain(4)
+    tree = ContextDependencyTree.monophone_from_tuples(
+        ktm.tuples, max_phone=4, n=3, p=1
+    )
+    buf = io.BytesIO()
+    tree.write(KaldiWriter(buf))
+    return buf.getvalue()
+
+
+def test_tree_reader_robustness():
+    from rhasspy_speech_tpu.io.tree import ContextDependencyTree
+
+    data = _valid_tree_bytes()
+    rng = np.random.RandomState(5)
+    for cut in (0, 1, 5, len(data) // 2, len(data) - 2):
+        with pytest.raises(ACCEPTED):
+            ContextDependencyTree.read(KaldiReader(io.BytesIO(data[:cut])))
+    for _ in range(40):
+        pos = int(rng.randint(0, len(data)))
+        m = bytearray(data)
+        m[pos] ^= 1 << int(rng.randint(0, 8))
+        _expect_clean_failure(
+            lambda d: ContextDependencyTree.read(
+                KaldiReader(io.BytesIO(bytes(d)))
+            ),
+            m,
+        )
+
+
+def _valid_ivector_files():
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tests")
+    from tests.test_ivector import _synthetic_system
+
+    rng = np.random.RandomState(6)
+    dubm, extractor, _lda = _synthetic_system(rng)
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    dubm.write(KaldiWriter(b1))
+    extractor.write(KaldiWriter(b2))
+    return b1.getvalue(), b2.getvalue()
+
+
+def test_ivector_readers_robustness():
+    from rhasspy_speech_tpu.io.ivector import DiagGmm, IvectorExtractor
+
+    dubm_bytes, ie_bytes = _valid_ivector_files()
+    rng = np.random.RandomState(7)
+    for data, reader in ((dubm_bytes, DiagGmm.read),
+                         (ie_bytes, IvectorExtractor.read)):
+        # (cutting only the final byte clips the end-token's trailing
+        # space, which parses to the identical object — benign)
+        for cut in (0, 2, len(data) // 3, len(data) - 8):
+            with pytest.raises(ACCEPTED):
+                reader(KaldiReader(io.BytesIO(data[:cut])))
+        for _ in range(40):
+            pos = int(rng.randint(0, len(data)))
+            m = bytearray(data)
+            m[pos] ^= 1 << int(rng.randint(0, 8))
+            _expect_clean_failure(
+                lambda d, r=reader: r(KaldiReader(io.BytesIO(bytes(d)))), m
+            )
+
+
+def test_lattice_reader_robustness():
+    from rhasspy_speech_tpu.io.lattice_io import (
+        KaldiCompactLattice,
+        read_lattice,
+        write_compact_lattice,
+    )
+
+    lat = KaldiCompactLattice()
+    for _ in range(3):
+        lat.add_state()
+    lat.start = 0
+    lat.arcs[0].append((5, 1.0, 2.0, (3, 4), 1))
+    lat.arcs[1].append((6, 0.5, 0.5, (), 2))
+    lat.finals[2] = (0.0, 0.0, ())
+    buf = io.BytesIO()
+    write_compact_lattice(buf, lat)
+    data = buf.getvalue()
+    rng = np.random.RandomState(8)
+    for cut in range(0, len(data), 5):
+        try:
+            read_lattice(io.BytesIO(data[:cut]))
+        except ACCEPTED:
+            pass
+    for _ in range(200):
+        pos = int(rng.randint(0, len(data)))
+        m = bytearray(data)
+        m[pos] ^= 1 << int(rng.randint(0, 8))
+        _expect_clean_failure(lambda d: read_lattice(io.BytesIO(bytes(d))), m)
