@@ -316,13 +316,16 @@ class KaldiWriter:
                 percs = np.array([col[0], col[q], col[3 * q], col[-1]])
             else:
                 percs = np.array([col[0], col[0], col[-1], col[-1]])
-            u16 = to_u16(percs)
-            # Kaldi separates equal percentiles by at least 1 (ComputeColHeader)
-            for k in range(1, 4):
-                if u16[k] <= u16[k - 1]:
-                    u16[k] = min(u16[k - 1] + 1, 65535)
+            u16 = [int(v) for v in to_u16(percs)]
+            # Kaldi separates equal percentiles by at least 1 and leaves
+            # headroom at the top so saturated columns stay strictly
+            # monotonic (ComputeColHeader): p0<=65532, p25<=65533, p75<=65534.
+            u16[0] = min(u16[0], 65532)
+            u16[1] = min(max(u16[1], u16[0] + 1), 65533)
+            u16[2] = min(max(u16[2], u16[1] + 1), 65534)
+            u16[3] = min(max(u16[3], u16[2] + 1), 65535)
             headers[j] = u16
-            p = min_value + value_range * u16.astype(np.float64) / 65535.0
+            p = min_value + value_range * np.asarray(u16, dtype=np.float64) / 65535.0
             p0, p25, p75, p100 = p
             x = mat[:, j].astype(np.float64)
             low = np.clip((x - p0) / max(p25 - p0, 1e-20) * 64 + 0.5, 0, 64)

@@ -287,9 +287,11 @@ def _component_forward(
         )
         y = xb * scale
         if add_log_stddev:
+            # Kaldi's NormalizePerRow appends exactly 0.5*log(sumsq/D);
+            # target_rms cancels out of the appended column.
             log_stddev = 0.5 * jnp.log(
                 jnp.maximum(sumsq, 1.0e-20) / block
-            ) - jnp.log(target_rms)
+            )
             y = jnp.concatenate([y, log_stddev], axis=-1)
             return y.reshape(shape[:-1] + (nblocks * (block + 1),))
         return y.reshape(shape)

@@ -274,7 +274,7 @@ class AcousticModel:
                 if getattr(self, "ivector_cmvn_stats", None) is not None:
                     from ..ops.cmvn import online_cmvn
 
-                    iv_feats = online_cmvn(feats, self.ivector_cmvn_stats)
+                    iv_feats = online_cmvn(iv_feats, self.ivector_cmvn_stats)
                 ivec = extract_ivectors(
                     iv_feats,
                     self.ivector_params,

@@ -118,6 +118,7 @@ def build_synthetic_profile(
     recurrent_delay: Optional[int] = None,
     with_ivector: bool = False,
     with_pitch: bool = False,
+    with_ivector_cmvn: bool = False,
 ) -> SyntheticProfile:
     """Write a model dir (config.json, model/final.mdl, model/phones.txt,
     model/frontend.json) whose AM recognizes audio from synthesize_sentence.
@@ -136,7 +137,11 @@ def build_synthetic_profile(
 
     ``with_pitch`` writes conf/online.conf with --add-pitch=true and widens
     the AM input by the 3 pitch dims (zero weights), so the pitch pipeline
-    runs end to end with transcripts unchanged."""
+    runs end to end with transcripts unchanged.
+
+    ``with_ivector_cmvn`` additionally writes extractor/global_cmvn.stats
+    (the standard prepare_online_decoding export), exercising the online
+    CMVN applied to the i-vector branch's base-MFCC tap."""
     model_dir = Path(model_dir)
     (model_dir / "model").mkdir(parents=True, exist_ok=True)
     if frontend is None:
@@ -400,6 +405,18 @@ def build_synthetic_profile(
             extractor.write(KaldiWriter(f))
         with open(ext_dir / "final.mat", "wb") as f:
             KaldiWriter(f).write_matrix(lda)
+        if with_ivector_cmvn:
+            from ..ops.cmvn import matrix_from_stats
+
+            # stats over the BASE MFCC dim only — pitch dims never reach
+            # the i-vector branch (online-nnet2-feature-pipeline.cc:90-140)
+            stats = matrix_from_stats(
+                np.full(frontend.num_ceps, 500.0),
+                np.full(frontend.num_ceps, 2600.0),
+                100.0,
+            )
+            with open(ext_dir / "global_cmvn.stats", "wb") as f:
+                KaldiWriter(f).write_matrix(stats.astype(np.float64))
     with open(model_dir / "model" / "phones.txt", "w", encoding="utf-8") as f:
         phones.write_text(f)
     with open(model_dir / "model" / "frontend.json", "w", encoding="utf-8") as f:

@@ -282,3 +282,29 @@ def test_compressed_matrix_small_rows():
     buf.seek(0)
     got = KaldiReader(buf).read_matrix()
     assert np.abs(got - mat).max() < 0.2
+
+
+def test_compressed_matrix_saturated_headers_monotonic():
+    """Columns whose upper percentiles saturate at 65535 (always when
+    rows < 5) must still get strictly increasing CM headers — uint16
+    wraparound previously produced [a, a+1, 0, 65535] and garbage decode."""
+    import warnings
+
+    # column max == global max -> percentile_100 quantizes to 65535 for
+    # every column; with rows < 5 percentile_75 also hits the max value
+    mat = np.array([[0.0, 5.0], [5.0, 5.0], [5.0, 0.0]], dtype=np.float32)
+    buf = io.BytesIO()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        KaldiWriter(buf).write_compressed_matrix(mat, method="CM")
+    raw = buf.getvalue()
+    # headers follow "\0B" + "CM " + <ffii> global header
+    off = 2 + len("CM ") + 16
+    headers = np.frombuffer(raw[off : off + 2 * 4 * 2], dtype="<u2").reshape(
+        2, 4
+    )
+    for col in headers:
+        assert (np.diff(col.astype(np.int64)) > 0).all(), col
+    buf.seek(0)
+    got = KaldiReader(buf).read_matrix()
+    assert np.abs(got - mat).max() < 0.25, got

@@ -109,3 +109,30 @@ def test_pitch_and_ivector_coexist(tmp_path):
     assert feats.shape[-1] == am.frontend_config.num_ceps + 3
     out = np.asarray(am.log_probs(feats, num_out_frames=8))
     assert np.isfinite(out).all()
+
+
+def test_pitch_ivector_and_global_cmvn(tmp_path):
+    """--add-pitch plus extractor/global_cmvn.stats: the online CMVN must be
+    applied to the base-MFCC tap, not the MFCC+pitch features — [2, D+1]
+    stats would otherwise fail to broadcast and crash decode."""
+    import numpy as np
+
+    from rhasspy_speech_tpu.pipeline.transcribe import AcousticModel
+    from rhasspy_speech_tpu.testing import build_synthetic_profile
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    build_synthetic_profile(
+        tmp_path / "m",
+        lexicon,
+        with_ivector=True,
+        with_pitch=True,
+        with_ivector_cmvn=True,
+    )
+
+    am = AcousticModel(tmp_path / "m")
+    assert am.pitch_config is not None and am.ivector_params is not None
+    assert am.ivector_cmvn_stats is not None
+    pcm = _tone(150.0, secs=0.5)[None]
+    feats = am.features(pcm)
+    out = np.asarray(am.log_probs(feats, num_out_frames=8))
+    assert np.isfinite(out).all()
