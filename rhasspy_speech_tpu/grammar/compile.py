@@ -1,23 +1,38 @@
-"""Template → FST compiler.
+"""Template → grammar-FST compiler.
 
-Lowers parsed intent templates into the textual grammar FST, with the same
-surface behavior as the reference compiler
-(/root/reference/rhasspy_speech/hassil_fst.py:374-846 and intent_fst.py:26-47):
+Produces the same surface behavior as the reference compiler
+(/root/reference/rhasspy_speech/hassil_fst.py:374-846, intent_fst.py:26-47):
+alternatives/optionals become branch/merge states, text slot lists expand with
+context filtering and output-value metadata, range lists expand through the
+number engine, output overrides ride the FST output side as base32 meta
+labels, and wildcard lists leave dead marker branches for :meth:`Fst.prune`.
 
-- alternatives/optionals become branch/merge states,
-- text slot lists expand with context filtering and output-value metadata,
-- range lists expand through the number engine (all ruleset variants),
-- output overrides ride the FST output side as base32 meta labels,
-- wildcard lists produce dead branches that :meth:`Fst.prune` removes.
+The design is our own two-pass compiler:
+
+1. **Resolve** (:class:`_Resolver`): the parsed template tree — which still
+   contains list references, rule references, and raw text — is lowered to a
+   closed intermediate form (:class:`_Lit` / :class:`_Cat` / :class:`_Union` /
+   :class:`_Capture` / :class:`_Dead`). All name resolution, context
+   filtering, number expansion, and G2P word splitting happen here; the IR
+   contains only speakable tokens and output annotations.
+2. **Emit** (:class:`_Emitter`): the IR is walked once to lay down char-level
+   states and arcs, including the ``<space>``/meta-marker conventions the
+   word merger (:meth:`Fst.remove_spaces`) consumes.
+
+Quirks of the reference that are deliberately preserved (pinned by the parity
+tests): an empty alternative item adds no skip arc unless the group is marked
+optional; sentence-level output suppression applies only to literal chunks
+reached without crossing a sequence node; casing applies to the spoken side
+only, so re-cased tokens carry their original casing as an output override.
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import math
 from dataclasses import dataclass, field
-from functools import reduce
-from typing import Callable, Dict, List, Optional, Set, TextIO, Union
+from typing import Callable, Dict, List, Optional, Set, TextIO, Tuple, Union
 
 from ..const import WordCasing
 from ..lexicon.g2p import LexiconDatabase, split_words
@@ -26,7 +41,6 @@ from .expression import (
     ListReference,
     RangeSlotList,
     RuleReference,
-    Sentence,
     Sequence,
     SequenceType,
     SlotList,
@@ -55,8 +69,10 @@ _LOGGER = logging.getLogger(__name__)
 
 @dataclass
 class NumToWords:
+    """Number engine plus a per-compile cache of expanded ranges."""
+
     engine: NumberEngine
-    cache: Dict[tuple, Sequence] = field(default_factory=dict)
+    cache: Dict[tuple, "_Union"] = field(default_factory=dict)
 
 
 @dataclass
@@ -74,6 +90,317 @@ class ExpressionWithOutput:
     list_name: Optional[str] = None
 
 
+# ---------------------------------------------------------------------------
+# Intermediate form
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Token:
+    """One speakable word: spoken form plus the output label it decodes to
+    (None mirrors the spoken form; EPS suppresses it)."""
+
+    spoken: str
+    written: Optional[str] = None
+
+
+@dataclass
+class _Lit:
+    """A literal run of tokens from one text chunk."""
+
+    tokens: List[_Token]
+    pad_left: bool = False
+    pad_right: bool = False
+    lone_space: bool = False
+
+
+@dataclass
+class _Cat:
+    parts: List["_Node"]
+
+
+@dataclass
+class _Union:
+    choices: List["_Node"]
+    skippable: bool = False
+
+
+@dataclass
+class _Capture:
+    """A region whose decoded output is replaced by a meta payload."""
+
+    inner: "_Node"
+    payload: str  # pre-encoded __output: meta label
+
+
+@dataclass
+class _Dead:
+    """A branch that can never match; an optional marker arc records why
+    (wildcard lists show up in ``to_tokens(only_connected=False)``)."""
+
+    marker: Optional[str] = None
+
+
+_Node = Union[_Lit, _Cat, _Union, _Capture, _Dead]
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: resolve templates to the closed IR
+# ---------------------------------------------------------------------------
+
+
+class _Resolver:
+    """Resolves one intent-data block's expressions into IR nodes."""
+
+    def __init__(
+        self,
+        intents: Intents,
+        intent_data: IntentData,
+        slot_lists: Optional[Dict[str, SlotList]],
+        num_to_words: Optional[NumToWords],
+        g2p_info: Optional[G2PInfo],
+    ) -> None:
+        self.intents = intents
+        self.data = intent_data
+        self.extra_lists = slot_lists or {}
+        self.numbers = num_to_words
+        self.g2p = g2p_info
+
+    # -- dispatch ------------------------------------------------------------
+
+    def resolve(self, expression: Union[Expression, ExpressionWithOutput]) -> _Node:
+        if isinstance(expression, ExpressionWithOutput):
+            payload: Dict[str, str] = {"text": expression.output_text}
+            if expression.list_name:
+                payload["list"] = expression.list_name
+            return _Capture(
+                inner=self.resolve(expression.expression),
+                payload=encode_meta(json.dumps(payload)),
+            )
+        if isinstance(expression, TextChunk):
+            return self._chunk(expression)
+        if isinstance(expression, Sequence):
+            return self._sequence(expression)
+        if isinstance(expression, ListReference):
+            return self._list_reference(expression)
+        if isinstance(expression, RuleReference):
+            return self._rule_reference(expression)
+        return _Lit(tokens=[])  # unknown node: matches the empty string
+
+    # -- literals ------------------------------------------------------------
+
+    def _chunk(self, chunk: TextChunk) -> _Lit:
+        raw = chunk.original_text or ""
+        if raw == " ":
+            return _Lit(tokens=[], lone_space=True)
+
+        stripped = raw.strip()
+        if not stripped:
+            return _Lit(tokens=[])
+
+        if self.g2p is not None:
+            engine = self.numbers.engine if self.numbers is not None else None
+            pieces = split_words(stripped, self.g2p.lexicon, engine)
+        else:
+            pieces = stripped.split()
+
+        tokens: List[_Token] = []
+        for piece in pieces:
+            if isinstance(piece, str):
+                spoken, written = piece, piece
+            else:
+                spoken, written = piece[0], piece[1] or EPS
+            if self.g2p is not None:
+                spoken = self.g2p.casing_func(spoken)
+            tokens.append(_Token(spoken, None if written == spoken else written))
+
+        return _Lit(
+            tokens=tokens,
+            pad_left=raw.startswith(" "),
+            pad_right=raw.endswith(" "),
+        )
+
+    # -- structure -----------------------------------------------------------
+
+    def _sequence(self, seq: Sequence) -> _Node:
+        resolved = [self.resolve(item) for item in seq.items]
+        if seq.type == SequenceType.ALTERNATIVE:
+            return _Union(choices=resolved, skippable=seq.is_optional)
+        return _Cat(parts=resolved)
+
+    def _rule_reference(self, ref: RuleReference) -> _Node:
+        body = self.data.expansion_rules.get(ref.rule_name)
+        if body is None:
+            body = self.intents.expansion_rules.get(ref.rule_name)
+        if body is None:
+            raise ValueError(f"Missing expansion rule <{ref.rule_name}>")
+        return self.resolve(body)
+
+    # -- slot lists ----------------------------------------------------------
+
+    def _find_list(self, name: str) -> Optional[SlotList]:
+        for table in (self.extra_lists, self.data.slot_lists, self.intents.slot_lists):
+            found = table.get(name)
+            if found is not None:
+                return found
+        return None
+
+    def _list_reference(self, ref: ListReference) -> _Node:
+        slot_list = self._find_list(ref.list_name)
+
+        if isinstance(slot_list, TextSlotList):
+            return self._text_list(ref, slot_list)
+        if isinstance(slot_list, RangeSlotList):
+            return self._range_list(ref, slot_list)
+
+        # Wildcard/unknown list: leave a dead marker branch.
+        return _Dead(marker=f"{{{ref.list_name}}}")
+
+    def _value_allowed(self, context: Optional[Dict]) -> bool:
+        required = self.data.requires_context
+        if required is not None and not check_required_context(
+            required, context, allow_missing_keys=True
+        ):
+            return False
+        excluded = self.data.excludes_context
+        if excluded is not None and not check_excluded_context(excluded, context):
+            return False
+        return True
+
+    def _text_list(self, ref: ListReference, slot_list: TextSlotList) -> _Node:
+        choices: List[_Node] = []
+        for value in slot_list.values:
+            if not self._value_allowed(value.context):
+                continue
+
+            decoded: Optional[str] = None
+            if isinstance(value.text_in, TextChunk):
+                decoded = value.text_in.text
+            elif value.value_out is not None:
+                decoded = str(value.value_out)
+
+            wrapped: Union[Expression, ExpressionWithOutput] = value.text_in
+            if decoded:
+                wrapped = ExpressionWithOutput(
+                    value.text_in, output_text=decoded, list_name=ref.slot_name
+                )
+            choices.append(self.resolve(wrapped))
+
+        if not choices:
+            return _Dead()
+        return _Union(choices=choices)
+
+    def _range_list(self, ref: ListReference, slot_list: RangeSlotList) -> _Node:
+        if self.numbers is None:
+            return _Dead()
+
+        # Unlike the reference (hassil_fst.py:600-607) the cache key includes
+        # the slot name: the payload records it, so two same-bounds ranges
+        # bound to different slots must not share IR.
+        key = (ref.slot_name, slot_list.start, slot_list.stop + 1, slot_list.step)
+        cached = self.numbers.cache.get(key)
+        if cached is not None:
+            return cached
+
+        choices: List[_Node] = []
+        for number in range(slot_list.start, slot_list.stop + 1, slot_list.step):
+            digits = str(number)
+            result = self.numbers.engine.format_number(number)
+            spellings = {w.replace("-", " ") for w in result.text_by_ruleset.values()}
+            for spelling in spellings:
+                payload = {"text": digits}
+                if ref.slot_name:
+                    payload["list"] = ref.slot_name
+                choices.append(
+                    _Capture(
+                        inner=self._chunk(TextChunk(text=spelling)),
+                        payload=encode_meta(json.dumps(payload)),
+                    )
+                )
+
+        node = _Union(choices=choices) if choices else _Dead()
+        if isinstance(node, _Union):
+            self.numbers.cache[key] = node
+        return node
+
+
+# ---------------------------------------------------------------------------
+# Pass 2: emit the char-level FST
+# ---------------------------------------------------------------------------
+
+
+class _Emitter:
+    """Walks the IR once, laying down char-level states and arcs."""
+
+    def __init__(self, fst: Fst) -> None:
+        self.fst = fst
+
+    def emit(self, node: _Node, state: int, suppress: bool = False) -> Optional[int]:
+        """Emit ``node`` starting at ``state``; returns the end state, or
+        None when the branch is dead (emission stops, prune() cleans up)."""
+        if isinstance(node, _Lit):
+            return self._emit_lit(node, state, suppress)
+
+        if isinstance(node, _Cat):
+            # Sequence nodes do not forward suppression (reference quirk).
+            for part in node.parts:
+                next_state = self.emit(part, state)
+                if next_state is None:
+                    return None
+                state = next_state
+            return state
+
+        if isinstance(node, _Union):
+            fork = state
+            join = self.fst.next_state()
+            for choice in node.choices:
+                tail = self.emit(choice, fork)
+                if tail is None or tail == fork:
+                    # Dead or empty choice: contributes no join arc.
+                    continue
+                self.fst.add_edge(tail, join)
+            if node.skippable:
+                self.fst.add_edge(fork, join)
+            return join
+
+        if isinstance(node, _Capture):
+            state = self.fst.next_edge(state, EPS, BEGIN_OUTPUT)
+            state = self.fst.next_edge(state, EPS, node.payload)
+            inner_end = self.emit(node.inner, state, suppress)
+            if inner_end is None:
+                return None
+            return self.fst.next_edge(inner_end, EPS, END_OUTPUT)
+
+        # _Dead: record the marker (if any) and kill the branch.
+        if node.marker is not None:
+            self.fst.next_edge(state, node.marker, node.marker)
+        return None
+
+    def _emit_lit(self, lit: _Lit, state: int, suppress: bool) -> int:
+        if lit.lone_space:
+            return self.fst.next_edge(state, SPACE)
+        if not lit.tokens:
+            return state
+
+        if lit.pad_left:
+            state = self.fst.next_edge(state, SPACE)
+
+        for idx, token in enumerate(lit.tokens):
+            if idx:
+                state = self.fst.next_edge(state, SPACE)
+            written = EPS if suppress else token.written
+            state = self.fst.next_edge(state, token.spoken, written)
+
+        if lit.pad_right:
+            state = self.fst.next_edge(state, SPACE)
+        return state
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
 def expression_to_fst(
     expression: Union[Expression, ExpressionWithOutput],
     state: int,
@@ -86,284 +413,17 @@ def expression_to_fst(
     suppress_output: bool = False,
 ) -> Optional[int]:
     """Lower one expression; returns the end state or None for dead branches."""
-
-    if isinstance(expression, ExpressionWithOutput):
-        output_data = {"text": expression.output_text}
-        if expression.list_name:
-            output_data["list"] = expression.list_name
-
-        state = fst.next_edge(state, EPS, BEGIN_OUTPUT)
-        state = fst.next_edge(state, EPS, encode_meta(json.dumps(output_data)))
-        state = expression_to_fst(
-            expression.expression,
-            state,
-            fst,
-            intent_data,
-            intents,
-            slot_lists,
-            num_to_words,
-            g2p_info,
-            suppress_output=suppress_output,
-        )
-        if state is None:
-            return None
-        return fst.next_edge(state, EPS, END_OUTPUT)
-
-    if isinstance(expression, TextChunk):
-        return _text_chunk_to_fst(
-            expression, state, fst, num_to_words, g2p_info, suppress_output
-        )
-
-    if isinstance(expression, Sequence):
-        if expression.type == SequenceType.ALTERNATIVE:
-            start = state
-            end = fst.next_state()
-
-            for item in expression.items:
-                item_end = expression_to_fst(
-                    item,
-                    start,
-                    fst,
-                    intent_data,
-                    intents,
-                    slot_lists,
-                    num_to_words,
-                    g2p_info,
-                )
-                if item_end is None:  # dead branch
-                    continue
-                if item_end == start:  # empty item
-                    continue
-                fst.add_edge(item_end, end)
-
-            if expression.is_optional:
-                fst.add_edge(start, end)
-
-            return end
-
-        # GROUP: sequential composition
-        for item in expression.items:
-            state = expression_to_fst(
-                item,
-                state,
-                fst,
-                intent_data,
-                intents,
-                slot_lists,
-                num_to_words,
-                g2p_info,
-            )
-            if state is None:
-                return None
-        return state
-
-    if isinstance(expression, ListReference):
-        return _list_reference_to_fst(
-            expression,
-            state,
-            fst,
-            intent_data,
-            intents,
-            slot_lists,
-            num_to_words,
-            g2p_info,
-        )
-
-    if isinstance(expression, RuleReference):
-        rule_body = intent_data.expansion_rules.get(expression.rule_name)
-        if rule_body is None:
-            rule_body = intents.expansion_rules.get(expression.rule_name)
-        if rule_body is None:
-            raise ValueError(f"Missing expansion rule <{expression.rule_name}>")
-
-        return expression_to_fst(
-            rule_body,
-            state,
-            fst,
-            intent_data,
-            intents,
-            slot_lists,
-            num_to_words,
-            g2p_info,
-        )
-
-    return state
-
-
-def _text_chunk_to_fst(
-    chunk: TextChunk,
-    state: int,
-    fst: Fst,
-    num_to_words: Optional[NumToWords],
-    g2p_info: Optional[G2PInfo],
-    suppress_output: bool,
-) -> int:
-    original = chunk.original_text or ""
-
-    if original == " ":
-        return fst.next_edge(state, SPACE)
-
-    word = original.strip()
-    if not word:
-        return state
-
-    if original.startswith(" "):
-        state = fst.next_edge(state, SPACE)
-
-    if g2p_info is not None:
-        sub_words = split_words(
-            word,
-            g2p_info.lexicon,
-            num_to_words.engine if num_to_words is not None else None,
-        )
-    else:
-        sub_words = word.split()
-
-    last_idx = len(sub_words) - 1
-    for idx, sub_word in enumerate(sub_words):
-        if isinstance(sub_word, str):
-            sub_output: Optional[str] = sub_word
-        else:
-            sub_word, sub_output = sub_word
-            sub_output = sub_output or EPS
-
-        if g2p_info is not None:
-            sub_word = g2p_info.casing_func(sub_word)
-
-        state = fst.next_edge(state, sub_word, EPS if suppress_output else sub_output)
-        if idx != last_idx:
-            state = fst.next_edge(state, SPACE)
-
-    if original.endswith(" "):
-        state = fst.next_edge(state, SPACE)
-
-    return state
-
-
-def _list_reference_to_fst(
-    list_ref: ListReference,
-    state: int,
-    fst: Fst,
-    intent_data: IntentData,
-    intents: Intents,
-    slot_lists: Optional[Dict[str, SlotList]],
-    num_to_words: Optional[NumToWords],
-    g2p_info: Optional[G2PInfo],
-) -> Optional[int]:
-    slot_list: Optional[SlotList] = None
-    if slot_lists is not None:
-        slot_list = slot_lists.get(list_ref.list_name)
-    if slot_list is None:
-        slot_list = intent_data.slot_lists.get(list_ref.list_name)
-    if slot_list is None:
-        slot_list = intents.slot_lists.get(list_ref.list_name)
-
-    if isinstance(slot_list, TextSlotList):
-        values: List[Union[Expression, ExpressionWithOutput]] = []
-        for value in slot_list.values:
-            if (intent_data.requires_context is not None) and (
-                not check_required_context(
-                    intent_data.requires_context,
-                    value.context,
-                    allow_missing_keys=True,
-                )
-            ):
-                continue
-            if (intent_data.excludes_context is not None) and (
-                not check_excluded_context(
-                    intent_data.excludes_context, value.context
-                )
-            ):
-                continue
-
-            output_text: Optional[str] = None
-            if isinstance(value.text_in, TextChunk):
-                output_text = value.text_in.text
-            elif value.value_out is not None:
-                output_text = str(value.value_out)
-
-            if output_text:
-                values.append(
-                    ExpressionWithOutput(
-                        value.text_in,
-                        output_text=output_text,
-                        list_name=list_ref.slot_name,
-                    )
-                )
-            else:
-                values.append(value.text_in)
-
-        if not values:
-            return None
-
-        return expression_to_fst(
-            Sequence(items=values, type=SequenceType.ALTERNATIVE),
-            state,
-            fst,
-            intent_data,
-            intents,
-            slot_lists,
-            num_to_words,
-            g2p_info,
-        )
-
-    if isinstance(slot_list, RangeSlotList):
-        if num_to_words is None:
-            return None
-
-        cache_key = (slot_list.start, slot_list.stop + 1, slot_list.step)
-        number_sequence = num_to_words.cache.get(cache_key)
-
-        if number_sequence is None:
-            values = []
-            for number in range(slot_list.start, slot_list.stop + 1, slot_list.step):
-                number_str = str(number)
-                result = num_to_words.engine.format_number(number)
-                number_words = {
-                    w.replace("-", " ") for w in result.text_by_ruleset.values()
-                }
-                values.extend(
-                    ExpressionWithOutput(
-                        TextChunk(text=w),
-                        output_text=number_str,
-                        list_name=list_ref.slot_name,
-                    )
-                    for w in number_words
-                )
-
-            number_sequence = Sequence(items=values, type=SequenceType.ALTERNATIVE)
-            num_to_words.cache[cache_key] = number_sequence
-
-            if not values:
-                return None
-
-        return expression_to_fst(
-            number_sequence,
-            state,
-            fst,
-            intent_data,
-            intents,
-            slot_lists,
-            num_to_words,
-            g2p_info,
-        )
-
-    # Wildcard/unknown list: emit a marker arc; prune() removes the branch.
-    marker = f"{{{list_ref.list_name}}}"
-    fst.next_edge(state, marker, marker)
-    return None
-
-
-# ---------------------------------------------------------------------------
+    resolver = _Resolver(intents, intent_data, slot_lists, num_to_words, g2p_info)
+    return _Emitter(fst).emit(resolver.resolve(expression), state, suppress_output)
 
 
 def get_count(e: Expression, intents: Intents, intent_data: IntentData) -> int:
     """Number of sentences the expression expands to."""
     if isinstance(e, Sequence):
-        counts = [get_count(item, intents, intent_data) for item in e.items]
+        counts = (get_count(item, intents, intent_data) for item in e.items)
         if e.type == SequenceType.ALTERNATIVE:
             return sum(counts)
-        return reduce(lambda x, y: x * y, counts, 1)
+        return math.prod(counts)
 
     if isinstance(e, ListReference):
         slot_list = intent_data.slot_lists.get(e.list_name) or intents.slot_lists.get(
@@ -374,8 +434,6 @@ def get_count(e: Expression, intents: Intents, intent_data: IntentData) -> int:
                 get_count(v.text_in, intents, intent_data) for v in slot_list.values
             )
         if isinstance(slot_list, RangeSlotList):
-            if slot_list.step == 1:
-                return slot_list.stop - slot_list.start + 1
             return len(range(slot_list.start, slot_list.stop + 1, slot_list.step))
 
     if isinstance(e, RuleReference):
@@ -396,7 +454,7 @@ def intents_to_fst(
     include_intents: Optional[Set[str]] = None,
     g2p_info: Optional[G2PInfo] = None,
 ) -> Fst:
-    """Compile all (selected) intents into one grammar FST with spaces."""
+    """Compile all (selected) intents into one char-level grammar FST."""
     num_to_words: Optional[NumToWords] = None
     if number_language:
         try:
@@ -404,61 +462,52 @@ def intents_to_fst(
         except ValueError:
             _LOGGER.exception("Unable to convert numbers to words")
 
-    filtered_intents = []
-    total_sentences = 0
-    for intent in intents.intents.values():
-        if (exclude_intents is not None) and (intent.name in exclude_intents):
-            continue
-        if (include_intents is not None) and (intent.name not in include_intents):
-            continue
+    def selected(name: str) -> bool:
+        if exclude_intents is not None and name in exclude_intents:
+            return False
+        if include_intents is not None and name not in include_intents:
+            return False
+        return True
 
-        for data in intent.data:
-            for sentence in data.sentences:
-                total_sentences += get_count(sentence, intents, data)
+    chosen = [it for it in intents.intents.values() if selected(it.name)]
 
-        filtered_intents.append(intent)
-
+    total_sentences = sum(
+        get_count(sentence, intents, data)
+        for intent in chosen
+        for data in intent.data
+        for sentence in data.sentences
+    )
     _LOGGER.debug("Total sentences: %s", total_sentences)
 
-    fst_with_spaces = Fst()
-    final = fst_with_spaces.next_state()
+    fst = Fst()
+    final = fst.next_state()
+    emitter = _Emitter(fst)
 
-    for intent in filtered_intents:
+    for intent in chosen:
         for data in intent.data:
+            resolver = _Resolver(intents, data, slot_lists, num_to_words, g2p_info)
+
             sentence_output: Optional[str] = None
             if data.metadata is not None:
                 sentence_output = data.metadata.get("output")
 
             for sentence in data.sentences:
-                sentence_state = fst_with_spaces.next_edge(
-                    fst_with_spaces.start, SPACE, SPACE
-                )
-
+                head = fst.next_edge(fst.start, SPACE, SPACE)
                 if sentence_output:
-                    sentence_state = fst_with_spaces.next_edge(
-                        sentence_state,
-                        EPS,
-                        encode_meta(sentence_output, SENTENCE_OUTPUT),
+                    head = fst.next_edge(
+                        head, EPS, encode_meta(sentence_output, SENTENCE_OUTPUT)
                     )
 
-                end_state = expression_to_fst(
-                    sentence,
-                    sentence_state,
-                    fst_with_spaces,
-                    data,
-                    intents,
-                    slot_lists,
-                    num_to_words,
-                    g2p_info,
-                    suppress_output=(sentence_output is not None),
+                tail = emitter.emit(
+                    resolver.resolve(sentence),
+                    head,
+                    suppress=(sentence_output is not None),
                 )
-                if end_state is None:
-                    continue
+                if tail is not None:
+                    fst.add_edge(tail, final, SPACE, SPACE)
 
-                fst_with_spaces.add_edge(end_state, final, SPACE, SPACE)
-
-    fst_with_spaces.accept(final)
-    return fst_with_spaces
+    fst.accept(final)
+    return fst
 
 
 # ---------------------------------------------------------------------------
@@ -485,10 +534,6 @@ def compile_intents(
     word_casing: WordCasing = WordCasing.LOWER,
 ) -> IntentsToFstContext:
     """Compile templates to a written text FST plus vocab/meta-label sets."""
-    context = IntentsToFstContext(
-        fst_file=fst_file, lexicon=lexicon, word_casing=word_casing
-    )
-
     fst = intents_to_fst(
         intents,
         number_language=number_language,
@@ -496,9 +541,11 @@ def compile_intents(
     ).remove_spaces()
     fst.prune()
 
+    context = IntentsToFstContext(
+        fst_file=fst_file, lexicon=lexicon, word_casing=word_casing
+    )
     fst.write(context.fst_file)
     context.fst_file.seek(0)
-    context.vocab = fst.words
+    context.vocab = set(fst.words)
     context.meta_labels = fst.output_words - fst.words
-
     return context

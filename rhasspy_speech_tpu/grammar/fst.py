@@ -1,13 +1,24 @@
 """In-memory textual FST used by the grammar compiler.
 
-Behavioral contract mirrors the reference's template-FST layer
-(/root/reference/rhasspy_speech/hassil_fst.py:45-352): word arcs carry a
-per-word penalty, ``<space>`` tokens mark word boundaries, and output-side
-metadata is carried as base32-encoded ``__output:``/``__sentence_output:``
-labels that survive decoding and are resolved by :func:`decode_meta`. This is
-the public output format of the whole system, so the encode/decode scheme is
-kept bit-identical. Implementation is our own (iterative traversals instead
-of recursion, reverse-reachability pruning).
+The *external contracts* follow the reference's template-FST layer
+(/root/reference/rhasspy_speech/hassil_fst.py:28-34,849-876): word arcs carry
+``WORD_PENALTY``, ``<space>`` tokens mark word boundaries in the char-level
+build, and output-side metadata rides as base32 ``__output:`` /
+``__sentence_output:`` labels that survive decoding and are resolved by
+:func:`decode_meta`. Those labels are the public output format of the whole
+system, so the encode/decode scheme is kept bit-identical.
+
+The *implementation* is our own design:
+
+- word merging (:meth:`Fst.remove_spaces`) is an anchor-graph construction —
+  every ``<space>`` arc of the char-level FST becomes one state ("anchor") of
+  the word-level FST, and word arcs are discovered by walking char segments
+  between anchors with a small cursor record — rather than a recursive
+  per-arc walk;
+- pruning is reverse reachability from the final states in one pass;
+- language enumeration (:meth:`to_strings` / :meth:`to_tokens`) is an
+  explicit-stack traversal, safe for full-scale grammars (thousands of
+  sentences) where recursion would overflow.
 """
 
 from __future__ import annotations
@@ -46,6 +57,24 @@ class FstArc:
 
 
 @dataclass
+class _Cursor:
+    """Walk position inside one char segment during space removal.
+
+    ``node`` is the char-FST state whose outgoing arcs are explored next;
+    ``emit_at`` is the word-FST state new arcs hang off; ``fragment``
+    accumulates the spoken word since the last boundary; ``pending_out`` is an
+    output label waiting to be released at the next boundary; ``mode`` is the
+    output-suppression mode.
+    """
+
+    node: int
+    emit_at: int
+    fragment: str = ""
+    pending_out: Optional[str] = None
+    mode: SuppressOutput = SuppressOutput.DISABLED
+
+
+@dataclass
 class Fst:
     arcs: Dict[int, List[FstArc]] = field(default_factory=lambda: defaultdict(list))
     states: Set[int] = field(default_factory=lambda: {0})
@@ -73,12 +102,12 @@ class Fst:
         in_label = EPS if in_label is None else in_label
         out_label = in_label if out_label is None else out_label
 
-        if (" " in in_label) or (" " in out_label):
-            raise ValueError(
-                f"Cannot have white space in labels: from={in_label}, to={out_label}"
-            )
-        if (not in_label) or (not out_label):
-            raise ValueError(f"Labels cannot be empty: from={in_label}, to={out_label}")
+        for label in (in_label, out_label):
+            if (not label) or (" " in label):
+                raise ValueError(
+                    f"Bad FST label {label!r} (empty or contains whitespace) "
+                    f"on arc {in_label!r}:{out_label!r}"
+                )
 
         if in_label != EPS:
             self.words.add(in_label)
@@ -106,127 +135,134 @@ class Fst:
 
     # -- serialization ------------------------------------------------------
 
+    def _arc_lines(self):
+        for state in self.arcs:
+            for arc in self.arcs[state]:
+                head = f"{state} {arc.to_state} {arc.in_label} {arc.out_label}"
+                yield head if arc.log_prob is None else f"{head} {arc.log_prob}"
+        for state in self.final_states:
+            yield str(state)
+
     def write(self, fst_file: TextIO, symbols_file: Optional[TextIO] = None) -> None:
         """Write AT&T-style text FST lines (and optionally a symbol table)."""
-        symbols: Dict[str, int] = {EPS: 0}
-
-        for state, state_arcs in self.arcs.items():
-            for arc in state_arcs:
-                symbols.setdefault(arc.in_label, len(symbols))
-                symbols.setdefault(arc.out_label, len(symbols))
-
-                fields: Tuple = (state, arc.to_state, arc.in_label, arc.out_label)
-                if arc.log_prob is not None:
-                    fields = fields + (arc.log_prob,)
-                print(*fields, file=fst_file)
-
-        for state in self.final_states:
-            print(state, file=fst_file)
+        for line in self._arc_lines():
+            fst_file.write(line + "\n")
 
         if symbols_file is not None:
+            symbols: Dict[str, int] = {EPS: 0}
+            for state_arcs in self.arcs.values():
+                for arc in state_arcs:
+                    symbols.setdefault(arc.in_label, len(symbols))
+                    symbols.setdefault(arc.out_label, len(symbols))
             for symbol, symbol_id in symbols.items():
-                print(symbol, symbol_id, file=symbols_file)
+                symbols_file.write(f"{symbol} {symbol_id}\n")
 
     # -- space removal ------------------------------------------------------
 
     def remove_spaces(self) -> "Fst":
-        """Merge ``<space>``-separated character/word chunks into word arcs.
+        """Build the word-level FST from this char-level one.
 
-        Every produced word arc gets WORD_PENALTY; output-metadata markers
-        (``__begin_output``/``__end_output``/``__output:``/
-        ``__sentence_output:``) control which output labels survive.
+        Anchor-graph construction: the word FST has one state per ``<space>``
+        arc of this FST (plus one lane state per sentence-start arc). A word
+        arc connects two anchors when some char path joins them; its input is
+        the concatenated chars, its output follows the metadata-marker rules
+        (``__begin_output``/``__end_output`` suppress spoken output and
+        release a recorded ``__output:`` label instead; word-level overrides —
+        e.g. number words carrying digit outputs — release at the next
+        boundary). Every non-empty word arc gets :data:`WORD_PENALTY`.
         """
         merged = Fst()
-        # (src_state, dst_state, arc_index) of a <space> arc -> merged state
-        visited: Dict[Tuple[int, int, int], int] = {}
+        # Identity of a <space> arc (src, dst, index) -> its anchor state.
+        anchors: Dict[Tuple[int, int, int], int] = {}
 
-        # Work item: traversal of `arc` (the arc_idx'th arc of `state`) with
-        # the word/output accumulators and current merged-FST write position.
-        stack: List[Tuple[int, FstArc, int, str, Optional[str], int, SuppressOutput]] = []
-
-        for intent_arc in self.arcs[self.start]:
-            # Per-sentence start arc keeps its weight (if any)
-            merged_state = merged.next_edge(merged.start, log_prob=intent_arc.log_prob)
-            for arc_idx in reversed(range(len(self.arcs[intent_arc.to_state]))):
-                arc = self.arcs[intent_arc.to_state][arc_idx]
-                stack.append(
-                    (
-                        intent_arc.to_state,
-                        arc,
-                        arc_idx,
-                        "",
-                        None,
-                        merged_state,
-                        SuppressOutput.DISABLED,
-                    )
-                )
-
-        while stack:
-            state, arc, arc_idx, word, output_word, out_state, suppress = stack.pop()
-
-            if arc.in_label == SPACE:
-                key = (state, arc.to_state, arc_idx)
-                input_symbol = word or EPS
-                output_symbol = input_symbol
-
-                if suppress in (SuppressOutput.UNTIL_END, SuppressOutput.UNTIL_SPACE):
-                    output_symbol = output_word or EPS
-                    output_word = None  # consumed
-
-                penalty = WORD_PENALTY if input_symbol != EPS else None
-                cached_state = visited.get(key)
-                if cached_state is not None:
-                    merged.add_edge(
-                        out_state, cached_state, input_symbol, output_symbol, penalty
-                    )
-                    continue
-
-                out_state = merged.next_edge(
-                    out_state, input_symbol, output_symbol, penalty
-                )
-                visited[key] = out_state
-
-                if arc.to_state in self.final_states:
-                    merged.final_states.add(out_state)
-
-                word = ""
-                if suppress == SuppressOutput.UNTIL_SPACE:
-                    suppress = SuppressOutput.DISABLED
-            elif arc.in_label != EPS:
-                word += arc.in_label
-                if (
-                    (suppress == SuppressOutput.DISABLED)
-                    and (arc.out_label != EPS)
-                    and (arc.out_label != arc.in_label)
-                ):
-                    # Word-level output override (e.g. number words -> digits)
-                    suppress = SuppressOutput.UNTIL_SPACE
-                    output_word = arc.out_label
-
-            if arc.out_label.startswith(BEGIN_OUTPUT):
-                suppress = SuppressOutput.UNTIL_END
-            elif arc.out_label.startswith(END_OUTPUT):
-                suppress = SuppressOutput.UNTIL_SPACE
-            elif arc.out_label.startswith(SENTENCE_OUTPUT):
-                out_state = merged.next_edge(out_state, EPS, arc.out_label)
-            elif arc.out_label.startswith(OUTPUT_PREFIX):
-                output_word = arc.out_label
-
-            next_arcs = self.arcs[arc.to_state]
-            for next_idx in reversed(range(len(next_arcs))):
-                stack.append(
-                    (
-                        arc.to_state,
-                        next_arcs[next_idx],
-                        next_idx,
-                        word,
-                        output_word,
-                        out_state,
-                        suppress,
-                    )
-                )
+        for head in self.arcs[self.start]:
+            # One lane per sentence; keeps the sentence weight (if any).
+            lane = merged.next_edge(merged.start, log_prob=head.log_prob)
+            self._merge_segments(head.to_state, lane, merged, anchors)
 
         return merged
+
+    def _merge_segments(
+        self,
+        node: int,
+        lane: int,
+        merged: "Fst",
+        anchors: Dict[Tuple[int, int, int], int],
+    ) -> None:
+        stack: List[_Cursor] = [_Cursor(node=node, emit_at=lane)]
+        while stack:
+            cursor = stack.pop()
+            followups: List[_Cursor] = []
+            for idx, arc in enumerate(self.arcs[cursor.node]):
+                nxt = self._step_segment(cursor, arc, idx, merged, anchors)
+                if nxt is not None:
+                    followups.append(nxt)
+            stack.extend(reversed(followups))  # preserve arc order (pre-order)
+
+    def _step_segment(
+        self,
+        cursor: _Cursor,
+        arc: FstArc,
+        arc_idx: int,
+        merged: "Fst",
+        anchors: Dict[Tuple[int, int, int], int],
+    ) -> Optional[_Cursor]:
+        """Advance one char arc; emit a word arc at boundaries.
+
+        Returns the continuation cursor, or None when the walk stops here
+        (boundary already expanded from an earlier visit).
+        """
+        if arc.in_label == SPACE:
+            spoken = cursor.fragment or EPS
+            if cursor.mode is SuppressOutput.DISABLED:
+                written, pending = spoken, cursor.pending_out
+            else:
+                written, pending = cursor.pending_out or EPS, None
+            weight = WORD_PENALTY if spoken != EPS else None
+
+            key = (cursor.node, arc.to_state, arc_idx)
+            known = anchors.get(key)
+            if known is not None:
+                merged.add_edge(cursor.emit_at, known, spoken, written, weight)
+                return None  # segment graph beyond this anchor already built
+
+            landing = merged.next_edge(cursor.emit_at, spoken, written, weight)
+            anchors[key] = landing
+            if arc.to_state in self.final_states:
+                merged.final_states.add(landing)
+
+            mode = cursor.mode
+            if mode is SuppressOutput.UNTIL_SPACE:
+                mode = SuppressOutput.DISABLED
+            return _Cursor(arc.to_state, landing, "", pending, mode)
+
+        fragment = cursor.fragment
+        pending = cursor.pending_out
+        mode = cursor.mode
+        emit_at = cursor.emit_at
+
+        if arc.in_label != EPS:
+            fragment += arc.in_label
+            if (
+                mode is SuppressOutput.DISABLED
+                and arc.out_label not in (EPS, arc.in_label)
+            ):
+                # Word-level output override (e.g. number words -> digits)
+                mode = SuppressOutput.UNTIL_SPACE
+                pending = arc.out_label
+
+        marker = arc.out_label
+        if marker.startswith(BEGIN_OUTPUT):
+            mode = SuppressOutput.UNTIL_END
+        elif marker.startswith(END_OUTPUT):
+            mode = SuppressOutput.UNTIL_SPACE
+        elif marker.startswith(SENTENCE_OUTPUT):
+            # Sentence-level outputs are interposed on the word FST directly.
+            emit_at = merged.next_edge(emit_at, EPS, marker)
+        elif marker.startswith(OUTPUT_PREFIX):
+            pending = marker
+
+        return _Cursor(arc.to_state, emit_at, fragment, pending, mode)
 
     # -- pruning ------------------------------------------------------------
 
@@ -287,36 +323,34 @@ class Fst:
         return strings
 
     def to_tokens(self, only_connected: bool = True) -> List[List[str]]:
-        """Enumerate input token paths; dead paths included when requested."""
+        """Enumerate input token paths; dead-end paths included on request.
+
+        Explicit-stack traversal (full-scale grammars exceed Python's
+        recursion limit).
+        """
         tokens: List[List[str]] = []
-        self._collect_tokens([], tokens, self.start, only_connected)
+        stack: List[Tuple[int, Tuple[str, ...]]] = [(self.start, ())]
+        while stack:
+            state, path = stack.pop()
+            if path and state in self.final_states:
+                tokens.append(list(path))
+
+            state_arcs = self.arcs[state]
+            if path and (not state_arcs) and (not only_connected):
+                tokens.append(list(path))  # dead-end path
+                continue
+
+            for arc in reversed(state_arcs):
+                if (arc.in_label == EPS) or (arc.in_label == SPACE and not path):
+                    stack.append((arc.to_state, path))
+                else:
+                    stack.append((arc.to_state, path + (arc.in_label.strip(),)))
 
         for path in tokens:
             if path and path[-1] == SPACE:
                 path.pop()
 
         return tokens
-
-    def _collect_tokens(
-        self,
-        path: List[str],
-        tokens: List[List[str]],
-        state: int,
-        only_connected: bool,
-    ) -> None:
-        if (state in self.final_states) and path:
-            tokens.append(path)
-
-        state_arcs = self.arcs[state]
-        for arc in state_arcs:
-            if (arc.in_label == EPS) or (arc.in_label == SPACE and not path):
-                arc_path = path
-            else:
-                arc_path = path + [arc.in_label.strip()]
-            self._collect_tokens(arc_path, tokens, arc.to_state, only_connected)
-
-        if path and (not state_arcs) and (not only_connected):
-            tokens.append(path)  # dead-end path
 
 
 # ---------------------------------------------------------------------------

@@ -7,14 +7,21 @@ with ``lists`` (including ``range`` via the number engine) and
 values for ``{slot}`` substitution in output templates and honoring
 requires/excludes context filters. Feeds the sentences DB used for
 transcript scoring.
+
+The expansion itself is our own design: a :class:`_Expander` lowers each
+expression node to a list of :class:`_Expansion` records, building group
+products by left-folding partial expansions instead of recursively zipping
+generators. Whitespace is re-normalized at every group level (matching the
+reference's observable behavior for nested groups).
 """
 
 from __future__ import annotations
 
-import itertools
 import logging
+import re
 import time
 from collections.abc import Sequence as ABCSequence
+from dataclasses import dataclass, field
 from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 from .expression import (
@@ -35,6 +42,8 @@ from .parser import is_template, parse_sentence
 
 _LOGGER = logging.getLogger(__name__)
 
+_WHITESPACE = re.compile(r"\s+")
+
 
 class MissingListError(Exception):
     pass
@@ -44,12 +53,157 @@ class MissingRuleError(Exception):
     pass
 
 
-def _normalize_whitespace(text: str) -> str:
-    """Collapse runs and strip edges (skipped optionals at sentence edges
-    otherwise leave dangling spaces)."""
-    import re
+def _squash(text: str) -> str:
+    """Collapse whitespace runs and strip edges (skipped optionals otherwise
+    leave dangling spaces)."""
+    return _WHITESPACE.sub(" ", text).strip()
 
-    return re.sub(r"\s+", " ", text).strip()
+
+@dataclass
+class _Expansion:
+    """One concrete expansion: spoken text, decoded output, slot values.
+
+    ``written`` keeps the raw value type (list ``out:`` values may be ints);
+    consumers stringify at join time.
+    """
+
+    spoken: str = ""
+    written: Any = ""
+    slots: Dict[str, Any] = field(default_factory=dict)
+
+
+class _Expander:
+    """Expands expression trees against slot lists and expansion rules."""
+
+    def __init__(
+        self,
+        slot_lists: Optional[Dict[str, SlotList]] = None,
+        expansion_rules: Optional[Dict[str, Sentence]] = None,
+        requires_context: Optional[Dict[str, Any]] = None,
+        excludes_context: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        self.slot_lists = slot_lists or {}
+        self.expansion_rules = expansion_rules or {}
+        self.requires_context = requires_context
+        self.excludes_context = excludes_context
+
+    def expand(self, expression: Expression) -> List[_Expansion]:
+        if isinstance(expression, TextChunk):
+            text = expression.original_text
+            return [_Expansion(spoken=text, written=text)]
+
+        if isinstance(expression, Sequence):
+            if expression.type == SequenceType.ALTERNATIVE:
+                flat: List[_Expansion] = []
+                for item in expression.items:
+                    flat.extend(self.expand(item))
+                return flat
+            if expression.type == SequenceType.GROUP:
+                return self._expand_group(expression.items)
+            raise ValueError(f"Unexpected sequence type: {expression}")
+
+        if isinstance(expression, ListReference):
+            return self._expand_list(expression)
+
+        if isinstance(expression, RuleReference):
+            rule = self.expansion_rules.get(expression.rule_name)
+            if rule is None:
+                raise MissingRuleError(
+                    f"Missing expansion rule <{expression.rule_name}>"
+                )
+            return self.expand(rule)
+
+        raise ValueError(f"Unexpected expression: {expression}")
+
+    def _expand_group(self, items: Iterable[Expression]) -> List[_Expansion]:
+        # Left fold: the running list holds every partial product so far.
+        partials: List[_Expansion] = [_Expansion()]
+        for item in items:
+            grown: List[_Expansion] = []
+            branches = self.expand(item)
+            for partial in partials:
+                for branch in branches:
+                    grown.append(
+                        _Expansion(
+                            spoken=partial.spoken + branch.spoken,
+                            written=self._join_written(
+                                partial.written, branch.written
+                            ),
+                            slots={**partial.slots, **branch.slots},
+                        )
+                    )
+            partials = grown
+
+        for partial in partials:
+            partial.spoken = _squash(partial.spoken)
+            partial.written = _squash(str(partial.written))
+        return partials
+
+    @staticmethod
+    def _join_written(left: Any, right: Any) -> str:
+        parts = [str(x) for x in (left, right) if x is not None]
+        return "".join(parts)
+
+    def _expand_list(self, ref: ListReference) -> List[_Expansion]:
+        slot_list = self.slot_lists.get(ref.list_name)
+        if slot_list is None:
+            raise MissingListError(f"Missing slot list {{{ref.list_name}}}")
+        if not isinstance(slot_list, TextSlotList):
+            raise ValueError(f"Unexpected slot list type: {slot_list}")
+
+        values = [v for v in slot_list.values if self._value_allowed(v.context)]
+        if not values:
+            _LOGGER.warning("No values for list: %s", ref.list_name)
+
+        results: List[_Expansion] = []
+        for value in values:
+            for inner in self.expand(value.text_in):
+                written = value.value_out or inner.written
+                results.append(
+                    _Expansion(
+                        spoken=inner.spoken,
+                        written=written,
+                        slots={**inner.slots, ref.list_name: written},
+                    )
+                )
+        return results
+
+    def _value_allowed(self, context: Optional[Dict[str, Any]]) -> bool:
+        if self.requires_context and not check_required_context(
+            self.requires_context, context, allow_missing_keys=True
+        ):
+            return False
+        if self.excludes_context and not check_excluded_context(
+            self.excludes_context, context
+        ):
+            return False
+        return True
+
+
+def sample_expression_with_output(
+    expression: Expression,
+    slot_lists: Optional[Dict[str, SlotList]] = None,
+    expansion_rules: Optional[Dict[str, Sentence]] = None,
+    list_values: Optional[Dict[str, Any]] = None,
+    requires_context: Optional[Dict[str, Any]] = None,
+    excludes_context: Optional[Dict[str, Any]] = None,
+) -> Iterable[Tuple[str, Optional[str], Dict[str, Any]]]:
+    """Yield (input text, output text, slot values) for every expansion."""
+    expander = _Expander(
+        slot_lists, expansion_rules, requires_context, excludes_context
+    )
+    seed = list_values or {}
+    for expansion in expander.expand(expression):
+        yield (
+            expansion.spoken,
+            expansion.written,
+            {**seed, **expansion.slots},
+        )
+
+
+# ---------------------------------------------------------------------------
+# YAML entry point
+# ---------------------------------------------------------------------------
 
 
 def generate_sentences(
@@ -70,75 +224,65 @@ def generate_sentences(
         expansion_rules:
           <name>: template
     """
-    start_time = time.monotonic()
-    templates = sentences_yaml["sentences"]
+    started = time.monotonic()
 
     slot_lists: Dict[str, SlotList] = {}
     for slot_name, slot_info in sentences_yaml.get("lists", {}).items():
-        slot_list = _load_slot_list(slot_name, slot_info, number_engine)
-        if slot_list is not None:
-            slot_lists[slot_name] = slot_list
+        loaded = _load_slot_list(slot_name, slot_info, number_engine)
+        if loaded is not None:
+            slot_lists[slot_name] = loaded
 
     expansion_rules: Dict[str, Sentence] = {
-        rule_name: parse_sentence(rule_text)
-        for rule_name, rule_text in sentences_yaml.get(
-            "expansion_rules", {}
-        ).items()
+        name: parse_sentence(text)
+        for name, text in sentences_yaml.get("expansion_rules", {}).items()
     }
 
-    num_sentences = 0
-    for template in templates:
-        requires_context: Optional[Dict[str, Any]] = None
-        excludes_context: Optional[Dict[str, Any]] = None
-
-        if isinstance(template, str):
-            input_templates: List[str] = [template]
-            output_text: Optional[str] = None
-        else:
-            input_value = template["in"]
-            input_templates = (
-                [input_value] if isinstance(input_value, str) else input_value
-            )
-            output_text = template.get("out")
-            requires_context = template.get("requires_context")
-            excludes_context = template.get("excludes_context")
-
-        for input_template in input_templates:
-            if is_template(input_template):
-                input_expression = parse_sentence(input_template)
-                for (
-                    input_text,
-                    maybe_output_text,
-                    list_values,
-                ) in sample_expression_with_output(
-                    input_expression,
-                    slot_lists=slot_lists,
-                    expansion_rules=expansion_rules,
-                    requires_context=requires_context,
-                    excludes_context=excludes_context,
-                ):
-                    if output_text is None:
-                        final_output_text = maybe_output_text or input_text
-                    else:
-                        final_output_text = output_text  # may be empty
-
-                    if list_values:
-                        final_output_text = final_output_text.format(**list_values)
-
-                    yield (input_text, final_output_text)
-                    num_sentences += 1
-            else:
-                final_output_text = (
-                    input_template if output_text is None else output_text
-                )
-                yield (input_template, final_output_text)
-                num_sentences += 1
+    emitted = 0
+    for spec in sentences_yaml["sentences"]:
+        for pair in _expand_template_spec(spec, slot_lists, expansion_rules):
+            yield pair
+            emitted += 1
 
     _LOGGER.info(
         "Generated %s sentence(s) in %0.2f second(s)",
-        num_sentences,
-        time.monotonic() - start_time,
+        emitted,
+        time.monotonic() - started,
     )
+
+
+def _expand_template_spec(
+    spec: Any,
+    slot_lists: Dict[str, SlotList],
+    expansion_rules: Dict[str, Sentence],
+) -> Iterable[Tuple[str, str]]:
+    """Expand one entry of the ``sentences:`` list."""
+    if isinstance(spec, str):
+        templates: List[str] = [spec]
+        fixed_output: Optional[str] = None
+        requires_context = excludes_context = None
+    else:
+        raw_in = spec["in"]
+        templates = [raw_in] if isinstance(raw_in, str) else raw_in
+        fixed_output = spec.get("out")
+        requires_context = spec.get("requires_context")
+        excludes_context = spec.get("excludes_context")
+
+    for template in templates:
+        if not is_template(template):
+            yield (template, template if fixed_output is None else fixed_output)
+            continue
+
+        expander = _Expander(
+            slot_lists, expansion_rules, requires_context, excludes_context
+        )
+        for expansion in expander.expand(parse_sentence(template)):
+            if fixed_output is None:
+                out_text = str(expansion.written or expansion.spoken)
+            else:
+                out_text = fixed_output  # may be empty
+            if expansion.slots:
+                out_text = out_text.format(**expansion.slots)
+            yield (expansion.spoken, out_text)
 
 
 def _load_slot_list(
@@ -147,182 +291,62 @@ def _load_slot_list(
     if isinstance(slot_info, ABCSequence) and not isinstance(slot_info, str):
         slot_info = {"values": slot_info}
 
-    values: List[TextSlotValue] = []
-
     slot_range = slot_info.get("range")
     if slot_range:
-        assert number_engine is not None, "Can't expand ranges without a number engine"
-        slot_from = int(slot_range["from"])
-        slot_to = int(slot_range["to"])
-        slot_step = int(slot_range.get("step", 1))
-        for i in range(slot_from, slot_to + 1, slot_step):
-            result = number_engine.format_number(i)
-            number_strs = {
-                s.replace("-", " ") for s in result.text_by_ruleset.values()
-            }
-            values.extend(
-                TextSlotValue(text_in=TextChunk(text=s), value_out=i)
-                for s in number_strs
-            )
-        return TextSlotList(name=slot_name, values=values)
+        return _load_range_list(slot_name, slot_range, number_engine)
 
-    slot_values = slot_info.get("values")
-    if not slot_values:
+    raw_values = slot_info.get("values")
+    if not raw_values:
         _LOGGER.warning("No values for list %s, skipping", slot_name)
         return None
 
-    for slot_value in slot_values:
-        if isinstance(slot_value, str):
-            slot_value = {"in": slot_value}
+    values: List[TextSlotValue] = []
+    for raw in raw_values:
+        if isinstance(raw, str):
+            raw = {"in": raw}
 
-        value_in = str(slot_value["in"])
-        if not value_in:
+        text_in = str(raw["in"])
+        if not text_in:
             continue
+        value_out = raw.get("out")
+        context = raw.get("context")
 
-        value_out = slot_value.get("out")
-        value_context = slot_value.get("context")
-
-        if is_template(value_in):
-            input_expression = parse_sentence(value_in)
-            for input_text, _out, _lists in sample_expression_with_output(
-                input_expression
-            ):
+        if is_template(text_in):
+            expander = _Expander()
+            for expansion in expander.expand(parse_sentence(text_in)):
                 values.append(
                     TextSlotValue(
-                        text_in=TextChunk(text=input_text),
-                        value_out=value_out or input_text,
-                        context=value_context,
+                        text_in=TextChunk(text=expansion.spoken),
+                        value_out=value_out or expansion.spoken,
+                        context=context,
                     )
                 )
         else:
             values.append(
                 TextSlotValue(
-                    text_in=TextChunk(text=value_in),
-                    value_out=value_out or value_in,
-                    context=value_context,
+                    text_in=TextChunk(text=text_in),
+                    value_out=value_out or text_in,
+                    context=context,
                 )
             )
 
     return TextSlotList(name=slot_name, values=values)
 
 
-def sample_expression_with_output(
-    expression: Expression,
-    slot_lists: Optional[Dict[str, SlotList]] = None,
-    expansion_rules: Optional[Dict[str, Sentence]] = None,
-    list_values: Optional[Dict[str, Any]] = None,
-    requires_context: Optional[Dict[str, Any]] = None,
-    excludes_context: Optional[Dict[str, Any]] = None,
-) -> Iterable[Tuple[str, Optional[str], Dict[str, Any]]]:
-    """Yield (input text, output text, slot values) for every expansion."""
-    if list_values is None:
-        list_values = {}
+def _load_range_list(
+    slot_name: str, slot_range: Dict[str, Any], number_engine: Optional[NumberEngine]
+) -> TextSlotList:
+    assert number_engine is not None, "Can't expand ranges without a number engine"
+    lo = int(slot_range["from"])
+    hi = int(slot_range["to"])
+    step = int(slot_range.get("step", 1))
 
-    if isinstance(expression, TextChunk):
-        yield (expression.original_text, expression.original_text, list_values)
-
-    elif isinstance(expression, Sequence):
-        if expression.type == SequenceType.ALTERNATIVE:
-            for item in expression.items:
-                yield from sample_expression_with_output(
-                    item,
-                    slot_lists,
-                    expansion_rules,
-                    list_values,
-                    requires_context,
-                    excludes_context,
-                )
-        elif expression.type == SequenceType.GROUP:
-            item_expansions = [
-                sample_expression_with_output(
-                    item,
-                    slot_lists,
-                    expansion_rules,
-                    list_values,
-                    requires_context,
-                    excludes_context,
-                )
-                for item in expression.items
-            ]
-            for combo in itertools.product(*item_expansions):
-                combo_list_values = dict(list_values)
-                for part in combo:
-                    combo_list_values.update(part[2])
-
-                yield (
-                    _normalize_whitespace("".join(part[0] for part in combo)),
-                    _normalize_whitespace(
-                        "".join(str(part[1]) for part in combo if part[1] is not None)
-                    ),
-                    combo_list_values,
-                )
-        else:
-            raise ValueError(f"Unexpected sequence type: {expression}")
-
-    elif isinstance(expression, ListReference):
-        if (not slot_lists) or (expression.list_name not in slot_lists):
-            raise MissingListError(f"Missing slot list {{{expression.list_name}}}")
-
-        slot_list = slot_lists[expression.list_name]
-        if not isinstance(slot_list, TextSlotList):
-            raise ValueError(f"Unexpected slot list type: {slot_list}")
-
-        if requires_context or excludes_context:
-            filtered_values = [
-                v
-                for v in slot_list.values
-                if (
-                    (not requires_context)
-                    or check_required_context(
-                        requires_context, v.context, allow_missing_keys=True
-                    )
-                )
-                and (
-                    (not excludes_context)
-                    or check_excluded_context(excludes_context, v.context)
-                )
-            ]
-        else:
-            filtered_values = slot_list.values
-
-        if not filtered_values:
-            _LOGGER.warning("No values for list: %s", expression.list_name)
-
-        for text_value in filtered_values:
-            for (
-                value_input_text,
-                value_output_text,
-                value_list_values,
-            ) in sample_expression_with_output(
-                text_value.text_in,
-                slot_lists,
-                expansion_rules,
-                list_values,
-                requires_context,
-                excludes_context,
-            ):
-                value_output_text = text_value.value_out or value_output_text
-                yield (
-                    value_input_text,
-                    value_output_text,
-                    {
-                        **value_list_values,
-                        expression.list_name: value_output_text,
-                    },
-                )
-
-    elif isinstance(expression, RuleReference):
-        if (not expansion_rules) or (expression.rule_name not in expansion_rules):
-            raise MissingRuleError(f"Missing expansion rule <{expression.rule_name}>")
-
-        yield from sample_expression_with_output(
-            expansion_rules[expression.rule_name],
-            slot_lists,
-            expansion_rules,
-            list_values,
-            requires_context,
-            excludes_context,
+    values: List[TextSlotValue] = []
+    for number in range(lo, hi + 1, step):
+        result = number_engine.format_number(number)
+        spellings = {s.replace("-", " ") for s in result.text_by_ruleset.values()}
+        values.extend(
+            TextSlotValue(text_in=TextChunk(text=s), value_out=number)
+            for s in spellings
         )
-
-    else:
-        raise ValueError(f"Unexpected expression: {expression}")
+    return TextSlotList(name=slot_name, values=values)

@@ -107,47 +107,76 @@ class LexiconDatabase:
 # ---------------------------------------------------------------------------
 
 
+SplitWord = Union[str, Tuple[str, Optional[str]]]
+
+
 def split_words(
     text: str, lexicon: LexiconDatabase, number_engine=None
-) -> List[Union[str, Tuple[str, Optional[str]]]]:
+) -> List[SplitWord]:
     """Split template text into speakable words for the lexicon.
 
     Unknown tokens get digit/letter expansion: ``abc123`` → ``abc 123``,
     ``NASA``/``A.B.C.`` → letters, numbers → words (tagged with the original
-    digit string as the output label, reference g2p.py:140-148).
+    digit string as the output label; capability of reference g2p.py:116-153).
     """
-    words: List[Union[str, Tuple[str, Optional[str]]]] = []
-    for word in text.split():
-        if lexicon.exists(word):
-            words.append(word)
-            continue
-
-        for sub_word in _NUMBER_SPLIT.split(word):
-            if not sub_word:
-                continue
-
-            if lexicon.exists(sub_word):
-                words.append(sub_word)
-            elif _INITIALISM_NO_DOTS.match(sub_word):
-                words.extend(list(sub_word))
-            elif _INITIALISM_DOTS.match(sub_word):
-                words.extend(c for c in sub_word if c != ".")
-            elif _NUMBER.match(sub_word) and (number_engine is not None):
-                number_words = (
-                    number_engine.format_number(sub_word)
-                    .text.replace("-", " ")
-                    .split()
-                )
-                for idx, number_word in enumerate(number_words):
-                    # First word carries the digits as its output label
-                    words.append((number_word, sub_word if idx == 0 else None))
-            else:
-                words.append(sub_word)  # pronunciation guessed later
-
+    words: List[SplitWord] = []
+    for token in text.split():
+        if lexicon.exists(token):
+            words.append(token)
+        else:
+            # Separate digit runs from letter runs, then expand each run.
+            for run in _NUMBER_SPLIT.split(token):
+                if run:
+                    words.extend(_expand_run(run, lexicon, number_engine))
     return words
 
 
+def _expand_run(
+    run: str, lexicon: LexiconDatabase, number_engine
+) -> List[SplitWord]:
+    """Expand one homogeneous run of a token into speakable words."""
+    if lexicon.exists(run):
+        return [run]
+
+    if _INITIALISM_NO_DOTS.match(run) or _INITIALISM_DOTS.match(run):
+        return [char for char in run if char != "."]
+
+    if number_engine is not None and _NUMBER.match(run):
+        spoken = number_engine.format_number(run).text.replace("-", " ").split()
+        # The first spoken word carries the digits as its output label.
+        return [
+            (word, run if idx == 0 else None) for idx, word in enumerate(spoken)
+        ]
+
+    return [run]  # pronunciation guessed later
+
+
 # ---------------------------------------------------------------------------
+
+
+def _phoneme_spans(tokens: Iterable[str]):
+    """Group "sounds like" tokens into ``("phones", [...])`` literal spans
+    (``/P1 P2/`` syntax) and plain ``("word", token)`` items."""
+    span: Optional[List[str]] = None
+    for token in tokens:
+        if token.startswith("/"):
+            token = token[1:]
+            span = []
+
+        closes = token.endswith("/")
+        if closes:
+            token = token[:-1]
+
+        if span is None:
+            yield ("word", token)
+            continue
+
+        span.append(token)
+        if closes:
+            if span:
+                yield ("phones", span)
+            span = None
+    # An unterminated /span is silently dropped, like the reference.
 
 
 def get_sounds_like(
@@ -157,92 +186,94 @@ def get_sounds_like(
 
     Tokens may be known words, ``/P1 P2/`` literal phoneme strings, or
     ``[seg]ment`` partial-word references resolved via g2p alignments.
-    Returns the cartesian product of all alternatives.
+    Returns the cartesian product of all alternatives
+    (capability of reference g2p.py:159-225).
     """
-    in_phoneme = False
-    known_phonemes: List[List[List[str]]] = []
-    current_phonemes: List[str] = []
+    alternatives: List[List[List[str]]] = []
 
-    for token in sounds_like:
-        if token.startswith("/"):
-            in_phoneme = True
-            token = token[1:]
-            current_phonemes = []
+    for kind, item in _phoneme_spans(sounds_like):
+        if kind == "phones":
+            alternatives.append([list(item)])
+            continue
 
-        end_slash = token.endswith("/")
-        if end_slash:
-            token = token[:-1]
-
-        if in_phoneme:
-            current_phonemes.append(token)
-        else:
-            partial = _SOUNDS_LIKE_PARTIAL.match(token)
-            if partial:
-                word = re.sub(r"[\[\]]", "", token)
-                known_phonemes.append(
-                    list(
-                        get_aligned_phonemes(
-                            lexicon, word, partial.group(1), partial.group(2)
-                        )
+        partial = _SOUNDS_LIKE_PARTIAL.match(item)
+        if partial:
+            word = item.replace("[", "").replace("]", "")
+            alternatives.append(
+                list(
+                    get_aligned_phonemes(
+                        lexicon, word, partial.group(1), partial.group(2)
                     )
                 )
-            else:
-                known_phonemes.append(lexicon.lookup(token))
-
-        if end_slash:
-            in_phoneme = False
-            if current_phonemes:
-                known_phonemes.append([current_phonemes])
+            )
+        else:
+            alternatives.append(lexicon.lookup(item))
 
     return [
-        list(itertools.chain(*combo)) for combo in itertools.product(*known_phonemes)
+        list(itertools.chain(*combo)) for combo in itertools.product(*alternatives)
     ]
+
+
+def _parse_alignment(alignment: str) -> List[Tuple[List[str], List[str]]]:
+    """Parse one g2p joint-model alignment string into (graphemes, phonemes)
+    pairs: ``t}t e}..`` with ``|`` separating multi-tokens and ``_`` marking
+    an empty output."""
+    pairs: List[Tuple[List[str], List[str]]] = []
+    for chunk in alignment.split():
+        graph_part, phone_part = chunk.split("}")
+        pairs.append(
+            (
+                graph_part.split("|"),
+                [] if phone_part == "_" else phone_part.split("|"),
+            )
+        )
+    return pairs
+
+
+def _segment_phonemes(
+    pairs: List[Tuple[List[str], List[str]]], prefix: str, body: str
+) -> Optional[List[str]]:
+    """Phonemes the alignment assigns to ``body`` when the alignment's
+    graphemes start with ``prefix + body``; None on any mismatch.
+
+    Prefix graphemes consume no phonemes; each matched body grapheme takes
+    the next phoneme of its pair (pairs may straddle the boundary).
+    """
+    consumed_prefix = 0
+    consumed_body = 0
+    collected: List[str] = []
+
+    for graphemes, phonemes in pairs:
+        grapheme_idx = 0
+        phoneme_idx = 0
+
+        while consumed_prefix < len(prefix) and grapheme_idx < len(graphemes):
+            if graphemes[grapheme_idx] != prefix[consumed_prefix]:
+                return None
+            consumed_prefix += 1
+            grapheme_idx += 1
+
+        while consumed_body < len(body) and grapheme_idx < len(graphemes):
+            if graphemes[grapheme_idx] != body[consumed_body]:
+                return None
+            consumed_body += 1
+            grapheme_idx += 1
+            if phoneme_idx < len(phonemes):
+                collected.append(phonemes[phoneme_idx])
+                phoneme_idx += 1
+
+        if consumed_body >= len(body):
+            break
+
+    return collected or None
 
 
 def get_aligned_phonemes(
     lexicon: LexiconDatabase, word: str, prefix: str, body: str
 ) -> Iterable[List[str]]:
-    """Yield phoneme sequences for the ``body`` segment of ``word``.
-
-    Alignment format (one g2p joint-model alignment per line):
-    ``t}t e}ˈɛ s}s t}t`` where ``}`` separates graphemes}phonemes, ``|``
-    separates multiple tokens, and ``_`` marks an empty output.
-    """
+    """Yield phoneme sequences for the ``body`` segment of ``word``, one per
+    stored alignment that matches."""
     for alignment in lexicon.alignments(word):
-        pairs: List[Tuple[List[str], List[str]]] = []
-        for part in alignment.split():
-            part_in, part_out = part.split("}")
-            graphemes = part_in.split("|")
-            phonemes = [] if part_out == "_" else part_out.split("|")
-            pairs.append((graphemes, phonemes))
-
-        can_match = True
-        prefix_chars = list(prefix)
-        body_chars = list(body)
-        collected: List[str] = []
-
-        for graphemes, phonemes in pairs:
-            graphemes = list(graphemes)
-            phonemes = list(phonemes)
-
-            while prefix_chars and graphemes:
-                if graphemes[0] != prefix_chars[0]:
-                    can_match = False
-                    break
-                prefix_chars.pop(0)
-                graphemes.pop(0)
-
-            while body_chars and graphemes:
-                if graphemes[0] != body_chars[0]:
-                    can_match = False
-                    break
-                body_chars.pop(0)
-                graphemes.pop(0)
-                if phonemes:
-                    collected.append(phonemes.pop(0))
-
-            if (not can_match) or (not body_chars):
-                break
-
-        if can_match and collected:
-            yield collected
+        phones = _segment_phonemes(_parse_alignment(alignment), prefix, body)
+        if phones is not None:
+            yield phones
