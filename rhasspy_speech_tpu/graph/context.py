@@ -31,6 +31,7 @@ from ..fst.core import EPS_ID, INF, Fst, SymbolTable
 from ..io.transition_model import K_NO_PDF, KaldiTransitionModel
 from ..io.tree import ContextDependencyTree
 from ..lang.lexicon_fst import Lang
+from .transitions import Transition, TransitionTable
 
 
 def make_hclg_from_tree(
@@ -41,6 +42,7 @@ def make_hclg_from_tree(
     model_phones: SymbolTable,
     transition_scale: float = 1.0,
     self_loop_scale: float = 1.0,
+    transitions: Optional[TransitionTable] = None,
 ) -> Tuple[Fst, int]:
     """Expand LG (lang-phone ilabels -> words) into HCLG (pdf+1 -> words)
     using a real decision tree. Returns (hclg, num_pdfs)."""
@@ -85,13 +87,15 @@ def make_hclg_from_tree(
         return sid
 
     def expand_phone(
-        src: int, left: int, phone: int, right: int, dst: int
+        src: int, left: int, phone: int, right: int, dst: int, lang_phone: int = 0
     ) -> None:
         """Emit phone's HMM chain from hclg state src to dst with context
-        (left, phone, right); model phone ids, 0 = eps padding."""
+        (left, phone, right); model phone ids, 0 = eps padding.
+        ``lang_phone`` tags the chain for transition-table metadata."""
         entry = topo_entry(phone)
         window = context_window(left, phone, right)
         current = src
+        emitted_entry = False
         for j, st in enumerate(entry):
             if st.forward_pdf_class == K_NO_PDF:
                 continue  # final non-emitting state
@@ -112,12 +116,37 @@ def make_hclg_from_tree(
             self_cost = (
                 -self_loop_scale * math.log(self_prob) if self_prob > 0 else 0.0
             )
+            fwd_il = fwd_pdf + 1
+            self_il = self_pdf + 1
+            if transitions is not None:
+                fwd_il = transitions.ilabel(
+                    Transition(
+                        pdf=fwd_pdf,
+                        phone=lang_phone,
+                        is_self_loop=False,
+                        is_entry=not emitted_entry,
+                        trans_cost=-math.log(fwd_prob),
+                    )
+                )
+                self_il = transitions.ilabel(
+                    Transition(
+                        pdf=self_pdf,
+                        phone=lang_phone,
+                        is_self_loop=True,
+                        is_entry=False,
+                        trans_cost=(
+                            -math.log(self_prob) if self_prob > 0 else 0.0
+                        ),
+                    )
+                )
+            emitted_entry = True
             loop_state = hclg.add_state()
-            hclg.add_arc(current, fwd_pdf + 1, EPS_ID, fwd_cost, loop_state)
-            hclg.add_arc(loop_state, self_pdf + 1, EPS_ID, self_cost, loop_state)
+            hclg.add_arc(current, fwd_il, EPS_ID, fwd_cost, loop_state)
+            hclg.add_arc(loop_state, self_il, EPS_ID, self_cost, loop_state)
             current = loop_state
         hclg.add_arc(current, EPS_ID, EPS_ID, 0.0, dst)
 
+    # pending = (model phone, lang phone) awaiting its right context
     start_key = (lg.start, 0, None)
     hclg.start = get_state(start_key)
 
@@ -136,7 +165,7 @@ def make_hclg_from_tree(
                 hclg.set_final(src, lg.finals[lg_state])
             else:
                 end = hclg.add_state()
-                expand_phone(src, left, pending, 0, end)
+                expand_phone(src, left, pending[0], 0, end, lang_phone=pending[1])
                 hclg.set_final(end, lg.finals[lg_state])
 
         for ilabel, olabel, weight, ns in lg.arcs[lg_state]:
@@ -150,19 +179,21 @@ def make_hclg_from_tree(
                 new_key = (ns, p_model if track_left else 0, None)
                 dst = get_state(new_key)
                 mid = hclg.add_state()
-                expand_phone(src, left, p_model, 0, mid)
+                expand_phone(src, left, p_model, 0, mid, lang_phone=ilabel)
                 hclg.add_arc(mid, EPS_ID, olabel, weight, dst)
             else:
                 p_model = lang_to_model[ilabel]
                 if pending is None:
-                    new_key = (ns, left, p_model)
+                    new_key = (ns, left, (p_model, ilabel))
                     dst = get_state(new_key)
                     hclg.add_arc(src, EPS_ID, olabel, weight, dst)
                 else:
-                    new_key = (ns, pending, p_model)
+                    new_key = (ns, pending[0], (p_model, ilabel))
                     dst = get_state(new_key)
                     mid = hclg.add_state()
-                    expand_phone(src, left, pending, p_model, mid)
+                    expand_phone(
+                        src, left, pending[0], p_model, mid, lang_phone=pending[1]
+                    )
                     hclg.add_arc(mid, EPS_ID, olabel, weight, dst)
             if new_key not in seen:
                 seen.add(new_key)

@@ -43,15 +43,32 @@ class DenseGraph:
     init_wseq: np.ndarray  # int32 [S]
     word_seqs: List[Tuple[int, ...]] = field(default_factory=list)
     num_pdfs: int = 0
+    # Optional HMM metadata (graph/transitions.py), zeros when absent:
+    # lang phone id at phone-entry arcs (0 elsewhere), unscaled transition
+    # -log prob, and the self-loop flag — the lattice rescore chain's inputs.
+    arc_phone: Optional[np.ndarray] = None  # int32 [A]
+    arc_tcost: Optional[np.ndarray] = None  # float32 [A]
+    arc_self: Optional[np.ndarray] = None  # int8 [A]
 
     @property
     def num_arcs(self) -> int:
         return int(self.arc_src.shape[0])
 
+    @property
+    def has_phone_info(self) -> bool:
+        return self.arc_phone is not None and bool(self.arc_phone.any())
+
     def words_of(self, wseq_id: int) -> Tuple[int, ...]:
         return self.word_seqs[wseq_id]
 
     def save(self, path: str) -> None:
+        extras = {}
+        if self.arc_phone is not None:
+            extras["arc_phone"] = self.arc_phone
+        if self.arc_tcost is not None:
+            extras["arc_tcost"] = self.arc_tcost
+        if self.arc_self is not None:
+            extras["arc_self"] = self.arc_self
         np.savez_compressed(
             path,
             num_states=self.num_states,
@@ -69,6 +86,7 @@ class DenseGraph:
             ),
             word_seq_len=np.array([len(s) for s in self.word_seqs], dtype=np.int32),
             num_pdfs=self.num_pdfs,
+            **extras,
         )
 
     @staticmethod
@@ -94,6 +112,9 @@ class DenseGraph:
             init_wseq=data["init_wseq"],
             word_seqs=seqs,
             num_pdfs=int(data["num_pdfs"]),
+            arc_phone=data["arc_phone"] if "arc_phone" in data.files else None,
+            arc_tcost=data["arc_tcost"] if "arc_tcost" in data.files else None,
+            arc_self=data["arc_self"] if "arc_self" in data.files else None,
         )
 
 
@@ -125,10 +146,13 @@ def _eps_closure(
     return [(q, w, words) for (q, words), w in best.items()]
 
 
-def dense_from_hclg(hclg: Fst, num_pdfs: int) -> DenseGraph:
+def dense_from_hclg(hclg: Fst, num_pdfs: int, transitions=None) -> DenseGraph:
     """Fold input epsilons and flatten to the dense arc table.
 
-    hclg convention: ilabel = pdf+1 (0 = eps), olabel = word id.
+    hclg convention: ilabel = pdf+1 (0 = eps), olabel = word id. When the
+    HCLG was built with a :class:`~..graph.transitions.TransitionTable`,
+    pass it here: ilabels are then transition indices (+1) and the decoded
+    pdf/phone/transition-cost metadata is stored alongside each arc.
     """
     n = hclg.num_states
     wseq_intern: Dict[Tuple[int, ...], int] = {(): 0}
@@ -178,11 +202,22 @@ def dense_from_hclg(hclg: Fst, num_pdfs: int) -> DenseGraph:
     pdfs: List[int] = []
     wseqs: List[int] = []
     weights: List[float] = []
+    phones: List[int] = []
+    tcosts: List[float] = []
+    selfs: List[int] = []
 
     for s in range(n):
         for il, ol, w, ns in hclg.arcs[s]:
             if il == EPS_ID:
                 continue  # handled via closures
+            if transitions is not None:
+                tr = transitions.get(il)
+                pdf = tr.pdf
+                phone = tr.phone if tr.is_entry else 0
+                tcost = tr.trans_cost
+                is_self = int(tr.is_self_loop)
+            else:
+                pdf, phone, tcost, is_self = il - 1, 0, 0.0, 0
             head_words = (ol,) if ol != EPS_ID else ()
             # Merge identical (dst, words) continuations, keep min weight
             merged: Dict[Tuple[int, Tuple[int, ...]], float] = {}
@@ -194,9 +229,12 @@ def dense_from_hclg(hclg: Fst, num_pdfs: int) -> DenseGraph:
             for (q, words), total in merged.items():
                 srcs.append(s)
                 dsts.append(q)
-                pdfs.append(il - 1)
+                pdfs.append(pdf)
                 wseqs.append(intern(words))
                 weights.append(total)
+                phones.append(phone)
+                tcosts.append(tcost)
+                selfs.append(is_self)
 
     return DenseGraph(
         num_states=n,
@@ -211,6 +249,9 @@ def dense_from_hclg(hclg: Fst, num_pdfs: int) -> DenseGraph:
         init_wseq=init_wseq,
         word_seqs=word_seqs,
         num_pdfs=num_pdfs,
+        arc_phone=np.asarray(phones, dtype=np.int32),
+        arc_tcost=np.asarray(tcosts, dtype=np.float32),
+        arc_self=np.asarray(selfs, dtype=np.int8),
     )
 
 

@@ -14,11 +14,12 @@ The product uses ilabel = pdf_id + 1 (0 stays epsilon) and olabel = word id.
 
 from __future__ import annotations
 
-from typing import Set
+from typing import Optional, Set
 
 from ..fst.core import EPS_ID, Fst
 from ..lang.lexicon_fst import Lang
 from .topology import TransitionModel
+from .transitions import Transition, TransitionTable
 
 
 def make_hclg(
@@ -27,8 +28,13 @@ def make_hclg(
     transition_model: TransitionModel,
     transition_scale: float = 1.0,
     self_loop_scale: float = 1.0,
+    transitions: Optional[TransitionTable] = None,
 ) -> Fst:
-    """Expand LG (phones -> words) into HCLG (pdfs+1 -> words)."""
+    """Expand LG (phones -> words) into HCLG (pdfs+1 -> words).
+
+    With ``transitions``, emitting arcs carry interned transition indices
+    (+1) instead of pdf+1, preserving phone/transition-prob metadata for
+    the lattice rescore chain (see graph/transitions.py)."""
     disambig: Set[int] = set(lang.disambig_phone_ids)
 
     hclg = Fst()
@@ -58,14 +64,38 @@ def make_hclg(
                 # First arc carries the word label and the LG weight
                 arc_weight = weight + forward_cost if hmm_idx == 0 else forward_cost
                 arc_olabel = olabel if hmm_idx == 0 else EPS_ID
-                hclg.add_arc(
-                    current, forward_pdf + 1, arc_olabel, arc_weight, loop_state
-                )
+                fwd_ilabel = forward_pdf + 1
+                if transitions is not None:
+                    fwd_ilabel = transitions.ilabel(
+                        Transition(
+                            pdf=forward_pdf,
+                            phone=phone,
+                            is_self_loop=False,
+                            is_entry=(hmm_idx == 0),
+                            trans_cost=transition_model.forward_cost(
+                                phone, hmm_idx, 1.0
+                            ),
+                        )
+                    )
+                hclg.add_arc(current, fwd_ilabel, arc_olabel, arc_weight, loop_state)
                 # Self loop: subsequent frames of this HMM state
                 self_cost = transition_model.self_loop_cost(
                     phone, hmm_idx, self_loop_scale
                 )
-                hclg.add_arc(loop_state, self_pdf + 1, EPS_ID, self_cost, loop_state)
+                self_ilabel = self_pdf + 1
+                if transitions is not None:
+                    self_ilabel = transitions.ilabel(
+                        Transition(
+                            pdf=self_pdf,
+                            phone=phone,
+                            is_self_loop=True,
+                            is_entry=False,
+                            trans_cost=transition_model.self_loop_cost(
+                                phone, hmm_idx, 1.0
+                            ),
+                        )
+                    )
+                hclg.add_arc(loop_state, self_ilabel, EPS_ID, self_cost, loop_state)
                 current = loop_state
 
             hclg.add_arc(current, EPS_ID, EPS_ID, 0.0, nextstate)

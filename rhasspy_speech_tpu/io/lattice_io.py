@@ -264,13 +264,13 @@ def compact_lattice_from_decode(
     for _ in range(lattice.num_nodes):
         out.add_state()
 
-    def emit_words(src: int, words: Tuple[int, ...], cost: float,
-                   dst: Optional[int]) -> None:
+    def emit_words(src: int, words: Tuple[int, ...], g_cost: float,
+                   dst: Optional[int], a_cost: float = 0.0) -> None:
         """Chain of single-word arcs from src, ending at dst (or final)."""
         cur = src
         seq = [w for w in words if w != 0]
         if dst is None and not seq:
-            out.finals[cur] = (cost, 0.0, ())
+            out.finals[cur] = (g_cost, a_cost, ())
             return
         for i, w in enumerate(seq):
             last = i == len(seq) - 1
@@ -278,12 +278,15 @@ def compact_lattice_from_decode(
                 nxt = dst
             else:
                 nxt = out.add_state()
-            out.arcs[cur].append((w, cost if i == 0 else 0.0, 0.0, (), nxt))
+            first = i == 0
+            out.arcs[cur].append(
+                (w, g_cost if first else 0.0, a_cost if first else 0.0, (), nxt)
+            )
             cur = nxt
         if dst is None:
             out.finals[cur] = (0.0, 0.0, ())
         elif not seq:
-            out.arcs[cur].append((0, cost, 0.0, (), dst))
+            out.arcs[cur].append((0, g_cost, a_cost, (), dst))
 
     start = out.add_state()
     out.start = start
@@ -291,8 +294,8 @@ def compact_lattice_from_decode(
         state = lattice.node_frame_state[n][1]
         words = graph.words_of(int(graph.init_wseq[state]))
         emit_words(start, tuple(words), float(graph.init_weight[state]), n)
-    for src, dst, wseq, cost in lattice.arcs:
-        emit_words(src, tuple(graph.words_of(wseq)), cost, dst)
+    for src, dst, wseq, g_cost, a_cost, _arc in lattice.arcs:
+        emit_words(src, tuple(graph.words_of(wseq)), g_cost, dst, a_cost)
     for n, fcost in lattice.finals.items():
         state = lattice.node_frame_state[n][1]
         words = tuple(graph.words_of(int(graph.final_wseq[state])))

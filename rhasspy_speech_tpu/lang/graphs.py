@@ -88,3 +88,29 @@ def make_lg(lang: Lang, g_fst: Fst) -> Fst:
     lg = minimize_encoded(lg)
     lg = push_special(lg)
     return lg.arcsort("ilabel")
+
+
+def make_ldet(lang: Lang) -> Fst:
+    """Ldet.fst: a deterministic phones→words map for phone-lattice
+    composition (reference transcribe_wav.py:131-142: fstprint L_disambig |
+    drop #0-output arcs | fstdeterminizestar | fstrmsymbols disambig).
+
+    The #0 pass-through loop is removed, the result is determinized with
+    the lexicon disambiguation symbols still present (what makes it
+    determinizable), then the disambig symbols become epsilons and are
+    folded away."""
+    stripped = Fst(isymbols=lang.phones, osymbols=lang.words)
+    stripped.add_states(lang.L_disambig.num_states)
+    stripped.start = lang.L_disambig.start
+    for state in range(lang.L_disambig.num_states):
+        stripped.finals[state] = lang.L_disambig.finals[state]
+        for il, ol, w, ns in lang.L_disambig.arcs[state]:
+            if ol == lang.wdisambig_word:
+                continue
+            stripped.add_arc(state, il, ol, w, ns)
+
+    ldet = determinize_star(stripped.connect())
+    ldet = ldet.rm_symbols(lang.disambig_phone_ids, side="input")
+    from ..fst.ops import rmepsilon
+
+    return rmepsilon(ldet).arcsort("ilabel")

@@ -36,7 +36,11 @@ class Lattice:
     num_nodes: int
     starts: List[int]  # node ids at frame 0 (after consuming nothing)
     finals: Dict[int, float]  # node id -> final cost
-    arcs: List[Tuple[int, int, int, float]]  # (src_node, dst_node, wseq, cost)
+    # (src_node, dst_node, wseq, graph_cost, acoustic_cost, dense_arc_id) —
+    # costs are kept split like Kaldi LatticeWeight (graph, acoustic), so
+    # lattice-scale --lm-scale=0 semantics are exact; the dense arc id
+    # recovers phone/transition metadata for the rescore chain.
+    arcs: List[Tuple[int, int, int, float, float, int]]
     best_cost: float
     node_frame_state: List[Tuple[int, int]] = field(default_factory=list)
 
@@ -51,9 +55,10 @@ class Lattice:
         order = sorted(range(self.num_nodes), key=lambda n: self.node_frame_state[n])
         for n in self.starts:
             dist[n] = self._start_cost(graph, n)
-        for src, dst, wseq, cost in sorted(
+        for src, dst, wseq, g_cost, a_cost, _arc in sorted(
             self.arcs, key=lambda a: self.node_frame_state[a[0]]
         ):
+            cost = g_cost + a_cost
             if dist[src] + cost < dist[dst]:
                 dist[dst] = dist[src] + cost
                 back[dst] = (src, wseq)
@@ -106,7 +111,8 @@ class Lattice:
                     cur = nxt
             else:
                 fst.add_arc(cur, EPS_ID, EPS_ID, cost, n)
-        for src, dst, wseq, cost in self.arcs:
+        for src, dst, wseq, g_cost, a_cost, _arc in self.arcs:
+            cost = g_cost + a_cost
             words = graph.words_of(wseq)
             if not words:
                 fst.add_arc(src, EPS_ID, EPS_ID, cost, dst)
@@ -129,6 +135,52 @@ class Lattice:
                 fst.set_final(cur, 0.0)
             else:
                 fst.set_final(n, fcost)
+        return fst
+
+    def to_phone_fst(
+        self,
+        graph: DenseGraph,
+        transition_scale: float = 1.0,
+        self_loop_scale: float = 0.1,
+    ):
+        """Phone-level acceptor of the lattice with graph scores dropped.
+
+        The rescore chain's front half in one step (reference
+        transcribe_wav.py:165-171 + lattice-add-trans-probs :183-190):
+        graph costs are zeroed (lattice-scale --lm-scale=0.0), word labels
+        are replaced by the phones crossed (lattice-to-phone-lattice; phone
+        boundaries come from the dense graph's ``arc_phone`` entry tags),
+        and HMM transition log-probs are re-added from ``arc_tcost`` with
+        the given scales. Arc weights keep the acoustic cost.
+
+        Requires a decode graph built with transition metadata
+        (DenseGraph.has_phone_info); raises ValueError otherwise.
+        """
+        from ..fst.core import EPS_ID, Fst
+
+        if not graph.has_phone_info:
+            raise ValueError(
+                "decode graph carries no phone metadata; retrain to enable "
+                "lattice-level rescoring (graph/transitions.py)"
+            )
+
+        fst = Fst()
+        fst.add_states(self.num_nodes)
+        super_start = fst.add_state()
+        fst.start = super_start
+        for n in self.starts:
+            # init closures cross no emitting arcs: no phones, graph-only
+            # cost (dropped by lm-scale=0)
+            fst.add_arc(super_start, EPS_ID, EPS_ID, 0.0, n)
+        for src, dst, _wseq, _g_cost, a_cost, arc in self.arcs:
+            phone = int(graph.arc_phone[arc])
+            tcost = float(graph.arc_tcost[arc])
+            scale = self_loop_scale if graph.arc_self[arc] else transition_scale
+            weight = a_cost + scale * tcost
+            label = phone if phone else EPS_ID
+            fst.add_arc(src, label, label, weight, dst)
+        for n in self.finals:
+            fst.set_final(n, 0.0)  # final closure is graph-only: dropped
         return fst
 
     def nbest(
@@ -344,7 +396,7 @@ def build_lattice(
             node_frame_state.append(key)
         return nid
 
-    arcs: List[Tuple[int, int, int, float]] = []
+    arcs: List[Tuple[int, int, int, float, float, int]] = []
     src_arr = graph.arc_src
     dst_arr = graph.arc_dst
     pdf_arr = graph.arc_pdf
@@ -356,13 +408,14 @@ def build_lattice(
         )
         keep = np.where(through <= cutoff)[0]
         for arc in keep:
-            cost = float(w_arr[arc] + am[t][pdf_arr[arc]])
             arcs.append(
                 (
                     node(t, int(src_arr[arc])),
                     node(t + 1, int(dst_arr[arc])),
                     int(wseq_arr[arc]),
-                    cost,
+                    float(w_arr[arc]),
+                    float(am[t][pdf_arr[arc]]),
+                    int(arc),
                 )
             )
 

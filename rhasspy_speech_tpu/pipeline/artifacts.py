@@ -29,6 +29,10 @@ class LangArtifacts:
     g_fst: Optional[Fst] = None
     g_fuzzy: Optional[Fst] = None
     graph: Optional[DenseGraph] = None  # None for rescore-only langs
+    # Deterministic phones→words lexicon (Ldet.fst role) + the phone table,
+    # consumed by the lattice-level rescore chain (transcribe_wav.py:131-142)
+    ldet: Optional[Fst] = None
+    phones: Optional[SymbolTable] = None
 
     def save(self, lang_dir: Union[str, Path]) -> None:
         lang_dir = Path(lang_dir)
@@ -43,6 +47,12 @@ class LangArtifacts:
                 self.g_fuzzy.write_text(f)
         if self.graph is not None:
             self.graph.save(str(lang_dir / "graph.npz"))
+        if self.ldet is not None:
+            with open(lang_dir / "ldet.fst", "w", encoding="utf-8") as f:
+                self.ldet.write_text(f)
+        if self.phones is not None:
+            with open(lang_dir / "phones.txt", "w", encoding="utf-8") as f:
+                self.phones.write_text(f)
 
     @staticmethod
     def load(lang_dir: Union[str, Path]) -> "LangArtifacts":
@@ -63,4 +73,20 @@ class LangArtifacts:
         graph_path = lang_dir / "graph.npz"
         if graph_path.exists():
             graph = DenseGraph.load(str(graph_path))
-        return LangArtifacts(words=words, g_fst=g_fst, g_fuzzy=g_fuzzy, graph=graph)
+        ldet = phones = None
+        if (lang_dir / "phones.txt").exists():
+            with open(lang_dir / "phones.txt", "r", encoding="utf-8") as f:
+                phones = SymbolTable.read_text(f)
+        if (lang_dir / "ldet.fst").exists():
+            with open(lang_dir / "ldet.fst", "r", encoding="utf-8") as f:
+                ldet = Fst.from_text(f)
+            ldet.isymbols = phones
+            ldet.osymbols = words
+        return LangArtifacts(
+            words=words,
+            g_fst=g_fst,
+            g_fuzzy=g_fuzzy,
+            graph=graph,
+            ldet=ldet,
+            phones=phones,
+        )

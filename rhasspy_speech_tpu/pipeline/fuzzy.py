@@ -14,7 +14,10 @@ score by walking both backoff LMs with phi (#0) semantics.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional, Sequence, Tuple
+
+_LOGGER = logging.getLogger(__name__)
 
 from ..fst.core import EPS_ID, INF, Fst, SymbolTable
 from ..fst.ops import compose, shortest_path
@@ -169,6 +172,12 @@ def rescore_nbest(
         old_lm = lm_score(g_old, seq, phi)
         new_lm = lm_score(g_new, seq, phi)
         if old_lm == float("inf") or new_lm == float("inf"):
+            _LOGGER.warning(
+                "Hypothesis %s is unscorable under the %s LM; keeping its "
+                "original cost in the rescored ranking",
+                [words.find_id(w) for w in word_ids],
+                "old" if old_lm == float("inf") else "new",
+            )
             rescored.append((word_ids, cost))
             continue
         rescored.append((word_ids, cost - old_lm + new_lm))

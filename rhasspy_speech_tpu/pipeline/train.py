@@ -234,6 +234,12 @@ def train_model_sync(
     ctx.fst_file.seek(0)
     g_grammar = make_grammar_g(ctx.fst_file, lang.words)
 
+    # Deterministic phones→words map for lattice-level rescoring
+    # (transcribe_wav.py:131-142 builds this as Ldet.fst on the fly)
+    from ..lang.graphs import make_ldet
+
+    ldet = make_ldet(lang)
+
     for suffix in lang_suffixes:
         if suffix == LangSuffix.GRAMMAR:
             g = g_grammar
@@ -264,20 +270,28 @@ def train_model_sync(
 
         graph = None
         if suffix != LangSuffix.ARPA_RESCORE:
+            from ..graph.transitions import TransitionTable
+
+            transitions = TransitionTable()
             lg = make_lg(lang, g)
             if tree is not None:
                 from ..graph.context import make_hclg_from_tree
 
                 hclg, num_pdfs = make_hclg_from_tree(
-                    lang, lg, tree, ktm, model_phones
+                    lang, lg, tree, ktm, model_phones, transitions=transitions
                 )
             else:
-                hclg = make_hclg(lang, lg, tm)
+                hclg = make_hclg(lang, lg, tm, transitions=transitions)
                 num_pdfs = tm.num_pdfs
-            graph = dense_from_hclg(hclg, num_pdfs)
+            graph = dense_from_hclg(hclg, num_pdfs, transitions=transitions)
 
         artifacts = LangArtifacts(
-            words=lang.words, g_fst=g, g_fuzzy=fuzzy, graph=graph
+            words=lang.words,
+            g_fst=g,
+            g_fuzzy=fuzzy,
+            graph=graph,
+            ldet=ldet,
+            phones=lang.phones,
         )
         artifacts.save(train_dir / lang_dir_name(suffix))
         _LOGGER.info(

@@ -658,20 +658,84 @@ class Nnet3WavTranscriber:
         old_lang_dir: Union[str, Path],
         new_lang_dir: Union[str, Path],
         nbest: int = 5,
+        max_fuzzy_cost: Optional[float] = None,
+        require_fuzzy: bool = False,
     ) -> List[str]:
         """Dual-graph rescore (transcribe_wav.py:107-202): decode with this
-        transcriber's graph (e.g. lang_arpa), swap LM scores for the
-        higher-order LM in new_lang_dir, return re-ranked transcripts."""
+        transcriber's graph (e.g. lang_arpa), remap the pruned decode
+        LATTICE through the new lang dir's lexicon and LM (phone lattice →
+        Ldet → phi-composed G → transition probs → n-best), then run the
+        fuzzy tail against old_lang_dir's G.fuzzy like the reference
+        (:205-231). Falls back to an n-best-list LM swap — which cannot
+        recover hypotheses outside the first pass — only when the artifacts
+        predate lattice metadata (logged loudly)."""
+        from .rescore import rescore_lattice
+
         old_lang = self._lang(old_lang_dir)
         new_lang = self._lang(new_lang_dir)
-        assert old_lang.g_fst is not None and new_lang.g_fst is not None
+        assert new_lang.g_fst is not None
 
-        pcm = read_wav(wav_path)
-        hyp_list = self._decode_batch([pcm], nbest)[0]
-        rescored = rescore_nbest(
-            hyp_list, old_lang.g_fst, new_lang.g_fst, self.artifacts.words
+        graph = self.artifacts.graph
+        lattice_capable = (
+            graph is not None
+            and graph.has_phone_info
+            and new_lang.ldet is not None
         )
-        return [decode_meta(self._ids_to_text(ids)) for ids, _ in rescored]
+        if lattice_capable:
+            lat = self.get_lattice(wav_path)
+            hyp_list = (
+                rescore_lattice(
+                    lat, graph, self.artifacts.phones, new_lang, nbest=nbest
+                )
+                if lat is not None
+                else []
+            )
+        else:
+            _LOGGER.warning(
+                "Artifacts lack lattice rescore metadata (phone tags or "
+                "ldet.fst) — falling back to an n-best LM swap, which cannot "
+                "recover hypotheses outside the first pass. Retrain to fix."
+            )
+            assert old_lang.g_fst is not None
+            pcm = read_wav(wav_path)
+            hyp_list = rescore_nbest(
+                self._decode_batch([pcm], nbest)[0],
+                old_lang.g_fst,
+                new_lang.g_fst,
+                self.artifacts.words,
+            )
+
+        # Fuzzy tail against the OLD lang's G.fuzzy (transcribe_wav.py:215-223)
+        if old_lang.g_fuzzy is not None and hyp_list:
+            id_map = None
+            if new_lang.words is not old_lang.words:
+                id_map = {
+                    new_id: old_lang.words.find(name)
+                    for name, new_id in new_lang.words
+                }
+            seqs = []
+            for ids, _cost in hyp_list:
+                if id_map is None:
+                    seqs.append(list(ids))
+                else:
+                    seqs.append(
+                        [id_map[w] for w in ids if id_map.get(w) is not None]
+                    )
+            fuzzy = get_fuzzy_text(seqs, old_lang.g_fuzzy, old_lang.words)
+            if fuzzy is not None:
+                text, cost = fuzzy
+                _LOGGER.debug("Fuzzy (rescore): %r cost=%.3f", text, cost)
+                if max_fuzzy_cost is not None and cost <= max_fuzzy_cost:
+                    return [decode_meta(text)]
+        if require_fuzzy:
+            return []
+
+        def ids_to_text(ids: Sequence[int]) -> str:
+            return " ".join(
+                new_lang.words.find_id(w) or f"<{w}>" for w in ids if w != 0
+            )
+
+        return [decode_meta(ids_to_text(ids)) for ids, _ in hyp_list]
 
     # -- async wrappers (reference API) ---------------------------------------
 
@@ -699,9 +763,16 @@ class Nnet3WavTranscriber:
         old_lang_dir: Union[str, Path],
         new_lang_dir: Union[str, Path],
         nbest: int = 5,
+        max_fuzzy_cost: Optional[float] = None,
+        require_fuzzy: bool = False,
     ) -> List[str]:
         return await asyncio.to_thread(
             lambda: self.transcribe_rescore(
-                wav_path, old_lang_dir, new_lang_dir, nbest=nbest
+                wav_path,
+                old_lang_dir,
+                new_lang_dir,
+                nbest=nbest,
+                max_fuzzy_cost=max_fuzzy_cost,
+                require_fuzzy=require_fuzzy,
             ),
         )
