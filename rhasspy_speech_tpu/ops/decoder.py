@@ -422,6 +422,7 @@ def viterbi_decode_checkpointed(
     log_probs: jnp.ndarray,
     acoustic_scale: float = 1.0,
     segment: int = 32,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Memory-bounded decode: sqrt-rematerialization of backpointers.
 
@@ -439,7 +440,8 @@ def viterbi_decode_checkpointed(
     if T_pad != T:
         pad = jnp.zeros((B, T_pad - T, log_probs.shape[2]), log_probs.dtype)
         log_probs = jnp.concatenate([log_probs, pad], axis=1)
-    lengths = jnp.full((B,), T, dtype=jnp.int32)
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T_pad, B, P]
     alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, graph.num_states))

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.dense import NEG_INF_F32, DenseGraph
-from .decoder import INF_COST, DeviceGraph
+from .decoder import INF_COST, STAY, DeviceGraph
 
 
 @dataclass(frozen=True)
@@ -126,8 +126,12 @@ def viterbi_topk(
     log_probs: jnp.ndarray,
     k: int,
     acoustic_scale: float = 1.0,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sparse-frontier decode over [B, T, P] log-probs.
+
+    lengths: optional [B] int32 per-stream frame counts; frames at or past
+    a stream's length keep the carried frontier and record STAY arcs.
 
     Returns (states [T, B, K], alphas [T, B, K], arcs [T, B, K])."""
     base = graph.base
@@ -148,15 +152,35 @@ def viterbi_topk(
         jnp.int32
     )
 
-    def step(carry, am_t):
+    if lengths is None:
+        def step(carry, am_t):
+            states, alpha = carry
+            new_states, new_alpha, arcs = frontier_step(
+                graph, states, alpha, am_t, k
+            )
+            return (new_states, new_alpha), (new_states, new_alpha, arcs)
+
+        _, (states_t, alphas_t, arcs_t) = jax.lax.scan(
+            step, (init_state, init_alpha), am_costs
+        )
+        return states_t, alphas_t, arcs_t
+
+    ts = jnp.arange(am_costs.shape[0], dtype=jnp.int32)
+
+    def step_masked(carry, xs):
+        am_t, t = xs
         states, alpha = carry
         new_states, new_alpha, arcs = frontier_step(
             graph, states, alpha, am_t, k
         )
-        return (new_states, new_alpha), (new_states, new_alpha, arcs)
+        active = (t < lengths)[:, None]  # [B, 1]
+        out_states = jnp.where(active, new_states, states)
+        out_alpha = jnp.where(active, new_alpha, alpha)
+        out_arcs = jnp.where(active, arcs, STAY)
+        return (out_states, out_alpha), (out_states, out_alpha, out_arcs)
 
     _, (states_t, alphas_t, arcs_t) = jax.lax.scan(
-        step, (init_state, init_alpha), am_costs
+        step_masked, (init_state, init_alpha), (am_costs, ts)
     )
     return states_t, alphas_t, arcs_t
 
@@ -181,18 +205,72 @@ def topk_backtrace(
         return None, float("inf")
     cost = float(totals[slot])
 
-    words_rev = [dense.words_of(int(dense.final_wseq[last_states[slot]]))]
-    cur_state = int(last_states[slot])
+    words, _used = _walk_back(dense, states_t, arcs_t, stream, slot)
+    if words is None:
+        return None, float("inf")
+    return words, cost
+
+
+def _walk_back(
+    dense: DenseGraph,
+    states_t: np.ndarray,
+    arcs_t: np.ndarray,
+    stream: int,
+    slot: int,
+) -> Tuple[Optional[List[int]], Optional[Tuple[int, ...]]]:
+    """Backtrace one final slot to (word ids, arc tuple) or (None, None)."""
+    T = states_t.shape[0]
+    cur_state = int(states_t[-1, stream, slot])
+    words_rev = [dense.words_of(int(dense.final_wseq[cur_state]))]
+    arc_path = []
     for t in range(T - 1, -1, -1):
         slots = np.where(states_t[t, stream] == cur_state)[0]
         assert slots.size, (t, cur_state)
         arc = int(arcs_t[t, stream, slots[0]])
+        if arc == STAY:
+            continue  # masked padding frame: frontier carried over
         if arc < 0:
-            return None, float("inf")
+            return None, None
+        arc_path.append(arc)
         words_rev.append(dense.words_of(int(dense.arc_wseq[arc])))
         cur_state = int(dense.arc_src[arc])
     words_rev.append(dense.words_of(int(dense.init_wseq[cur_state])))
     words: List[int] = []
     for seq in reversed(words_rev):
         words.extend(seq)
-    return words, cost
+    return words, tuple(arc_path)
+
+
+def topk_backtrace_nbest(
+    dense: DenseGraph,
+    states_t: np.ndarray,  # [T, B, K]
+    alphas_t: np.ndarray,
+    arcs_t: np.ndarray,
+    stream: int,
+    n: int,
+) -> List[Tuple[List[int], float]]:
+    """N-best distinct word sequences from one stream's frontier trellis.
+
+    The K final slots each carry an independent best-path-to-state; sorted
+    by total cost and backtraced, they yield up to K alternatives — the
+    max-active-bounded analogue of the dense decoder's exact k-best."""
+    last_states = states_t[-1, stream]
+    totals = np.where(
+        last_states >= 0,
+        alphas_t[-1, stream] + dense.final_weight[np.maximum(last_states, 0)],
+        NEG_INF_F32,
+    )
+    results: List[Tuple[List[int], float]] = []
+    seen = set()
+    for slot in np.argsort(totals, kind="stable"):
+        if totals[slot] >= NEG_INF_F32 or len(results) >= n:
+            break
+        words, _arcs = _walk_back(dense, states_t, arcs_t, stream, int(slot))
+        if words is None:
+            continue
+        key = tuple(words)
+        if key in seen:
+            continue
+        seen.add(key)
+        results.append((words, float(totals[slot])))
+    return results

@@ -38,6 +38,7 @@ from ..ops.decoder import (
     trace_to_words,
     traces_to_words_batch,
     viterbi_decode,
+    viterbi_decode_checkpointed,
     viterbi_kbest_decode,
 )
 from ..ops.frontend import FrontendConfig, make_frontend_params, mfcc_batch, num_frames
@@ -291,12 +292,47 @@ class AcousticModel:
         return out
 
 
+# Backpointer-tensor element budget before the dense decoder is abandoned
+# (int32 elements; 1<<26 = 256 MiB of backpointers).
+DEFAULT_DECODE_BUDGET = 1 << 26
+
+
+def select_decoder(
+    num_states: int,
+    batch: int,
+    frames: int,
+    k: int,
+    max_active: int,
+    budget: int = DEFAULT_DECODE_BUDGET,
+    segment: int = 32,
+) -> Tuple[str, int]:
+    """Pick the decode kernel from the backpointer footprint.
+
+    Returns ("dense" | "checkpointed" | "frontier", frontier_K). Dense is
+    exact and fastest while [T, B, S, k] backpointers fit the budget; the
+    sqrt-rematerialized path stays exact for 1-best with only boundary
+    alphas resident; past that, the top-K sparse frontier bounds memory by
+    ``max_active`` — the per-frame active-state cap of
+    LatticeFasterDecoderConfig (lattice-faster-decoder.h:38-66)."""
+    if frames * batch * num_states * k <= budget:
+        return "dense", 0
+    n_seg = -(-frames // segment)
+    if k == 1 and (n_seg + segment) * batch * num_states <= budget:
+        return "checkpointed", 0
+    return "frontier", max(1, min(max_active, num_states))
+
+
 class Nnet3WavTranscriber:
     """Reference-compatible WAV transcriber (transcribe_wav.py:15-33).
 
-    max_active/beam/lattice_beam are accepted for API compatibility; the
-    dense decoder keeps all states active (no pruning needed at template-
-    grammar scale), so they have no effect."""
+    Decode-kernel selection follows the backpointer footprint
+    (:func:`select_decoder`): template-scale graphs use the exact dense
+    decoder (every state active — beam pruning unnecessary, so ``beam`` is
+    inert there); graphs too large for [T, B, S] backpointers fall back to
+    sqrt-rematerialized backtraces, then to the top-K sparse frontier where
+    ``max_active`` bounds the active states per frame — the role it plays
+    in LatticeFasterDecoderConfig (lattice-faster-decoder.h:38-66).
+    ``lattice_beam`` prunes lattice generation (get_lattice)."""
 
     def __init__(
         self,
@@ -308,6 +344,7 @@ class Nnet3WavTranscriber:
         acoustic_scale: float = 1.0,
         beam: float = 24.0,
         silence_weight: Optional[float] = None,
+        decode_memory_budget: int = DEFAULT_DECODE_BUDGET,
     ):
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
@@ -322,10 +359,13 @@ class Nnet3WavTranscriber:
         # default silence-weight is 1.0, a no-op, transcribe_wav.py config).
         self.silence_weight = silence_weight
 
+        self.decode_memory_budget = decode_memory_budget
+
         self.am = AcousticModel(self.model_dir)
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None, f"no graph.npz in {graph_dir}"
         self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)
+        self._frontier_graph = None  # built lazily for huge graphs
         self._lang_cache: Dict[str, LangArtifacts] = {}
         self._silence_pdfs: Optional[frozenset] = None
 
@@ -455,15 +495,62 @@ class Nnet3WavTranscriber:
                     )
                     log_probs.block_until_ready()
         graph = self.artifacts.graph
-        if k == 1:
-            # 1-best fast path: on-device backtrace, O(B*T) transfer
+        mode, frontier_k = select_decoder(
+            graph.num_states,
+            len(pcm_batch),
+            bucket_out,
+            k,
+            self.max_active,
+            self.decode_memory_budget,
+        )
+        if mode != "dense":
+            _LOGGER.debug(
+                "decode path %s for %d states x %d streams x %d frames (k=%d)",
+                mode, graph.num_states, len(pcm_batch), bucket_out, k,
+            )
+        if mode == "frontier":
+            from ..ops.frontier import FrontierGraph, topk_backtrace_nbest
+
+            if self._frontier_graph is None:
+                self._frontier_graph = FrontierGraph.from_dense(graph)
+            from ..ops.frontier import viterbi_topk
+
             with StageTimer("decode", metrics):
-                trace, fstate, cost = viterbi_decode(
-                    self.device_graph,
+                states_t, alphas_t, arcs_t = viterbi_topk(
+                    self._frontier_graph,
                     log_probs,
+                    frontier_k,
                     acoustic_scale=self.acoustic_scale,
                     lengths=lengths,
                 )
+                states_t = np.asarray(states_t)
+                alphas_t = np.asarray(alphas_t)
+                arcs_t = np.asarray(arcs_t)
+            with StageTimer("backtrace", metrics):
+                return [
+                    topk_backtrace_nbest(
+                        graph, states_t, alphas_t, arcs_t, i, n=k
+                    )
+                    for i in range(len(pcm_batch))
+                ]
+        if k == 1:
+            with StageTimer("decode", metrics):
+                if mode == "checkpointed":
+                    # sqrt-remat: no [T, B, S] backpointers resident
+                    trace, fstate, cost = viterbi_decode_checkpointed(
+                        self.device_graph,
+                        log_probs,
+                        acoustic_scale=self.acoustic_scale,
+                        lengths=lengths,
+                    )
+                else:
+                    # 1-best fast path: on-device backtrace, O(B*T) transfer
+                    trace, fstate, cost = viterbi_decode(
+                        self.device_graph,
+                        log_probs,
+                        acoustic_scale=self.acoustic_scale,
+                        lengths=lengths,
+                    )
                 trace = np.asarray(trace)
                 fstate = np.asarray(fstate)
                 cost = np.asarray(cost)

@@ -1,0 +1,135 @@
+"""Decode-kernel auto-selection (VERDICT item 6).
+
+max_active maps onto the sparse frontier's K (the per-frame active-state
+cap of LatticeFasterDecoderConfig, lattice-faster-decoder.h:38-66), and the
+transcriber picks dense / checkpointed / frontier from the backpointer
+footprint so huge graphs never materialize [T, B, S] tensors.
+"""
+
+import numpy as np
+import pytest
+
+from rhasspy_speech_tpu.const import LangSuffix
+from rhasspy_speech_tpu.graph.dense import NEG_INF_F32, DenseGraph
+from rhasspy_speech_tpu.pipeline import Nnet3WavTranscriber, lang_dir_name
+from rhasspy_speech_tpu.pipeline.train import train_model_sync
+from rhasspy_speech_tpu.pipeline.transcribe import select_decoder
+from rhasspy_speech_tpu.testing import build_synthetic_profile, synthesize_sentence
+
+LEXICON = {
+    "turn": ["t", "er", "n"],
+    "on": ["aa", "n"],
+    "off": ["ao", "f"],
+    "the": ["dh", "ah"],
+    "light": ["l", "ay", "t"],
+}
+
+
+def test_select_decoder_thresholds():
+    # Small graph: dense regardless of k
+    assert select_decoder(1500, 8, 300, 5, 7000) == ("dense", 0)
+    # Backpointers over budget, 1-best, checkpointed still fits
+    mode, _ = select_decoder(300_000, 2, 1000, 1, 7000)
+    assert mode == "checkpointed"
+    # n-best on a huge graph: frontier with K = max_active
+    mode, k = select_decoder(300_000, 2, 1000, 5, 7000)
+    assert mode == "frontier" and k == 7000
+    # max_active larger than the state count clamps to S
+    mode, k = select_decoder(
+        300_000, 64, 1000, 5, max_active=10**9, budget=1 << 20
+    )
+    assert mode == "frontier" and k == 300_000
+    # Tiny budget pushes even 1-best to the frontier
+    mode, k = select_decoder(300_000, 64, 1000, 1, 7000, budget=1 << 20)
+    assert mode == "frontier" and k == 7000
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("decsel")
+    profile = build_synthetic_profile(root / "model", LEXICON)
+    train_dir = root / "train"
+    train_model_sync(
+        "en",
+        {
+            "language": "en",
+            "intents": {
+                "M": {"data": [{"sentences": ["turn (on|off) [the] light"]}]}
+            },
+        },
+        train_dir,
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    return profile, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+
+
+def test_checkpointed_and_frontier_match_dense(trained):
+    """A starved memory budget flips the kernel; transcripts must not
+    change (checkpointed is exact; frontier is exact while K >= reachable
+    states, which holds for this graph)."""
+    profile, lang_dir = trained
+    pcm = synthesize_sentence(profile, "turn off the light", seed=13)
+
+    dense_t = Nnet3WavTranscriber(profile.model_dir, lang_dir)
+    starved_t = Nnet3WavTranscriber(
+        profile.model_dir, lang_dir, decode_memory_budget=64
+    )
+
+    want = dense_t.transcribe_pcm_batch([pcm])[0]
+    assert want == ["turn off the light"]
+    # budget=64 forces the frontier for every shape (checkpointed can't fit)
+    assert starved_t.transcribe_pcm_batch([pcm])[0] == want
+
+    # n-best: top hypothesis agrees between exact k-best and frontier n-best
+    dense_nbest = dense_t.transcribe_pcm_batch([pcm], nbest=3)[0]
+    frontier_nbest = starved_t.transcribe_pcm_batch([pcm], nbest=3)[0]
+    assert frontier_nbest and frontier_nbest[0] == dense_nbest[0]
+
+    # mixed-length batches stay masked correctly off the dense path
+    pcm2 = synthesize_sentence(profile, "turn on light", seed=4)
+    got = starved_t.transcribe_pcm_batch([pcm, pcm2])
+    assert got[0] == ["turn off the light"] and got[1] == ["turn on light"]
+
+
+def test_huge_graph_decodes_without_dense_backpointers(trained, tmp_path):
+    """A >=1e5-state graph decodes through the guardrail paths (the round-1
+    failure mode: the dense [T, B, S] path would OOM with no fallback)."""
+    profile, lang_dir = trained
+
+    big_dir = tmp_path / "lang_big"
+    big_dir.mkdir()
+    for name in ("words.txt", "g.fst", "g_fuzzy.fst", "phones.txt", "ldet.fst"):
+        src = lang_dir / name
+        if src.exists():
+            (big_dir / name).write_bytes(src.read_bytes())
+
+    # Inflate the decode graph with unreachable padding states: S >= 1e5,
+    # arcs/behavior unchanged — exactly the memory profile of a big LM graph.
+    g = DenseGraph.load(str(lang_dir / "graph.npz"))
+    S = 120_000
+    pad = S - g.num_states
+    assert pad > 0
+    g.num_states = S
+    g.final_weight = np.concatenate(
+        [g.final_weight, np.full(pad, NEG_INF_F32, dtype=np.float32)]
+    )
+    g.init_weight = np.concatenate(
+        [g.init_weight, np.full(pad, NEG_INF_F32, dtype=np.float32)]
+    )
+    g.final_wseq = np.concatenate([g.final_wseq, np.zeros(pad, np.int32)])
+    g.init_wseq = np.concatenate([g.init_wseq, np.zeros(pad, np.int32)])
+    g.save(str(big_dir / "graph.npz"))
+
+    t = Nnet3WavTranscriber(
+        profile.model_dir, big_dir, decode_memory_budget=1 << 22
+    )
+    pcm = synthesize_sentence(profile, "turn on the light", seed=21)
+
+    T_frames = 1 + pcm.shape[0] // 160  # upper bound on decode frames
+    mode, _ = select_decoder(120_000, 1, T_frames, 1, 7000, budget=1 << 22)
+    assert mode != "dense"
+
+    assert t.transcribe_pcm_batch([pcm])[0] == ["turn on the light"]
+    nbest = t.transcribe_pcm_batch([pcm], nbest=3)[0]
+    assert nbest and nbest[0] == "turn on the light"
