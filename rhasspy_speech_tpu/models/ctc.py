@@ -75,12 +75,18 @@ class CtcModel:
             kernel = p["lstm_kernel"]  # [D + H, 4H]
             bias = p["lstm_bias"]  # [4H]
             H = bias.shape[0] // 4
+            # BasicLSTMCell adds 1.0 to the forget gate at run time;
+            # CudnnCompatible exports (real Coqui models) bake it into the
+            # bias, so converted weights carry lstm_forget_bias = 0.
+            forget_bias = p.get("lstm_forget_bias", 1.0)
 
             def cell(carry, x_t):
                 h, c = carry
                 z = jnp.concatenate([x_t, h], axis=-1) @ kernel + bias
                 i_g, c_g, f_g, o_g = jnp.split(z, 4, axis=-1)
-                c = jax.nn.sigmoid(f_g + 1.0) * c + jax.nn.sigmoid(i_g) * jnp.tanh(c_g)
+                c = jax.nn.sigmoid(f_g + forget_bias) * c + jax.nn.sigmoid(
+                    i_g
+                ) * jnp.tanh(c_g)
                 h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
                 return (h, c), h
 
@@ -91,6 +97,13 @@ class CtcModel:
             )
             _, hs = jax.lax.scan(cell, init, jnp.swapaxes(x, 0, 1))
             x = jnp.swapaxes(hs, 0, 1)
+
+        # Post-LSTM dense chain (DeepSpeech's layer_5)
+        i = 1
+        while f"post{i}_w" in p:
+            x = x @ p[f"post{i}_w"] + p[f"post{i}_b"]
+            x = jnp.minimum(jnp.maximum(x, 0.0), 20.0)
+            i += 1
 
         logits = x @ p["out_w"] + p["out_b"]
         return jax.nn.softmax(logits, axis=-1)

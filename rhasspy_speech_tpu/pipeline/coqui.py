@@ -212,13 +212,23 @@ class CoquiSttTranscriber:
         self.idx2char = load_alphabet(self.model_dir / "alphabet.txt")
         self.blank_id = max(self.idx2char)
 
-        # Acoustic model: JAX CTC weights (model.npz). Real Coqui .tflite
-        # graphs must be converted offline — the runtime contract here is
-        # per-frame char probabilities, same as stt_onlyprobs' stdout.
+        # Acoustic model: JAX CTC weights (model.npz); a real Coqui
+        # model.tflite is converted in place on first load (weights pulled
+        # straight from the flatbuffer, io/tflite.py) and cached as
+        # model.npz. Runtime contract either way: per-frame char
+        # probabilities, same as stt_onlyprobs' stdout.
         self.model: Optional[CtcModel] = None
         npz = self.model_dir / "model.npz"
+        tfl = self.model_dir / "model.tflite"
         if npz.exists():
             self.model = CtcModel.load(str(npz))
+        elif tfl.exists():
+            from ..io.tflite import convert_coqui_tflite
+
+            try:
+                self.model = convert_coqui_tflite(str(tfl), npz_path=str(npz))
+            except OSError:
+                self.model = convert_coqui_tflite(str(tfl))  # read-only dir
 
         frontend = FrontendConfig()
         fj = self.model_dir / "frontend.json"
