@@ -128,14 +128,17 @@ def mfcc_pallas(
 
     interpret=None auto-selects interpreter mode off-TPU (CI/tests)."""
     if interpret is None:
-        # The execution platform may differ from jax.default_backend() when
-        # a default device override is in effect (tests pin CPU while a TPU
-        # plugin is registered).
-        default_dev = jax.config.jax_default_device
-        platform = (
-            default_dev.platform if default_dev is not None
-            else jax.default_backend()
-        )
+        # Decide by where the samples actually live (committed arrays), or
+        # the default placement for uncommitted ones — a config global can
+        # disagree with real placement in a mixed CPU/TPU process.
+        if isinstance(samples, jax.Array):
+            platform = next(iter(samples.devices())).platform
+        else:
+            default_dev = jax.config.jax_default_device
+            platform = (
+                default_dev.platform if default_dev is not None
+                else jax.default_backend()
+            )
         interpret = platform != "tpu"
     B, S = samples.shape
     T = num_frames(cfg, S)

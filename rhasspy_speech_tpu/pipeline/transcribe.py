@@ -84,6 +84,7 @@ class AcousticModel:
     ):
         model_dir = Path(model_dir)
         self.model_dir = model_dir
+        self._dither_calls = 0
         # our layout: model/final.mdl; exported voice2json profiles nest one
         # deeper (reference transcribe_wav.py:56: model/model/final.mdl)
         mdl_path = model_dir / "model" / "final.mdl"
@@ -202,18 +203,26 @@ class AcousticModel:
         """[B, samples] -> [B, T, D] MFCCs.
 
         On TPU the fused Pallas kernel (ops/pallas_mfcc.py) computes the
-        whole chain in VMEM; elsewhere the XLA rfft path runs."""
-        default_dev = jax.config.jax_default_device
-        platform = (
-            default_dev.platform if default_dev is not None
-            else jax.default_backend()
-        )
+        whole chain in VMEM; elsewhere the XLA rfft path runs. With
+        cfg.dither > 0 (Kaldi's default is 1.0, feature-window.h:35-58;
+        ours is 0.0 for bit-reproducible decodes) Gaussian dither is added
+        on the XLA path with a fresh fold of the instance key per call."""
+        pcm = jnp.asarray(pcm_batch)
+        # Decide by where the data actually lives, not a config global —
+        # in a mixed CPU/TPU process the two can disagree.
+        platform = next(iter(pcm.devices())).platform
         if platform == "tpu" and self.frontend_config.dither == 0.0:
             from ..ops.pallas_mfcc import mfcc_pallas
 
-            mfcc = mfcc_pallas(self.frontend_config, jnp.asarray(pcm_batch))
+            mfcc = mfcc_pallas(self.frontend_config, pcm, interpret=False)
         else:
-            mfcc = mfcc_batch(self.frontend_params, jnp.asarray(pcm_batch))
+            dither_key = None
+            if self.frontend_config.dither > 0.0:
+                self._dither_calls += 1
+                dither_key = jax.random.fold_in(
+                    jax.random.PRNGKey(42), self._dither_calls
+                )
+            mfcc = mfcc_batch(self.frontend_params, pcm, dither_key=dither_key)
         if self.pitch_config is not None:
             mfcc = self._append_pitch(mfcc, pcm_batch)
         return mfcc
