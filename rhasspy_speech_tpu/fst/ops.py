@@ -18,7 +18,26 @@ from .core import EPS_ID, INF, Arc, Fst
 # ---------------------------------------------------------------------------
 
 
-def compose(fst1: Fst, fst2: Fst, phi_label: Optional[int] = None) -> Fst:
+def ilabel_index(fst: Fst) -> List[Dict[int, List[Arc]]]:
+    """Per-state arcs-by-input-label index for composition. Build once and
+    pass to :func:`compose` when composing many small FSTs against one big
+    one (the fuzzy-match serving path) — rebuilding it per call costs
+    O(arcs) each time."""
+    index: List[Dict[int, List[Arc]]] = []
+    for arcs in fst.arcs:
+        table: Dict[int, List[Arc]] = {}
+        for arc in arcs:
+            table.setdefault(arc[0], []).append(arc)
+        index.append(table)
+    return index
+
+
+def compose(
+    fst1: Fst,
+    fst2: Fst,
+    phi_label: Optional[int] = None,
+    fst2_index: Optional[List[Dict[int, List[Arc]]]] = None,
+) -> Fst:
     """Compose two FSTs (fst1 output side matched to fst2 input side).
 
     Uses the standard 3-state epsilon filter to avoid redundant epsilon
@@ -26,18 +45,14 @@ def compose(fst1: Fst, fst2: Fst, phi_label: Optional[int] = None) -> Fst:
     act as failure transitions: taken (without consuming) only when fst2's
     state has no arc matching the incoming label — OpenFST PhiMatcher /
     Kaldi lattice-compose --phi-label semantics, used for ARPA backoff.
+    ``fst2_index`` is an optional precomputed :func:`ilabel_index` of fst2.
     """
     result = Fst(isymbols=fst1.isymbols, osymbols=fst2.osymbols)
     if fst1.start < 0 or fst2.start < 0:
         return result
 
     # fst2 arcs indexed by input label per state
-    fst2_by_ilabel: List[Dict[int, List[Arc]]] = []
-    for arcs in fst2.arcs:
-        index: Dict[int, List[Arc]] = {}
-        for arc in arcs:
-            index.setdefault(arc[0], []).append(arc)
-        fst2_by_ilabel.append(index)
+    fst2_by_ilabel = fst2_index if fst2_index is not None else ilabel_index(fst2)
 
     def phi_resolve(s2: int, label: int) -> Tuple[List[Tuple[float, Arc]], float]:
         """Follow phi chains in fst2 from s2 until `label` matches.

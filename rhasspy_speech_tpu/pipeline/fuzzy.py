@@ -20,7 +20,7 @@ from typing import List, Optional, Sequence, Tuple
 _LOGGER = logging.getLogger(__name__)
 
 from ..fst.core import EPS_ID, INF, Fst, SymbolTable
-from ..fst.ops import compose, shortest_path
+from ..fst.ops import compose, ilabel_index, shortest_path
 
 RANK_PENALTY = 0.1  # transcribe_util.py:36
 
@@ -56,7 +56,13 @@ def get_fuzzy_text(
     if not nbest:
         return None
     nbest_fst = nbest_to_fst(nbest)
-    composed = compose(nbest_fst, g_fuzzy)
+    # Serving-path amortization: index the (big) fuzzy FST once per object,
+    # not once per utterance.
+    index = getattr(g_fuzzy, "_rstpu_ilabel_index", None)
+    if index is None or len(index) != g_fuzzy.num_states:
+        index = ilabel_index(g_fuzzy)
+        g_fuzzy._rstpu_ilabel_index = index
+    composed = compose(nbest_fst, g_fuzzy, fst2_index=index)
     best = shortest_path(composed, nshortest=1)
     if best.start < 0 or best.num_states == 0:
         return None

@@ -302,8 +302,9 @@ class AcousticModel:
 
 
 # Backpointer-tensor element budget before the dense decoder is abandoned
-# (int32 elements; 1<<26 = 256 MiB of backpointers).
-DEFAULT_DECODE_BUDGET = 1 << 26
+# (int32 elements; 1<<28 = 1 GiB of backpointers — comfortable on a 16 GB
+# v5e next to the AM activations, far too big for nothing).
+DEFAULT_DECODE_BUDGET = 1 << 28
 
 
 def select_decoder(
@@ -320,15 +321,18 @@ def select_decoder(
     Returns ("dense" | "checkpointed" | "frontier", frontier_K). Dense is
     exact and fastest while [T, B, S, k] backpointers fit the budget; the
     sqrt-rematerialized path stays exact for 1-best with only boundary
-    alphas resident; past that, the top-K sparse frontier bounds memory by
-    ``max_active`` — the per-frame active-state cap of
-    LatticeFasterDecoderConfig (lattice-faster-decoder.h:38-66)."""
+    alphas + one segment resident; past that, the top-K sparse frontier
+    caps the active states per frame at ``max_active`` — the
+    LatticeFasterDecoderConfig role (lattice-faster-decoder.h:38-66) —
+    further clamped so the [T, B, K] trellis triple also fits the budget
+    (a max_active the memory cannot honor is a beam, not a promise)."""
     if frames * batch * num_states * k <= budget:
         return "dense", 0
     n_seg = -(-frames // segment)
     if k == 1 and (n_seg + segment) * batch * num_states <= budget:
         return "checkpointed", 0
-    return "frontier", max(1, min(max_active, num_states))
+    k_mem = budget // max(1, frames * batch * 3)
+    return "frontier", max(1, min(max_active, num_states, k_mem))
 
 
 class Nnet3WavTranscriber:
@@ -636,13 +640,21 @@ class Nnet3WavTranscriber:
         nbest_lists = self._decode_batch(list(pcm_batch), nbest)
 
         out: List[List[str]] = []
+        # Streams in one batch often decode to identical n-best lists;
+        # the host fuzzy compose is the expensive tail, so dedup per call.
+        fuzzy_cache: Dict[tuple, Optional[Tuple[str, float]]] = {}
         for hyp_list in nbest_lists:
             texts: List[str] = []
             fuzzy_done = False
             if lang.g_fuzzy is not None and hyp_list:
-                fuzzy = get_fuzzy_text(
-                    [ids for ids, _ in hyp_list], lang.g_fuzzy, lang.words
-                )
+                key = tuple(tuple(ids) for ids, _ in hyp_list)
+                if key in fuzzy_cache:
+                    fuzzy = fuzzy_cache[key]
+                else:
+                    fuzzy = get_fuzzy_text(
+                        [ids for ids, _ in hyp_list], lang.g_fuzzy, lang.words
+                    )
+                    fuzzy_cache[key] = fuzzy
                 if fuzzy is not None:
                     text, cost = fuzzy
                     _LOGGER.debug("Fuzzy: %r cost=%.3f", text, cost)

@@ -31,17 +31,17 @@ def test_select_decoder_thresholds():
     # Backpointers over budget, 1-best, checkpointed still fits
     mode, _ = select_decoder(300_000, 2, 1000, 1, 7000)
     assert mode == "checkpointed"
-    # n-best on a huge graph: frontier with K = max_active
+    # n-best on a huge graph: frontier with K = max_active (memory allows)
     mode, k = select_decoder(300_000, 2, 1000, 5, 7000)
     assert mode == "frontier" and k == 7000
-    # max_active larger than the state count clamps to S
+    # The [T, B, K] trellis triple must also fit: K is memory-clamped
     mode, k = select_decoder(
         300_000, 64, 1000, 5, max_active=10**9, budget=1 << 20
     )
-    assert mode == "frontier" and k == 300_000
-    # Tiny budget pushes even 1-best to the frontier
+    assert mode == "frontier" and k == (1 << 20) // (1000 * 64 * 3)
+    # Tiny budget pushes even 1-best to the frontier (checkpointed too big)
     mode, k = select_decoder(300_000, 64, 1000, 1, 7000, budget=1 << 20)
-    assert mode == "frontier" and k == 7000
+    assert mode == "frontier" and k == (1 << 20) // (1000 * 64 * 3)
 
 
 @pytest.fixture(scope="module")
@@ -72,13 +72,15 @@ def test_checkpointed_and_frontier_match_dense(trained):
     pcm = synthesize_sentence(profile, "turn off the light", seed=13)
 
     dense_t = Nnet3WavTranscriber(profile.model_dir, lang_dir)
+    # A budget below the dense backpointer footprint flips the kernel; the
+    # frontier K it leaves (budget / (T*B*3)) still covers this graph's
+    # simultaneously-reachable states, so decodes stay exact.
     starved_t = Nnet3WavTranscriber(
-        profile.model_dir, lang_dir, decode_memory_budget=64
+        profile.model_dir, lang_dir, decode_memory_budget=20_000
     )
 
     want = dense_t.transcribe_pcm_batch([pcm])[0]
     assert want == ["turn off the light"]
-    # budget=64 forces the frontier for every shape (checkpointed can't fit)
     assert starved_t.transcribe_pcm_batch([pcm])[0] == want
 
     # n-best: top hypothesis agrees between exact k-best and frontier n-best
