@@ -469,10 +469,15 @@ def viterbi_decode_checkpointed(
         return final_alpha, boundary_alphas  # [n_seg, B, S]
 
     @jax.jit
-    def segment_backtrace(seg_idx, boundary_alpha, end_state):
-        """Recompute one segment's bps and walk back from end_state."""
+    def segment_backtrace(am, seg_idx, boundary_alpha, end_state):
+        """Recompute one segment's bps and walk back from end_state.
+
+        ``am`` and ``seg_idx`` are arguments (not closure captures): baked
+        closure constants ship inside the compiled program, which blows up
+        remote-compile payloads, and a Python-int seg_idx would retrace
+        per segment."""
         costs = jax.lax.dynamic_slice_in_dim(
-            am_costs, seg_idx * segment, segment, axis=0
+            am, seg_idx * segment, segment, axis=0
         )
         ts = seg_idx * segment + jnp.arange(segment, dtype=jnp.int32)
 
@@ -509,7 +514,10 @@ def viterbi_decode_checkpointed(
     traces = []
     for seg_idx in range(n_seg - 1, -1, -1):
         state, arcs = segment_backtrace(
-            seg_idx, boundary_alphas[seg_idx], state
+            am_costs,
+            jnp.asarray(seg_idx, dtype=jnp.int32),
+            boundary_alphas[seg_idx],
+            state,
         )
         traces.append(np.asarray(arcs))
     arc_trace = np.concatenate(traces[::-1], axis=0).T  # [B, T_pad]

@@ -130,3 +130,48 @@ def rescore_lattice(
         if len(results) >= nbest:
             break
     return results
+
+
+def rescore_tail(
+    hyp_list: List[Tuple[List[int], float]],
+    old_lang: LangArtifacts,
+    new_lang: LangArtifacts,
+    max_fuzzy_cost: Optional[float] = None,
+    require_fuzzy: bool = False,
+) -> List[str]:
+    """The reference's post-rescore tail (transcribe_wav.py:205-231): fuzzy
+    compose of the rescored n-best against the OLD lang's G.fuzzy; accept
+    a match under ``max_fuzzy_cost``, else fall through to the rescored
+    texts (or [] with ``require_fuzzy``). Word ids are the NEW lang's; they
+    are remapped by name when the vocabularies differ."""
+    from ..grammar.fst import decode_meta
+    from .fuzzy import get_fuzzy_text
+
+    if old_lang.g_fuzzy is not None and hyp_list:
+        id_map = None
+        if new_lang.words is not old_lang.words:
+            id_map = {
+                new_id: old_lang.words.find(name)
+                for name, new_id in new_lang.words
+            }
+        seqs = []
+        for ids, _cost in hyp_list:
+            if id_map is None:
+                seqs.append(list(ids))
+            else:
+                seqs.append([id_map[w] for w in ids if id_map.get(w) is not None])
+        fuzzy = get_fuzzy_text(seqs, old_lang.g_fuzzy, old_lang.words)
+        if fuzzy is not None:
+            text, cost = fuzzy
+            _LOGGER.debug("Fuzzy (rescore): %r cost=%.3f", text, cost)
+            if max_fuzzy_cost is not None and cost <= max_fuzzy_cost:
+                return [decode_meta(text)]
+    if require_fuzzy:
+        return []
+
+    def ids_to_text(ids) -> str:
+        return " ".join(
+            new_lang.words.find_id(w) or f"<{w}>" for w in ids if w != 0
+        )
+
+    return [decode_meta(ids_to_text(ids)) for ids, _cost in hyp_list]

@@ -94,6 +94,7 @@ class Nnet3StreamTranscriber:
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
         self.acoustic_scale = acoustic_scale
+        self.lattice_beam = lattice_beam
         self.nbest = max(1, nbest)
         self.silence_weight = silence_weight
 
@@ -369,29 +370,80 @@ class Nnet3StreamTranscriber:
         state: StreamingDecoderState,
         old_lang_dir: Union[str, Path],
         new_lang_dir: Union[str, Path],
+        nbest: Optional[int] = None,
+        max_fuzzy_cost: Optional[float] = None,
+        require_fuzzy: bool = False,
     ) -> List[str]:
-        """Dual-graph stream rescore (transcribe_stream.py:131-274): n-best
-        from this stream's decode, LM scores swapped for the higher-order
-        model's."""
-        from .fuzzy import rescore_nbest
+        """Dual-graph stream rescore (transcribe_stream.py:131-274): flush
+        the stream, rebuild the utterance's pruned lattice from the
+        accumulated features (the reference's online binary also emits one
+        final lattice after EOF), and remap it through the new lang dir's
+        lexicon + LM (pipeline/rescore.py). Falls back to the n-best LM
+        swap — which cannot leave the first pass's hypotheses — only for
+        artifacts that predate lattice metadata."""
+        from .rescore import rescore_tail
 
-        nbest = self.finish_nbest(state)
-        if not nbest:
-            return []
+        n = nbest if nbest is not None else max(self.nbest, 5)
         old_lang = self._load_lang(old_lang_dir)
         new_lang = self._load_lang(new_lang_dir)
-        rescored = rescore_nbest(
-            nbest, old_lang.g_fst, new_lang.g_fst, self.artifacts.words
+        graph = self.artifacts.graph
+
+        first_pass = self.finish_nbest(state)  # flushes state.feats fully
+        lattice_capable = (
+            graph is not None
+            and graph.has_phone_info
+            and new_lang.ldet is not None
+            and state.feats.shape[0] > 0
         )
-        out = []
-        for word_ids, _cost in rescored:
-            text = []
-            for wid in word_ids:
-                sym = self.artifacts.words.find_id(wid)
-                if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
-                    text.append(sym)
-            out.append(decode_meta(" ".join(text)))
-        return out
+        if lattice_capable:
+            hyp_list = self._rescore_from_feats(state, graph, new_lang, n)
+        else:
+            from .fuzzy import rescore_nbest
+
+            _LOGGER.warning(
+                "Artifacts lack lattice rescore metadata — stream rescore "
+                "falls back to an n-best LM swap. Retrain to fix."
+            )
+            if not first_pass:
+                return []
+            assert old_lang.g_fst is not None and new_lang.g_fst is not None
+            hyp_list = rescore_nbest(
+                first_pass, old_lang.g_fst, new_lang.g_fst, self.artifacts.words
+            )
+
+        return rescore_tail(
+            hyp_list, old_lang, new_lang, max_fuzzy_cost, require_fuzzy
+        )
+
+    def _rescore_from_feats(self, state, graph, new_lang, n: int):
+        """Whole-utterance lattice over the stream's accumulated features,
+        remapped through the new lang (the second pass of stream rescore)."""
+        import jax.numpy as jnp
+
+        from ..ops.lattice import build_lattice, forward_backward
+        from .rescore import rescore_lattice
+
+        feats = jnp.asarray(state.feats[None])  # [1, T, D]
+        T = state.feats.shape[0]
+        n_out = max(1, -(-T // self.am.subsampling))
+        log_probs = self.am.log_probs(
+            feats, n_out, feat_lengths=jnp.asarray([T], dtype=jnp.int32)
+        )
+        alphas, betas = forward_backward(
+            self.device_graph, log_probs, self.acoustic_scale
+        )
+        lat = build_lattice(
+            graph,
+            np.asarray(alphas),
+            np.asarray(betas),
+            np.asarray(log_probs),
+            0,
+            lattice_beam=self.lattice_beam,
+            acoustic_scale=self.acoustic_scale,
+        )
+        if lat is None:
+            return []
+        return rescore_lattice(lat, graph, self.artifacts.phones, new_lang, nbest=n)
 
     def _load_lang(self, lang_dir: Union[str, Path]) -> LangArtifacts:
         key = str(lang_dir)
@@ -449,6 +501,33 @@ class Nnet3StreamTranscriber:
             lambda: self.finish_stream(
                 state,
                 lang_dir=lang_dir,
+                max_fuzzy_cost=max_fuzzy_cost,
+                require_fuzzy=require_fuzzy,
+            )
+        )
+
+    async def async_transcribe_rescore(
+        self,
+        audio_stream: AsyncIterable[bytes],
+        old_lang_dir: Union[str, Path],
+        new_lang_dir: Union[str, Path],
+        nbest: int = 1,
+        max_fuzzy_cost: Optional[float] = None,
+        require_fuzzy: bool = False,
+    ) -> List[str]:
+        """Stream + dual-graph rescore (transcribe_stream.py:131-274)."""
+        state = self.start_stream()
+        async for chunk in audio_stream:
+            if not chunk:
+                continue
+            pcm = np.frombuffer(chunk, dtype=np.int16).astype(np.float32)
+            await asyncio.to_thread(self.process_chunk, state, pcm)
+        return await asyncio.to_thread(
+            lambda: self.finish_stream_rescore(
+                state,
+                old_lang_dir,
+                new_lang_dir,
+                nbest=nbest,
                 max_fuzzy_cost=max_fuzzy_cost,
                 require_fuzzy=require_fuzzy,
             )

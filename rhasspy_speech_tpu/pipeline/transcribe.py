@@ -814,36 +814,11 @@ class Nnet3WavTranscriber:
             )
 
         # Fuzzy tail against the OLD lang's G.fuzzy (transcribe_wav.py:215-223)
-        if old_lang.g_fuzzy is not None and hyp_list:
-            id_map = None
-            if new_lang.words is not old_lang.words:
-                id_map = {
-                    new_id: old_lang.words.find(name)
-                    for name, new_id in new_lang.words
-                }
-            seqs = []
-            for ids, _cost in hyp_list:
-                if id_map is None:
-                    seqs.append(list(ids))
-                else:
-                    seqs.append(
-                        [id_map[w] for w in ids if id_map.get(w) is not None]
-                    )
-            fuzzy = get_fuzzy_text(seqs, old_lang.g_fuzzy, old_lang.words)
-            if fuzzy is not None:
-                text, cost = fuzzy
-                _LOGGER.debug("Fuzzy (rescore): %r cost=%.3f", text, cost)
-                if max_fuzzy_cost is not None and cost <= max_fuzzy_cost:
-                    return [decode_meta(text)]
-        if require_fuzzy:
-            return []
+        from .rescore import rescore_tail
 
-        def ids_to_text(ids: Sequence[int]) -> str:
-            return " ".join(
-                new_lang.words.find_id(w) or f"<{w}>" for w in ids if w != 0
-            )
-
-        return [decode_meta(ids_to_text(ids)) for ids, _ in hyp_list]
+        return rescore_tail(
+            hyp_list, old_lang, new_lang, max_fuzzy_cost, require_fuzzy
+        )
 
     # -- async wrappers (reference API) ---------------------------------------
 

@@ -166,3 +166,25 @@ def test_rescore_same_lang_matches_plain_transcription(rescore_setup):
         nbest=5,
     )
     assert got and got[0] == "turn read"
+
+
+def test_stream_rescore_recovers_outside_first_pass(rescore_setup):
+    """The streaming rescore rebuilds the utterance lattice after EOF and
+    remaps it, so it recovers out-of-first-pass hypotheses too
+    (transcribe_stream.py:131-274)."""
+    from rhasspy_speech_tpu.pipeline.stream import Nnet3StreamTranscriber
+
+    profile, _t, old_train, new_train, wav_path, pcm = rescore_setup
+    st = Nnet3StreamTranscriber(
+        profile.model_dir, old_train / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    state = st.start_stream()
+    for off in range(0, pcm.shape[0], 1024):
+        st.process_chunk(state, pcm[off : off + 1024])
+    got = st.finish_stream_rescore(
+        state,
+        old_train / lang_dir_name(LangSuffix.GRAMMAR),
+        new_train / lang_dir_name(LangSuffix.ARPA_RESCORE),
+        nbest=5,
+    )
+    assert got and got[0] == "turn read"
