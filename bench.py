@@ -226,39 +226,27 @@ def main():
 
     def measure(batch):
         nonlocal frontier_graph
-        mode, K = select_decoder(
-            graph.num_states, batch, n_out, max(NBEST, 1), 7000
+        out_degree = int(np.bincount(graph.arc_src).max())
+        mode, arg = select_decoder(
+            graph.num_states, batch, n_out, max(NBEST, 1), 7000,
+            out_degree=out_degree,
         )
 
         if mode == "frontier":
             from rhasspy_speech_tpu.ops.frontier import (
                 FrontierGraph,
                 topk_backtrace,
-                viterbi_topk,
+                viterbi_topk_cached,
             )
 
             if frontier_graph is None:
                 frontier_graph = FrontierGraph.from_dense(graph)
-            fg = frontier_graph
-            jitted_topk = jax.jit(lambda lp: viterbi_topk(fg, lp, K))
 
         def decode_and_tail(lp):
-            if mode == "dense":
-                trace, fstate, cost = jitted_dense(lp)
-                assembled = traces_to_words_batch(
-                    graph, np.asarray(trace), np.asarray(fstate), np.asarray(cost)
+            if mode == "frontier":
+                states_t, alphas_t, arcs_t = viterbi_topk_cached(
+                    frontier_graph, lp, arg
                 )
-                fuzzy_tail([w for w, _c in assembled])
-            elif mode == "checkpointed":
-                from rhasspy_speech_tpu.ops.decoder import (
-                    viterbi_decode_checkpointed,
-                )
-
-                trace, fstate, cost = viterbi_decode_checkpointed(dev_graph, lp)
-                assembled = traces_to_words_batch(graph, trace, fstate, cost)
-                fuzzy_tail([w for w, _c in assembled])
-            else:
-                states_t, alphas_t, arcs_t = jitted_topk(lp)
                 states_np = np.asarray(states_t)
                 alphas_np = np.asarray(alphas_t)
                 arcs_np = np.asarray(arcs_t)
@@ -267,6 +255,28 @@ def main():
                     for i in range(batch)
                 ]
                 fuzzy_tail(words)
+                return
+            # exact paths in sub-batches of `arg` (production plan)
+            for start in range(0, batch, arg):
+                chunk = lp[start : start + arg]
+                if mode == "dense":
+                    trace, fstate, cost = jitted_dense(chunk)
+                    assembled = traces_to_words_batch(
+                        graph,
+                        np.asarray(trace),
+                        np.asarray(fstate),
+                        np.asarray(cost),
+                    )
+                else:
+                    from rhasspy_speech_tpu.ops.decoder import (
+                        viterbi_decode_checkpointed,
+                    )
+
+                    trace, fstate, cost = viterbi_decode_checkpointed(
+                        dev_graph, chunk
+                    )
+                    assembled = traces_to_words_batch(graph, trace, fstate, cost)
+                fuzzy_tail([w for w, _c in assembled])
 
         pcm = jnp.asarray(
             (1000.0 * rng.randn(batch, n_samples)).astype(np.float32)
@@ -285,17 +295,17 @@ def main():
             times.append(time.time() - t1)
 
         avg = float(np.mean(times))
-        return avg, compile_s, mode, K
+        return avg, compile_s, mode, arg
 
     results = []
     for batch in BATCHES:
-        avg, compile_s, mode, K = measure(batch)
+        avg, compile_s, mode, arg = measure(batch)
         rtf = avg / SECONDS
         xrt = batch * SECONDS / avg
         results.append({"batch": batch, "rtf": round(rtf, 4),
                         "xrt_streams": round(xrt, 1), "decode": mode})
         sys.stderr.write(
-            f"batch {batch} [{mode}{' K=' + str(K) if K else ''}]: "
+            f"batch {batch} [{mode}({arg})]: "
             f"avg {avg * 1000:.1f} ms RTF {rtf:.4f} "
             f"{xrt:.0f} xRT streams (compile {compile_s:.1f}s)\n"
         )

@@ -417,37 +417,27 @@ def trace_to_words(
     return words, cost
 
 
-def viterbi_decode_checkpointed(
-    graph: DeviceGraph,
-    log_probs: jnp.ndarray,
-    acoustic_scale: float = 1.0,
-    segment: int = 32,
-    lengths: Optional[jnp.ndarray] = None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Memory-bounded decode: sqrt-rematerialization of backpointers.
-
-    The plain path materializes bp [T, B, S] (4·T·B·S bytes) — fine for
-    template graphs, prohibitive for big LMs × long audio. Here the forward
-    pass stores only per-segment boundary alphas; the backtrace then
-    recomputes each segment's backpointers on demand (one extra forward
-    pass of compute, [segment, B, S] peak memory).
-
-    Returns host arrays (arc_trace [B, T], final_state [B], total_cost [B])
-    identical to viterbi_decode's outputs."""
-    B, T, _P = log_probs.shape
-    n_seg = -(-T // segment)
-    T_pad = n_seg * segment
-    if T_pad != T:
-        pad = jnp.zeros((B, T_pad - T, log_probs.shape[2]), log_probs.dtype)
-        log_probs = jnp.concatenate([log_probs, pad], axis=1)
-    if lengths is None:
-        lengths = jnp.full((B,), T, dtype=jnp.int32)
-
-    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T_pad, B, P]
-    alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, graph.num_states))
+def _checkpoint_fns(graph: DeviceGraph, segment: int):
+    """Compiled forward/backtrace for the sqrt-remat decoder, cached on the
+    graph object: rebuilding the jitted closures per call meant a full
+    recompilation every decode (ruinous through a remote-compile tunnel).
+    Everything that varies per call (am costs, lengths, segment index) is
+    an argument; jit re-specializes per shape and caches."""
+    cache = getattr(graph, "_ckpt_fns", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_ckpt_fns", cache)
+    fns = cache.get(segment)
+    if fns is not None:
+        return fns
 
     @jax.jit
-    def forward_checkpoints(am):
+    def forward_checkpoints(am, lengths):
+        T_pad, B, _P = am.shape
+        n_seg = T_pad // segment
+        alpha0 = jnp.broadcast_to(
+            graph.init_weight[None, :], (B, graph.num_states)
+        )
         seg_costs = am.reshape(n_seg, segment, B, -1)
         ts = jnp.arange(T_pad, dtype=jnp.int32).reshape(n_seg, segment)
 
@@ -469,13 +459,9 @@ def viterbi_decode_checkpointed(
         return final_alpha, boundary_alphas  # [n_seg, B, S]
 
     @jax.jit
-    def segment_backtrace(am, seg_idx, boundary_alpha, end_state):
-        """Recompute one segment's bps and walk back from end_state.
-
-        ``am`` and ``seg_idx`` are arguments (not closure captures): baked
-        closure constants ship inside the compiled program, which blows up
-        remote-compile payloads, and a Python-int seg_idx would retrace
-        per segment."""
+    def segment_backtrace(am, lengths, seg_idx, boundary_alpha, end_state):
+        """Recompute one segment's bps and walk back from end_state."""
+        B = end_state.shape[0]
         costs = jax.lax.dynamic_slice_in_dim(
             am, seg_idx * segment, segment, axis=0
         )
@@ -503,7 +489,41 @@ def viterbi_decode_checkpointed(
         start_state, arcs_rev = jax.lax.scan(back, end_state, bps[::-1])
         return start_state, arcs_rev[::-1]  # [segment, B]
 
-    final_alpha, boundary_alphas = forward_checkpoints(am_costs)
+    fns = (forward_checkpoints, segment_backtrace)
+    cache[segment] = fns
+    return fns
+
+
+def viterbi_decode_checkpointed(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    acoustic_scale: float = 1.0,
+    segment: int = 32,
+    lengths: Optional[jnp.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Memory-bounded decode: sqrt-rematerialization of backpointers.
+
+    The plain path materializes bp [T, B, S] (4·T·B·S bytes) — fine for
+    template graphs, prohibitive for big LMs × long audio. Here the forward
+    pass stores only per-segment boundary alphas; the backtrace then
+    recomputes each segment's backpointers on demand (one extra forward
+    pass of compute, [segment, B, S] peak memory).
+
+    Returns host arrays (arc_trace [B, T], final_state [B], total_cost [B])
+    identical to viterbi_decode's outputs."""
+    B, T, _P = log_probs.shape
+    n_seg = -(-T // segment)
+    T_pad = n_seg * segment
+    if T_pad != T:
+        pad = jnp.zeros((B, T_pad - T, log_probs.shape[2]), log_probs.dtype)
+        log_probs = jnp.concatenate([log_probs, pad], axis=1)
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T_pad, B, P]
+    forward_checkpoints, segment_backtrace = _checkpoint_fns(graph, segment)
+
+    final_alpha, boundary_alphas = forward_checkpoints(am_costs, lengths)
     totals = final_alpha + graph.final_weight[None, :]
     final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)
     total_cost = np.asarray(
@@ -515,6 +535,7 @@ def viterbi_decode_checkpointed(
     for seg_idx in range(n_seg - 1, -1, -1):
         state, arcs = segment_backtrace(
             am_costs,
+            lengths,
             jnp.asarray(seg_idx, dtype=jnp.int32),
             boundary_alphas[seg_idx],
             state,

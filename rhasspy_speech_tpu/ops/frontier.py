@@ -274,3 +274,33 @@ def topk_backtrace_nbest(
         seen.add(key)
         results.append((words, float(totals[slot])))
     return results
+
+
+def viterbi_topk_cached(
+    graph: FrontierGraph,
+    log_probs: jnp.ndarray,
+    k: int,
+    acoustic_scale: float = 1.0,
+    lengths: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """viterbi_topk through a compiled function cached on the graph object.
+
+    The raw function rebuilds its scan closures per call, which recompiles
+    on every decode — ruinous through a remote-compile tunnel. The cache
+    key is (k, acoustic_scale); jit re-specializes per input shape."""
+    B, T, _P = log_probs.shape
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    cache = getattr(graph, "_topk_fns", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_topk_fns", cache)
+    key = (int(k), float(acoustic_scale))
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda lp, lens: viterbi_topk(graph, lp, k, acoustic_scale, lens)
+        )
+        cache[key] = fn
+    return fn(log_probs, lengths)

@@ -315,23 +315,35 @@ def select_decoder(
     max_active: int,
     budget: int = DEFAULT_DECODE_BUDGET,
     segment: int = 32,
+    out_degree: Optional[int] = None,
 ) -> Tuple[str, int]:
     """Pick the decode kernel from the backpointer footprint.
 
-    Returns ("dense" | "checkpointed" | "frontier", frontier_K). Dense is
-    exact and fastest while [T, B, S, k] backpointers fit the budget; the
-    sqrt-rematerialized path stays exact for 1-best with only boundary
-    alphas + one segment resident; past that, the top-K sparse frontier
-    caps the active states per frame at ``max_active`` — the
-    LatticeFasterDecoderConfig role (lattice-faster-decoder.h:38-66) —
-    further clamped so the [T, B, K] trellis triple also fits the budget
-    (a max_active the memory cannot honor is a beam, not a promise)."""
-    if frames * batch * num_states * k <= budget:
-        return "dense", 0
+    Returns (mode, arg):
+
+    - ("dense", sub_batch): exact and fastest; decode in sub-batches of
+      that size so [T, sub_batch, S, k] backpointers fit the budget
+      (sub_batch == batch when everything fits at once);
+    - ("checkpointed", sub_batch): 1-best graphs whose [T, 1, S] tensor
+      alone busts the budget — sqrt-rematerialized backtrace, still
+      exact, boundary alphas + one segment resident, sub-batched too;
+    - ("frontier", K): graphs too big for either — the top-K sparse
+      frontier caps the active states per frame at ``max_active``, the
+      LatticeFasterDecoderConfig role (lattice-faster-decoder.h:38-66),
+      clamped so both the [T, B, K] trellis triple and the per-frame
+      [B, K, out_degree] expansion fit the budget (a max_active the
+      memory cannot honor is a beam, not a promise).
+    """
+    per_stream_dense = frames * num_states * k
+    if per_stream_dense <= budget:
+        return "dense", max(1, min(batch, budget // per_stream_dense))
     n_seg = -(-frames // segment)
-    if k == 1 and (n_seg + segment) * batch * num_states <= budget:
-        return "checkpointed", 0
+    per_stream_ckpt = (n_seg + segment) * num_states
+    if k == 1 and per_stream_ckpt <= budget:
+        return "checkpointed", max(1, min(batch, budget // per_stream_ckpt))
     k_mem = budget // max(1, frames * batch * 3)
+    if out_degree:
+        k_mem = min(k_mem, budget // max(1, batch * out_degree))
     return "frontier", max(1, min(max_active, num_states, k_mem))
 
 
@@ -379,6 +391,7 @@ class Nnet3WavTranscriber:
         assert self.artifacts.graph is not None, f"no graph.npz in {graph_dir}"
         self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)
         self._frontier_graph = None  # built lazily for huge graphs
+        self._out_degree: Optional[int] = None
         self._lang_cache: Dict[str, LangArtifacts] = {}
         self._silence_pdfs: Optional[frozenset] = None
 
@@ -508,31 +521,36 @@ class Nnet3WavTranscriber:
                     )
                     log_probs.block_until_ready()
         graph = self.artifacts.graph
-        mode, frontier_k = select_decoder(
+        mode, arg = select_decoder(
             graph.num_states,
             len(pcm_batch),
             bucket_out,
             k,
             self.max_active,
             self.decode_memory_budget,
+            out_degree=self._graph_out_degree(),
         )
-        if mode != "dense":
+        if mode != "dense" or arg < len(pcm_batch):
             _LOGGER.debug(
-                "decode path %s for %d states x %d streams x %d frames (k=%d)",
-                mode, graph.num_states, len(pcm_batch), bucket_out, k,
+                "decode plan %s(%d) for %d states x %d streams x %d frames "
+                "(k=%d)",
+                mode, arg, graph.num_states, len(pcm_batch), bucket_out, k,
             )
         if mode == "frontier":
-            from ..ops.frontier import FrontierGraph, topk_backtrace_nbest
+            from ..ops.frontier import (
+                FrontierGraph,
+                topk_backtrace_nbest,
+                viterbi_topk_cached,
+            )
 
             if self._frontier_graph is None:
                 self._frontier_graph = FrontierGraph.from_dense(graph)
-            from ..ops.frontier import viterbi_topk
 
             with StageTimer("decode", metrics):
-                states_t, alphas_t, arcs_t = viterbi_topk(
+                states_t, alphas_t, arcs_t = viterbi_topk_cached(
                     self._frontier_graph,
                     log_probs,
-                    frontier_k,
+                    arg,
                     acoustic_scale=self.acoustic_scale,
                     lengths=lengths,
                 )
@@ -546,50 +564,81 @@ class Nnet3WavTranscriber:
                     )
                     for i in range(len(pcm_batch))
                 ]
-        if k == 1:
-            with StageTimer("decode", metrics):
-                if mode == "checkpointed":
-                    # sqrt-remat: no [T, B, S] backpointers resident
-                    trace, fstate, cost = viterbi_decode_checkpointed(
-                        self.device_graph,
-                        log_probs,
-                        acoustic_scale=self.acoustic_scale,
-                        lengths=lengths,
+
+        # Exact paths, in sub-batches of `arg` streams (the last sub-batch
+        # is padded to keep one compiled shape; pad rows decode 0 frames)
+        out: List[List[Tuple[List[int], float]]] = []
+        B = len(pcm_batch)
+        sub = min(arg, B)
+        lengths_np = np.asarray(lengths)
+        for start in range(0, B, sub):
+            stop = min(start + sub, B)
+            pad = sub - (stop - start)
+            lp = log_probs[start:stop]
+            lens = lengths_np[start:stop]
+            if pad:
+                lp = jnp.concatenate(
+                    [lp, jnp.zeros((pad,) + lp.shape[1:], lp.dtype)], axis=0
+                )
+                lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+            lens_dev = jnp.asarray(lens)
+
+            if k == 1:
+                with StageTimer("decode", metrics):
+                    if mode == "checkpointed":
+                        # sqrt-remat: no [T, B, S] backpointers resident
+                        trace, fstate, cost = viterbi_decode_checkpointed(
+                            self.device_graph,
+                            lp,
+                            acoustic_scale=self.acoustic_scale,
+                            lengths=lens_dev,
+                        )
+                    else:
+                        # 1-best fast path: on-device backtrace
+                        trace, fstate, cost = viterbi_decode(
+                            self.device_graph,
+                            lp,
+                            acoustic_scale=self.acoustic_scale,
+                            lengths=lens_dev,
+                        )
+                    trace = np.asarray(trace)
+                    fstate = np.asarray(fstate)
+                    cost = np.asarray(cost)
+                with StageTimer("backtrace", metrics):
+                    assembled = traces_to_words_batch(graph, trace, fstate, cost)
+                    out.extend(
+                        [] if words is None else [(words, c)]
+                        for words, c in assembled[: stop - start]
                     )
-                else:
-                    # 1-best fast path: on-device backtrace, O(B*T) transfer
-                    trace, fstate, cost = viterbi_decode(
+            else:
+                with StageTimer("decode", metrics):
+                    traces, seed_states, seed_costs = viterbi_kbest_decode(
                         self.device_graph,
-                        log_probs,
+                        lp,
+                        k=k,
                         acoustic_scale=self.acoustic_scale,
-                        lengths=lengths,
+                        lengths=lens_dev,
                     )
-                trace = np.asarray(trace)
-                fstate = np.asarray(fstate)
-                cost = np.asarray(cost)
-            with StageTimer("backtrace", metrics):
-                assembled = traces_to_words_batch(graph, trace, fstate, cost)
-                out = [
-                    [] if words is None else [(words, c)]
-                    for words, c in assembled
-                ]
-            return out
-        with StageTimer("decode", metrics):
-            traces, seed_states, seed_costs = viterbi_kbest_decode(
-                self.device_graph,
-                log_probs,
-                k=k,
-                acoustic_scale=self.acoustic_scale,
-                lengths=lengths,
-            )
-            traces = np.asarray(traces)
-            seed_states = np.asarray(seed_states)
-            seed_costs = np.asarray(seed_costs)
-        with StageTimer("backtrace", metrics):
-            return [
-                kbest_traces_to_nbest(graph, traces, seed_states, seed_costs, i, n=k)
-                for i in range(len(pcm_batch))
-            ]
+                    traces = np.asarray(traces)
+                    seed_states = np.asarray(seed_states)
+                    seed_costs = np.asarray(seed_costs)
+                with StageTimer("backtrace", metrics):
+                    out.extend(
+                        kbest_traces_to_nbest(
+                            graph, traces, seed_states, seed_costs, i, n=k
+                        )
+                        for i in range(stop - start)
+                    )
+        return out
+
+    def _graph_out_degree(self) -> int:
+        """Max out-degree of the decode graph (frontier expansion width)."""
+        if self._out_degree is None:
+            g = self.artifacts.graph
+            self._out_degree = int(
+                np.bincount(g.arc_src, minlength=g.num_states).max()
+            ) if g.num_arcs else 1
+        return self._out_degree
 
     # -- public API ----------------------------------------------------------
 

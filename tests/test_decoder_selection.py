@@ -26,22 +26,29 @@ LEXICON = {
 
 
 def test_select_decoder_thresholds():
-    # Small graph: dense regardless of k
-    assert select_decoder(1500, 8, 300, 5, 7000) == ("dense", 0)
-    # Backpointers over budget, 1-best, checkpointed still fits
-    mode, _ = select_decoder(300_000, 2, 1000, 1, 7000)
-    assert mode == "checkpointed"
-    # n-best on a huge graph: frontier with K = max_active (memory allows)
-    mode, k = select_decoder(300_000, 2, 1000, 5, 7000)
+    # Small graph: dense, whole batch at once
+    assert select_decoder(1500, 8, 300, 5, 7000) == ("dense", 8)
+    # Bigger graph/batch: still dense, but in sub-batches that fit
+    mode, sub = select_decoder(20_000, 4096, 100, 1, 7000)
+    assert mode == "dense" and 1 <= sub < 4096
+    assert sub == (1 << 28) // (100 * 20_000)
+    # Per-stream dense footprint over budget, 1-best: checkpointed
+    mode, sub = select_decoder(300_000, 2, 10_000, 1, 7000)
+    assert mode == "checkpointed" and sub >= 1
+    # n-best on a graph too big for per-stream dense: frontier, K=max_active
+    mode, k = select_decoder(3_000_000, 2, 1000, 5, 7000)
     assert mode == "frontier" and k == 7000
     # The [T, B, K] trellis triple must also fit: K is memory-clamped
     mode, k = select_decoder(
-        300_000, 64, 1000, 5, max_active=10**9, budget=1 << 20
+        3_000_000, 64, 100, 5, max_active=10**9, budget=1 << 20
     )
-    assert mode == "frontier" and k == (1 << 20) // (1000 * 64 * 3)
-    # Tiny budget pushes even 1-best to the frontier (checkpointed too big)
-    mode, k = select_decoder(300_000, 64, 1000, 1, 7000, budget=1 << 20)
-    assert mode == "frontier" and k == (1 << 20) // (1000 * 64 * 3)
+    assert mode == "frontier" and k == (1 << 20) // (100 * 64 * 3)
+    # The per-frame [B, K, D] expansion clamps K further
+    mode, k = select_decoder(
+        3_000_000, 64, 100, 5, max_active=10**9, budget=1 << 20,
+        out_degree=1000,
+    )
+    assert mode == "frontier" and k == (1 << 20) // (64 * 1000) == 16
 
 
 @pytest.fixture(scope="module")
