@@ -227,6 +227,56 @@ class Lattice:
         return results
 
 
+def _forward_backward_fn(graph: DeviceGraph):
+    """Compiled tropical forward/backward, cached on the graph object (a
+    per-call closure would retrace+recompile on every utterance)."""
+    fn = getattr(graph, "_fb_fn", None)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def run(am_costs):  # [T, B, P]
+        B = am_costs.shape[1]
+        S = graph.num_states
+        alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, S))
+
+        def fwd(alpha, am_t):
+            scores = (
+                alpha[:, graph.arc_src]
+                + graph.arc_weight[None, :]
+                + am_t[:, graph.arc_pdf]
+            )
+            scores = jnp.minimum(scores, INF_COST)
+            new_alpha = (
+                jnp.full((B, S), INF_COST).at[:, graph.arc_dst].min(scores)
+            )
+            return new_alpha, new_alpha
+
+        _, alphas = jax.lax.scan(fwd, alpha0, am_costs)
+        alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+
+        betaT = jnp.broadcast_to(graph.final_weight[None, :], (B, S))
+
+        def bwd(beta, am_t):
+            scores = (
+                beta[:, graph.arc_dst]
+                + graph.arc_weight[None, :]
+                + am_t[:, graph.arc_pdf]
+            )
+            scores = jnp.minimum(scores, INF_COST)
+            new_beta = (
+                jnp.full((B, S), INF_COST).at[:, graph.arc_src].min(scores)
+            )
+            return new_beta, new_beta
+
+        _, betas_rev = jax.lax.scan(bwd, betaT, am_costs[::-1])
+        betas = jnp.concatenate([betas_rev[::-1], betaT[None]], axis=0)
+        return alphas, betas
+
+    object.__setattr__(graph, "_fb_fn", run)
+    return run
+
+
 def forward_backward(
     graph: DeviceGraph,
     log_probs: jnp.ndarray,
@@ -238,39 +288,7 @@ def forward_backward(
     reach each state having consumed t frames; beta[t] = best cost to
     finish from each state with frames t..T-1 remaining."""
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
-    B = log_probs.shape[0]
-    S = graph.num_states
-
-    alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, S))
-
-    def fwd(alpha, am_t):
-        scores = (
-            alpha[:, graph.arc_src]
-            + graph.arc_weight[None, :]
-            + am_t[:, graph.arc_pdf]
-        )
-        scores = jnp.minimum(scores, INF_COST)
-        new_alpha = jnp.full((B, S), INF_COST).at[:, graph.arc_dst].min(scores)
-        return new_alpha, new_alpha
-
-    _, alphas = jax.lax.scan(fwd, alpha0, am_costs)
-    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # [T+1, B, S]
-
-    betaT = jnp.broadcast_to(graph.final_weight[None, :], (B, S))
-
-    def bwd(beta, am_t):
-        scores = (
-            beta[:, graph.arc_dst]
-            + graph.arc_weight[None, :]
-            + am_t[:, graph.arc_pdf]
-        )
-        scores = jnp.minimum(scores, INF_COST)
-        new_beta = jnp.full((B, S), INF_COST).at[:, graph.arc_src].min(scores)
-        return new_beta, new_beta
-
-    _, betas_rev = jax.lax.scan(bwd, betaT, am_costs[::-1])
-    betas = jnp.concatenate([betas_rev[::-1], betaT[None]], axis=0)
-    return alphas, betas
+    return _forward_backward_fn(graph)(am_costs)
 
 
 def forward_backward_log(
