@@ -49,10 +49,15 @@ NUM_PDFS = int(os.environ.get("BENCH_PDFS", "3072"))
 IVEC_DIM = int(os.environ.get("BENCH_IVEC_DIM", "100"))
 UBM_GAUSS = int(os.environ.get("BENCH_UBM_GAUSS", "512"))
 NBEST = int(os.environ.get("BENCH_NBEST", "1"))
+DTYPE = os.environ.get("BENCH_DTYPE", "")  # "bfloat16" = MXU-native AM
 # Sweep: RTF<0.1 candidates first (small), then throughput candidates.
+# Batches past ~1024 exhaust HBM with this AM (the [B, T, 3072] posterior
+# tensor plus forward temps); infeasible points are recorded, not fatal.
 BATCHES = [
     int(b)
-    for b in os.environ.get("BENCH_BATCHES", "128,256,512,1024,4096").split(",")
+    for b in os.environ.get(
+        "BENCH_BATCHES", "128,160,256,512,1024"
+    ).split(",")
 ]
 
 
@@ -200,14 +205,22 @@ def main():
     idx = np.clip(np.arange(lo, hi), 0, T - 1)
 
     on_tpu = jax.default_backend() == "tpu"
+    bf16 = DTYPE in ("bfloat16", "bf16")
+    if bf16:
+        model = model.cast(jnp.bfloat16)
 
     def front(pcm):
         if on_tpu:
             feats = mfcc_pallas(cfg, pcm, interpret=False)
         else:
             feats = mfcc_batch(params, pcm)
-        ivec = extract_ivectors(feats, iv_params)
-        return model.forward(feats[:, idx], ivec)
+        ivec = extract_ivectors(feats, iv_params)  # f32 (linear solves)
+        am_in = feats[:, idx]
+        if bf16:
+            am_in = am_in.astype(jnp.bfloat16)
+            ivec = ivec.astype(jnp.bfloat16)
+        out = model.forward(am_in, ivec)
+        return out.astype(jnp.float32) if bf16 else out
 
     jitted_front = jax.jit(front)
     jitted_dense = jax.jit(lambda lp: viterbi_decode(dev_graph, lp))
@@ -288,18 +301,33 @@ def main():
         compile_s = time.time() - tc
 
         times = []
+        verbose = os.environ.get("BENCH_VERBOSE")
         for _ in range(ITERS):
             t1 = time.time()
             lp = jitted_front(pcm)
+            if verbose:
+                lp.block_until_ready()
+                t_front = time.time() - t1
             decode_and_tail(lp)
             times.append(time.time() - t1)
+            if verbose:
+                sys.stderr.write(
+                    f"  front {t_front * 1000:.1f} ms, decode+tail "
+                    f"{(times[-1] - t_front) * 1000:.1f} ms\n"
+                )
 
         avg = float(np.mean(times))
         return avg, compile_s, mode, arg
 
     results = []
     for batch in BATCHES:
-        avg, compile_s, mode, arg = measure(batch)
+        try:
+            avg, compile_s, mode, arg = measure(batch)
+        except Exception as exc:  # e.g. RESOURCE_EXHAUSTED past the HBM knee
+            sys.stderr.write(f"batch {batch}: infeasible ({type(exc).__name__})\n")
+            results.append({"batch": batch, "rtf": None, "xrt_streams": 0.0,
+                            "decode": "infeasible"})
+            continue
         rtf = avg / SECONDS
         xrt = batch * SECONDS / avg
         results.append({"batch": batch, "rtf": round(rtf, 4),
@@ -310,8 +338,9 @@ def main():
             f"{xrt:.0f} xRT streams (compile {compile_s:.1f}s)\n"
         )
 
-    peak = max(results, key=lambda r: r["xrt_streams"])
-    realtime = [r for r in results if r["rtf"] < 0.1]
+    feasible = [r for r in results if r["rtf"] is not None]
+    peak = max(feasible, key=lambda r: r["xrt_streams"])
+    realtime = [r for r in feasible if r["rtf"] < 0.1]
     north = max(realtime, key=lambda r: r["batch"]) if realtime else None
 
     sys.stderr.write(

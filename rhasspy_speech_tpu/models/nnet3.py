@@ -378,6 +378,23 @@ class CompiledNnet3:
         last_out_t = (self.num_out_frames - 1) * self.subsampling
         return self.ranges["input"][1] - 1 - last_out_t
 
+    def cast(self, dtype) -> "CompiledNnet3":
+        """Copy of this plan with floating-point parameters cast to
+        ``dtype`` (e.g. jnp.bfloat16 — the MXU's native input type; matmuls
+        then run bf16 with f32 accumulation). Cast the input features to
+        the same dtype and the output back to f32 at the call site."""
+        import dataclasses
+
+        cast_params = {
+            name: {
+                k: (v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating)
+                    else v)
+                for k, v in comp.items()
+            }
+            for name, comp in self.params.items()
+        }
+        return dataclasses.replace(self, params=cast_params)
+
     @property
     def num_input_frames(self) -> int:
         lo, hi = self.ranges["input"]

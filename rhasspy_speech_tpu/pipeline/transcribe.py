@@ -81,10 +81,19 @@ class AcousticModel:
         model_dir: Union[str, Path],
         frontend: Optional[FrontendConfig] = None,
         subsampling: Optional[int] = None,
+        compute_dtype: Optional[str] = None,
     ):
         model_dir = Path(model_dir)
         self.model_dir = model_dir
         self._dither_calls = 0
+        # AM forward precision: None/f32 (exact, the default) or
+        # "bfloat16" — MXU-native matmuls with f32 accumulation, output
+        # cast back to f32 for decode costs. Also via RSTPU_COMPUTE_DTYPE.
+        import os as _os
+
+        self.compute_dtype = compute_dtype or _os.environ.get(
+            "RSTPU_COMPUTE_DTYPE"
+        )
         # our layout: model/final.mdl; exported voice2json profiles nest one
         # deeper (reference transcribe_wav.py:56: model/model/final.mdl)
         mdl_path = model_dir / "model" / "final.mdl"
@@ -195,7 +204,23 @@ class AcousticModel:
             model = compile_nnet3(
                 self.spec, num_out_frames, subsampling=self.subsampling
             )
-            bucket = _CompiledBucket(model=model, fwd=jax.jit(model.forward))
+            if self.compute_dtype in ("bfloat16", "bf16"):
+                lp_model = model.cast(jnp.bfloat16)
+
+                def fwd(feats, ivec=None, _m=lp_model):
+                    feats = feats.astype(jnp.bfloat16)
+                    if ivec is not None:
+                        ivec = ivec.astype(jnp.bfloat16)
+                        out = _m.forward(feats, ivec)
+                    else:
+                        out = _m.forward(feats)
+                    return out.astype(jnp.float32)
+
+                bucket = _CompiledBucket(model=model, fwd=jax.jit(fwd))
+            else:
+                bucket = _CompiledBucket(
+                    model=model, fwd=jax.jit(model.forward)
+                )
             self._buckets[num_out_frames] = bucket
         return bucket
 
@@ -370,6 +395,7 @@ class Nnet3WavTranscriber:
         beam: float = 24.0,
         silence_weight: Optional[float] = None,
         decode_memory_budget: int = DEFAULT_DECODE_BUDGET,
+        compute_dtype: Optional[str] = None,
     ):
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
@@ -386,7 +412,7 @@ class Nnet3WavTranscriber:
 
         self.decode_memory_budget = decode_memory_budget
 
-        self.am = AcousticModel(self.model_dir)
+        self.am = AcousticModel(self.model_dir, compute_dtype=compute_dtype)
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None, f"no graph.npz in {graph_dir}"
         self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)

@@ -414,3 +414,47 @@ def test_switch_descriptor_recurrent():
                                        atol=1e-5)
         else:
             np.testing.assert_allclose(got[:, t], 0.0, atol=1e-6)
+
+
+def test_bfloat16_compute_dtype(tmp_path):
+    """compute_dtype='bfloat16' runs the AM in MXU-native precision with
+    f32 outputs; decodes stay correct and the forward stays close to f32."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rhasspy_speech_tpu.pipeline import Nnet3WavTranscriber, lang_dir_name
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    profile = build_synthetic_profile(tmp_path / "m", lexicon)
+    train_model_sync(
+        "en",
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["yes", "no"]}]}}},
+        tmp_path / "t", profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang_dir = tmp_path / "t" / lang_dir_name(LangSuffix.GRAMMAR)
+
+    t32 = Nnet3WavTranscriber(profile.model_dir, lang_dir)
+    t16 = Nnet3WavTranscriber(
+        profile.model_dir, lang_dir, compute_dtype="bfloat16"
+    )
+    for i, text in enumerate(["yes", "no"]):
+        pcm = synthesize_sentence(profile, text, seed=i)
+        assert t16.transcribe_pcm_batch([pcm])[0] == [text]
+        lp32 = np.asarray(
+            t32.am.log_probs(t32.am.features(pcm[None]), 8)
+        )
+        lp16 = np.asarray(
+            t16.am.log_probs(t16.am.features(pcm[None]), 8)
+        )
+        assert lp16.dtype == np.float32
+        # bf16 carries ~8 mantissa bits: relative error ~0.4%
+        rel = np.abs(lp16 - lp32) / (np.abs(lp32) + 1.0)
+        assert np.median(rel) < 0.01 and rel.max() < 0.1
