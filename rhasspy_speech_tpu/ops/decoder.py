@@ -196,6 +196,117 @@ def viterbi_step_padded(
     return new_alpha, best_arc
 
 
+@dataclass(frozen=True)
+class HybridDeviceGraph:
+    """Width-W padded in-arc slots + scatter-min spill.
+
+    HMM states overwhelmingly have exactly two in-arcs (forward +
+    self-loop), so a width-2 slot table covers ~75% of arcs with zero
+    padding waste and turns their relaxation into a gather + min over a
+    [B, S, 2] tensor; only the word-boundary/LM hub arcs (the remaining
+    quarter) go through the slow scatter-min. Unlike PaddedDeviceGraph's
+    all-padded layout — whose hub tier pads every high-in-degree state to
+    the max in-degree and loses 7-15x — the spill stays in the scatter
+    form that XLA lowers well, just 4x smaller."""
+
+    base: DeviceGraph
+    width: int
+    slot_src: jnp.ndarray  # int32 [S * W]
+    slot_pdf: jnp.ndarray  # int32 [S * W]
+    slot_weight: jnp.ndarray  # f32 [S * W] (INF padding)
+    slot_arc: jnp.ndarray  # int32 [S * W] (-1 padding)
+    spill_src: jnp.ndarray  # int32 [Nspill]
+    spill_dst: jnp.ndarray  # int32 [Nspill]
+    spill_pdf: jnp.ndarray  # int32 [Nspill]
+    spill_weight: jnp.ndarray  # f32 [Nspill]
+    spill_arc: jnp.ndarray  # int32 [Nspill]
+
+    @staticmethod
+    def from_dense(g: DenseGraph, width: int = 2) -> "HybridDeviceGraph":
+        S = g.num_states
+        order = np.argsort(g.arc_dst, kind="stable")
+        src = np.zeros(S * width, dtype=np.int32)
+        pdf = np.zeros(S * width, dtype=np.int32)
+        wt = np.full(S * width, NEG_INF_F32, dtype=np.float32)
+        arc = np.full(S * width, -1, dtype=np.int32)
+        fill = np.zeros(S, dtype=np.int64)
+        spill = []
+        for a in order:
+            d = int(g.arc_dst[a])
+            k = fill[d]
+            if k < width:
+                slot = d * width + k
+                src[slot] = g.arc_src[a]
+                pdf[slot] = g.arc_pdf[a]
+                wt[slot] = g.arc_weight[a]
+                arc[slot] = a
+                fill[d] = k + 1
+            else:
+                spill.append(a)
+        spill = np.asarray(spill, dtype=np.int64)
+        return HybridDeviceGraph(
+            base=DeviceGraph.from_dense(g),
+            width=width,
+            slot_src=jnp.asarray(src),
+            slot_pdf=jnp.asarray(pdf),
+            slot_weight=jnp.asarray(wt),
+            slot_arc=jnp.asarray(arc),
+            spill_src=jnp.asarray(g.arc_src[spill]),
+            spill_dst=jnp.asarray(g.arc_dst[spill]),
+            spill_pdf=jnp.asarray(g.arc_pdf[spill]),
+            spill_weight=jnp.asarray(g.arc_weight[spill]),
+            spill_arc=jnp.asarray(spill.astype(np.int32)),
+        )
+
+
+def viterbi_step_hybrid(
+    graph: HybridDeviceGraph, alpha: jnp.ndarray, am_cost: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One decode frame over the hybrid layout: (new_alpha, best_arc)."""
+    base = graph.base
+    B = alpha.shape[0]
+    S = base.num_states
+    W = graph.width
+    A = base.num_arcs
+
+    pad_scores = (
+        alpha[:, graph.slot_src]
+        + graph.slot_weight[None, :]
+        + am_cost[:, graph.slot_pdf]
+    ).reshape(B, S, W)
+    pad_scores = jnp.minimum(pad_scores, INF_COST)
+    new_alpha = jnp.min(pad_scores, axis=-1)  # [B, S]
+
+    n_spill = graph.spill_src.shape[0]
+    if n_spill:
+        s_scores = (
+            alpha[:, graph.spill_src]
+            + graph.spill_weight[None, :]
+            + am_cost[:, graph.spill_pdf]
+        )  # [B, Nspill]
+        s_scores = jnp.minimum(s_scores, INF_COST)
+        new_alpha = new_alpha.at[:, graph.spill_dst].min(s_scores)
+
+    # winning arc = min arc id among candidates achieving the min (the
+    # same tie-break as the scatter step / numpy reference)
+    pad_cand = jnp.where(
+        pad_scores <= new_alpha[:, :, None],
+        graph.slot_arc.reshape(S, W)[None, :, :],
+        A,
+    )
+    pad_cand = jnp.where(pad_cand < 0, A, pad_cand)
+    best_arc = jnp.min(pad_cand, axis=-1)  # [B, S]
+    if n_spill:
+        s_cand = jnp.where(
+            s_scores <= new_alpha[:, graph.spill_dst],
+            graph.spill_arc[None, :],
+            A,
+        )
+        best_arc = best_arc.at[:, graph.spill_dst].min(s_cand)
+    best_arc = jnp.where(new_alpha >= INF_COST, -1, best_arc)
+    return new_alpha, best_arc
+
+
 # ---------------------------------------------------------------------------
 # 1-best
 # ---------------------------------------------------------------------------
@@ -241,9 +352,13 @@ def viterbi(
 
     Returns (alpha_final [B, S], backptr [T, B, S] int32). Jittable; the
     backtrace runs on host (see backtrace_words)."""
-    padded = isinstance(graph, PaddedDeviceGraph)
-    base = graph.base if padded else graph
-    step_fn = viterbi_step_padded if padded else viterbi_step
+    base = getattr(graph, "base", graph)
+    if isinstance(graph, PaddedDeviceGraph):
+        step_fn = viterbi_step_padded
+    elif isinstance(graph, HybridDeviceGraph):
+        step_fn = viterbi_step_hybrid
+    else:
+        step_fn = viterbi_step
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
     B = log_probs.shape[0]
     alpha0 = jnp.broadcast_to(base.init_weight[None, :], (B, base.num_states))
@@ -318,7 +433,7 @@ def viterbi_decode(
     masked/dead frames), final_state [B] int32, total_cost [B] f32 = best
     alpha+final, +inf-like NEG_INF if no complete path). Decode words on
     host with trace_to_words."""
-    base = graph.base if isinstance(graph, PaddedDeviceGraph) else graph
+    base = getattr(graph, "base", graph)
     alpha_final, bps = viterbi(graph, log_probs, acoustic_scale, lengths)
     totals = alpha_final + base.final_weight[None, :]  # [B, S]
     final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)  # [B]

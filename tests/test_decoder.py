@@ -357,6 +357,94 @@ def test_padded_graph_hub_states():
     assert trace_to_words(graph, *r1, 0)[0] == trace_to_words(graph, *r2, 0)[0]
 
 
+def test_hybrid_graph_matches_scatter_exactly():
+    """Width-2 slots + scatter spill reproduce the scatter kernel bit-exact.
+
+    The hybrid layout fills slots in stable dst-sorted arc order, so the
+    min-arc-id tie-break must coincide with viterbi_step's — the whole arc
+    trace (not just costs) must match."""
+    from rhasspy_speech_tpu.ops.decoder import (
+        HybridDeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+
+    rng = np.random.RandomState(51)
+    graph = _random_graph(rng, num_states=20, extra_arcs=80)
+    dev = DeviceGraph.from_dense(graph)
+    hyb = HybridDeviceGraph.from_dense(graph)
+    assert hyb.spill_src.shape[0] > 0  # exercise the spill path
+    B, T = 3, 12
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+    lengths = jnp.asarray([T, T - 3, T])
+
+    r1 = [np.asarray(x) for x in viterbi_decode(dev, jnp.asarray(lp), lengths=lengths)]
+    r2 = [np.asarray(x) for x in viterbi_decode(hyb, jnp.asarray(lp), lengths=lengths)]
+    np.testing.assert_array_equal(r1[0], r2[0])  # arc traces bit-exact
+    np.testing.assert_array_equal(r1[1], r2[1])
+    np.testing.assert_allclose(r1[2], r2[2], rtol=1e-5)
+    for b in range(B):
+        assert (
+            trace_to_words(graph, *r1, b)[0] == trace_to_words(graph, *r2, b)[0]
+        ), b
+
+
+def test_hybrid_graph_hub_states():
+    """A huge-in-degree hub (all spill) decodes exactly on the hybrid path."""
+    from rhasspy_speech_tpu.ops.decoder import (
+        HybridDeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+
+    rng = np.random.RandomState(52)
+    graph = _random_graph(rng, num_states=10, extra_arcs=0)
+    extra_src = rng.randint(10, size=30)
+    graph.arc_src = np.concatenate([graph.arc_src, extra_src.astype(np.int32)])
+    graph.arc_dst = np.concatenate([graph.arc_dst, np.zeros(30, np.int32)])
+    graph.arc_pdf = np.concatenate(
+        [graph.arc_pdf, rng.randint(graph.num_pdfs, size=30).astype(np.int32)]
+    )
+    graph.arc_weight = np.concatenate(
+        [graph.arc_weight, rng.rand(30).astype(np.float32)]
+    )
+    graph.arc_wseq = np.concatenate([graph.arc_wseq, np.zeros(30, np.int32)])
+
+    hyb = HybridDeviceGraph.from_dense(graph, width=2)
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(
+        np.random.RandomState(53).dirichlet(
+            np.ones(graph.num_pdfs), size=(1, 8)
+        )
+    ).astype(np.float32)
+    r1 = [np.asarray(x) for x in viterbi_decode(dev, jnp.asarray(lp))]
+    r2 = [np.asarray(x) for x in viterbi_decode(hyb, jnp.asarray(lp))]
+    np.testing.assert_array_equal(r1[0], r2[0])
+    np.testing.assert_allclose(r1[2], r2[2], rtol=1e-5)
+    assert trace_to_words(graph, *r1, 0)[0] == trace_to_words(graph, *r2, 0)[0]
+
+
+def test_hybrid_graph_no_spill():
+    """A pure left-to-right chain (in-degree <= 2 everywhere) has an empty
+    spill and still traces the n_spill==0 branch correctly."""
+    from rhasspy_speech_tpu.ops.decoder import HybridDeviceGraph, viterbi_decode
+
+    rng = np.random.RandomState(54)
+    graph = _random_graph(rng, num_states=12, extra_arcs=0)
+    hyb = HybridDeviceGraph.from_dense(graph, width=4)
+    assert hyb.spill_src.shape[0] == 0
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(2, 9))).astype(
+        np.float32
+    )
+    r1 = [np.asarray(x) for x in viterbi_decode(dev, jnp.asarray(lp))]
+    r2 = [np.asarray(x) for x in viterbi_decode(hyb, jnp.asarray(lp))]
+    np.testing.assert_array_equal(r1[0], r2[0])
+    np.testing.assert_allclose(r1[2], r2[2], rtol=1e-5)
+
+
 def test_checkpointed_decode_matches_plain():
     from rhasspy_speech_tpu.ops.decoder import (
         trace_to_words,
