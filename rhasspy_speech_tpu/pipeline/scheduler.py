@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..grammar.fst import decode_meta
 from ..models.nnet3 import compile_nnet3
 from ..native import StreamPool
-from ..ops.decoder import DeviceGraph, backtrace_words, viterbi_step
+from ..ops.decoder import backtrace_words, decode_step, make_decode_graph
 from ..ops.frontend import mfcc_batch
 from ..utils.metrics import StageTimer, get_metrics
 from .artifacts import LangArtifacts
@@ -75,7 +75,7 @@ class StreamScheduler:
         self.artifacts = LangArtifacts.load(graph_dir)
         assert self.artifacts.graph is not None
         self.graph = self.artifacts.graph
-        self.device_graph = DeviceGraph.from_dense(self.graph)
+        self.device_graph = make_decode_graph(self.graph)
         self.max_streams = max_streams
         self.acoustic_scale = acoustic_scale
         self.max_fuzzy_cost = max_fuzzy_cost
@@ -164,7 +164,7 @@ class StreamScheduler:
 
             def step(a, xs):
                 am_t, t = xs
-                new_alpha, bp = viterbi_step(graph, a, am_t)
+                new_alpha, bp = decode_step(graph, a, am_t)
                 active = (t < n_valid)[:, None]
                 return (
                     jnp.where(active, new_alpha, a),

@@ -31,12 +31,12 @@ import jax.numpy as jnp
 from ..grammar.fst import decode_meta
 from ..models.nnet3 import compile_nnet3
 from ..ops.decoder import (
-    DeviceGraph,
     NEG_INF_F32,
     backtrace_nbest,
     backtrace_words,
+    decode_step,
     kbest_step,
-    viterbi_step,
+    make_decode_graph,
 )
 from .artifacts import LangArtifacts
 from .fuzzy import get_fuzzy_text
@@ -101,7 +101,7 @@ class Nnet3StreamTranscriber:
         self.am = AcousticModel(self.model_dir)
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None
-        self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)
+        self.device_graph = make_decode_graph(self.artifacts.graph)
         self._featurizer = StreamFeaturizer(self.am)
 
         self._chunk_model = compile_nnet3(
@@ -174,7 +174,7 @@ class Nnet3StreamTranscriber:
             if k == 1:
                 def step(a, xs):
                     am_t, t = xs
-                    new_alpha, bp = viterbi_step(graph, a[None], am_t[None])
+                    new_alpha, bp = decode_step(graph, a[None], am_t[None])
                     active = t < n_valid
                     return (
                         jnp.where(active, new_alpha[0], a),

@@ -33,8 +33,8 @@ from ..grammar.fst import decode_meta
 from ..io.nnet3_file import read_am_nnet3
 from ..models.nnet3 import CompiledNnet3, compile_nnet3
 from ..ops.decoder import (
-    DeviceGraph,
     kbest_traces_to_nbest,
+    make_decode_graph,
     trace_to_words,
     traces_to_words_batch,
     viterbi_decode,
@@ -415,7 +415,7 @@ class Nnet3WavTranscriber:
         self.am = AcousticModel(self.model_dir, compute_dtype=compute_dtype)
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None, f"no graph.npz in {graph_dir}"
-        self.device_graph = DeviceGraph.from_dense(self.artifacts.graph)
+        self.device_graph = make_decode_graph(self.artifacts.graph)
         self._frontier_graph = None  # built lazily for huge graphs
         self._out_degree: Optional[int] = None
         self._lang_cache: Dict[str, LangArtifacts] = {}

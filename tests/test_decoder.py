@@ -1,5 +1,6 @@
 """TPU dense Viterbi decoder tests vs the NumPy reference DP."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -469,3 +470,41 @@ def test_checkpointed_decode_matches_plain():
         w1 = trace_to_words(graph, plain[0], plain[1], plain[2], b)
         w2 = trace_to_words(graph, ckpt[0], ckpt[1], ckpt[2], b)
         assert w1[0] == w2[0], b
+
+
+def test_compact_backpointers_encode_exactly():
+    """viterbi(compact_bp=True) stores uint16 arc+2 codes that decode to
+    the int32 backpointers bit-exactly (STAY/-1 sentinels included)."""
+    from rhasspy_speech_tpu.ops.decoder import viterbi
+
+    rng = np.random.RandomState(60)
+    graph = _random_graph(rng, num_states=15, extra_arcs=40)
+    dev = DeviceGraph.from_dense(graph)
+    B, T = 2, 9
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+    lengths = jnp.asarray([T, T - 4])
+    a1, bp1 = viterbi(dev, jnp.asarray(lp), lengths=lengths)
+    a2, bp2 = viterbi(dev, jnp.asarray(lp), lengths=lengths, compact_bp=True)
+    assert np.asarray(bp2).dtype == np.uint16
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(bp1), np.asarray(bp2).astype(np.int32) - 2
+    )
+
+
+def test_compact_backpointers_reject_big_graphs():
+    from rhasspy_speech_tpu.ops.decoder import _COMPACT_BP_MAX_ARC, viterbi
+
+    rng = np.random.RandomState(61)
+    graph = _random_graph(rng, num_states=8, extra_arcs=0)
+    dev = DeviceGraph.from_dense(graph)
+    import unittest.mock as mock
+
+    lp = np.zeros((1, 3, graph.num_pdfs), np.float32)
+    with mock.patch(
+        "rhasspy_speech_tpu.ops.decoder._COMPACT_BP_MAX_ARC", 2
+    ):
+        with pytest.raises(ValueError):
+            viterbi(dev, jnp.asarray(lp), compact_bp=True)
