@@ -242,7 +242,7 @@ def main():
         out_degree = int(np.bincount(graph.arc_src).max())
         mode, arg = select_decoder(
             graph.num_states, batch, n_out, max(NBEST, 1), 7000,
-            out_degree=out_degree,
+            out_degree=out_degree, num_arcs=graph.num_arcs,
         )
 
         if mode == "frontier":

@@ -326,10 +326,11 @@ class AcousticModel:
         return out
 
 
-# Backpointer-tensor element budget before the dense decoder is abandoned
-# (int32 elements; 1<<28 = 1 GiB of backpointers — comfortable on a 16 GB
-# v5e next to the AM activations, far too big for nothing).
-DEFAULT_DECODE_BUDGET = 1 << 28
+# Backpointer-tensor byte budget before the dense decoder is abandoned
+# (3 GiB of backpointers is comfortable on a 16 GB chip next to the AM
+# posteriors; graphs small enough for uint16 backpointers fit twice the
+# streams in it).
+DEFAULT_DECODE_BUDGET = 3 << 30
 
 
 def select_decoder(
@@ -341,14 +342,17 @@ def select_decoder(
     budget: int = DEFAULT_DECODE_BUDGET,
     segment: int = 32,
     out_degree: Optional[int] = None,
+    num_arcs: Optional[int] = None,
 ) -> Tuple[str, int]:
-    """Pick the decode kernel from the backpointer footprint.
+    """Pick the decode kernel from the backpointer footprint (bytes).
 
     Returns (mode, arg):
 
     - ("dense", sub_batch): exact and fastest; decode in sub-batches of
       that size so [T, sub_batch, S, k] backpointers fit the budget
-      (sub_batch == batch when everything fits at once);
+      (sub_batch == batch when everything fits at once). 1-best graphs
+      with <= 65533 arcs store uint16 backpointers (2 bytes/element), so
+      pass ``num_arcs`` when known — it doubles the feasible sub-batch;
     - ("checkpointed", sub_batch): 1-best graphs whose [T, 1, S] tensor
       alone busts the budget — sqrt-rematerialized backtrace, still
       exact, boundary alphas + one segment resident, sub-batched too;
@@ -359,16 +363,23 @@ def select_decoder(
       [B, K, out_degree] expansion fit the budget (a max_active the
       memory cannot honor is a beam, not a promise).
     """
-    per_stream_dense = frames * num_states * k
+    from ..ops.decoder import _COMPACT_BP_MAX_ARC
+
+    bp_bytes = (
+        2
+        if k == 1 and num_arcs is not None and num_arcs <= _COMPACT_BP_MAX_ARC
+        else 4
+    )
+    per_stream_dense = frames * num_states * k * bp_bytes
     if per_stream_dense <= budget:
         return "dense", max(1, min(batch, budget // per_stream_dense))
     n_seg = -(-frames // segment)
-    per_stream_ckpt = (n_seg + segment) * num_states
+    per_stream_ckpt = (n_seg + segment) * num_states * 4  # f32 alphas
     if k == 1 and per_stream_ckpt <= budget:
         return "checkpointed", max(1, min(batch, budget // per_stream_ckpt))
-    k_mem = budget // max(1, frames * batch * 3)
+    k_mem = budget // max(1, frames * batch * 3 * 4)
     if out_degree:
-        k_mem = min(k_mem, budget // max(1, batch * out_degree))
+        k_mem = min(k_mem, budget // max(1, batch * out_degree * 4))
     return "frontier", max(1, min(max_active, num_states, k_mem))
 
 
@@ -555,6 +566,7 @@ class Nnet3WavTranscriber:
             self.max_active,
             self.decode_memory_budget,
             out_degree=self._graph_out_degree(),
+            num_arcs=graph.num_arcs,
         )
         if mode != "dense" or arg < len(pcm_batch):
             _LOGGER.debug(
@@ -592,44 +604,60 @@ class Nnet3WavTranscriber:
                 ]
 
         # Exact paths, in sub-batches of `arg` streams (the last sub-batch
-        # is padded to keep one compiled shape; pad rows decode 0 frames)
+        # is padded to keep one compiled shape; pad rows decode 0 frames).
+        # Dispatch EVERY sub-batch's device program first (JAX dispatch is
+        # async), then harvest in order — sub-batch i's host word assembly
+        # overlaps sub-batch i+1's device execution instead of serializing
+        # decode → host tail → decode.
         out: List[List[Tuple[List[int], float]]] = []
         B = len(pcm_batch)
         sub = min(arg, B)
         lengths_np = np.asarray(lengths)
-        for start in range(0, B, sub):
-            stop = min(start + sub, B)
-            pad = sub - (stop - start)
-            lp = log_probs[start:stop]
-            lens = lengths_np[start:stop]
-            if pad:
-                lp = jnp.concatenate(
-                    [lp, jnp.zeros((pad,) + lp.shape[1:], lp.dtype)], axis=0
-                )
-                lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
-            lens_dev = jnp.asarray(lens)
+        pending = []
+        with StageTimer("decode", metrics):
+            for start in range(0, B, sub):
+                stop = min(start + sub, B)
+                pad = sub - (stop - start)
+                lp = log_probs[start:stop]
+                lens = lengths_np[start:stop]
+                if pad:
+                    lp = jnp.concatenate(
+                        [lp, jnp.zeros((pad,) + lp.shape[1:], lp.dtype)], axis=0
+                    )
+                    lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+                lens_dev = jnp.asarray(lens)
 
+                if k != 1:
+                    res = viterbi_kbest_decode(
+                        self.device_graph,
+                        lp,
+                        k=k,
+                        acoustic_scale=self.acoustic_scale,
+                        lengths=lens_dev,
+                    )
+                elif mode == "checkpointed":
+                    # sqrt-remat: no [T, B, S] backpointers resident (its
+                    # segment loop already blocks on host inside)
+                    res = viterbi_decode_checkpointed(
+                        self.device_graph,
+                        lp,
+                        acoustic_scale=self.acoustic_scale,
+                        lengths=lens_dev,
+                    )
+                else:
+                    # 1-best fast path: on-device backtrace
+                    res = viterbi_decode(
+                        self.device_graph,
+                        lp,
+                        acoustic_scale=self.acoustic_scale,
+                        lengths=lens_dev,
+                    )
+                pending.append((start, stop, res))
+
+        for start, stop, res in pending:
             if k == 1:
                 with StageTimer("decode", metrics):
-                    if mode == "checkpointed":
-                        # sqrt-remat: no [T, B, S] backpointers resident
-                        trace, fstate, cost = viterbi_decode_checkpointed(
-                            self.device_graph,
-                            lp,
-                            acoustic_scale=self.acoustic_scale,
-                            lengths=lens_dev,
-                        )
-                    else:
-                        # 1-best fast path: on-device backtrace
-                        trace, fstate, cost = viterbi_decode(
-                            self.device_graph,
-                            lp,
-                            acoustic_scale=self.acoustic_scale,
-                            lengths=lens_dev,
-                        )
-                    trace = np.asarray(trace)
-                    fstate = np.asarray(fstate)
-                    cost = np.asarray(cost)
+                    trace, fstate, cost = (np.asarray(x) for x in res)
                 with StageTimer("backtrace", metrics):
                     assembled = traces_to_words_batch(graph, trace, fstate, cost)
                     out.extend(
@@ -638,16 +666,9 @@ class Nnet3WavTranscriber:
                     )
             else:
                 with StageTimer("decode", metrics):
-                    traces, seed_states, seed_costs = viterbi_kbest_decode(
-                        self.device_graph,
-                        lp,
-                        k=k,
-                        acoustic_scale=self.acoustic_scale,
-                        lengths=lens_dev,
+                    traces, seed_states, seed_costs = (
+                        np.asarray(x) for x in res
                     )
-                    traces = np.asarray(traces)
-                    seed_states = np.asarray(seed_states)
-                    seed_costs = np.asarray(seed_costs)
                 with StageTimer("backtrace", metrics):
                     out.extend(
                         kbest_traces_to_nbest(

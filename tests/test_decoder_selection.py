@@ -13,7 +13,10 @@ from rhasspy_speech_tpu.const import LangSuffix
 from rhasspy_speech_tpu.graph.dense import NEG_INF_F32, DenseGraph
 from rhasspy_speech_tpu.pipeline import Nnet3WavTranscriber, lang_dir_name
 from rhasspy_speech_tpu.pipeline.train import train_model_sync
-from rhasspy_speech_tpu.pipeline.transcribe import select_decoder
+from rhasspy_speech_tpu.pipeline.transcribe import (
+    DEFAULT_DECODE_BUDGET,
+    select_decoder,
+)
 from rhasspy_speech_tpu.testing import build_synthetic_profile, synthesize_sentence
 
 LEXICON = {
@@ -29,9 +32,16 @@ def test_select_decoder_thresholds():
     # Small graph: dense, whole batch at once
     assert select_decoder(1500, 8, 300, 5, 7000) == ("dense", 8)
     # Bigger graph/batch: still dense, but in sub-batches that fit
+    # (budget is BYTES; int32 backpointers without num_arcs)
     mode, sub = select_decoder(20_000, 4096, 100, 1, 7000)
     assert mode == "dense" and 1 <= sub < 4096
-    assert sub == (1 << 28) // (100 * 20_000)
+    assert sub == DEFAULT_DECODE_BUDGET // (100 * 20_000 * 4)
+    # A graph small enough for uint16 backpointers fits twice the streams
+    mode, sub2 = select_decoder(20_000, 4096, 100, 1, 7000, num_arcs=60_000)
+    assert mode == "dense" and sub2 == DEFAULT_DECODE_BUDGET // (100 * 20_000 * 2)
+    # ... but only for 1-best (k-best backpointers stay int32)
+    mode, sub3 = select_decoder(20_000, 4096, 100, 2, 7000, num_arcs=60_000)
+    assert mode == "dense" and sub3 == sub // 2
     # Per-stream dense footprint over budget, 1-best: checkpointed
     mode, sub = select_decoder(300_000, 2, 10_000, 1, 7000)
     assert mode == "checkpointed" and sub >= 1
@@ -42,13 +52,13 @@ def test_select_decoder_thresholds():
     mode, k = select_decoder(
         3_000_000, 64, 100, 5, max_active=10**9, budget=1 << 20
     )
-    assert mode == "frontier" and k == (1 << 20) // (100 * 64 * 3)
+    assert mode == "frontier" and k == (1 << 20) // (100 * 64 * 3 * 4)
     # The per-frame [B, K, D] expansion clamps K further
     mode, k = select_decoder(
         3_000_000, 64, 100, 5, max_active=10**9, budget=1 << 20,
         out_degree=1000,
     )
-    assert mode == "frontier" and k == (1 << 20) // (64 * 1000) == 16
+    assert mode == "frontier" and k == (1 << 20) // (64 * 1000 * 4) == 4
 
 
 @pytest.fixture(scope="module")
