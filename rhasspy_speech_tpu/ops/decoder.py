@@ -286,34 +286,55 @@ def viterbi_step_hybrid(
         + am_cost[:, graph.slot_pdf]
     ).reshape(B, S, W)
     pad_scores = jnp.minimum(pad_scores, INF_COST)
-    new_alpha = jnp.min(pad_scores, axis=-1)  # [B, S]
+    slot_alpha = jnp.min(pad_scores, axis=-1)  # [B, S]
+
+    # slot winner: min arc id achieving the slot min. Slots are filled in
+    # ascending arc-id order per state, so for W=2 this is a plain select
+    # (<= keeps the lower id on ties) — no candidate/min pass.
+    arcs2 = graph.slot_arc.reshape(S, W)
+    if W == 2:
+        slot_bp = jnp.where(
+            pad_scores[:, :, 0] <= pad_scores[:, :, 1],
+            arcs2[None, :, 0],
+            arcs2[None, :, 1],
+        )
+    else:
+        pad_cand = jnp.where(
+            pad_scores <= slot_alpha[:, :, None], arcs2[None, :, :], A
+        )
+        pad_cand = jnp.where(pad_cand < 0, A, pad_cand)
+        slot_bp = jnp.min(pad_cand, axis=-1)
 
     n_spill = graph.spill_src.shape[0]
-    if n_spill:
-        s_scores = (
-            alpha[:, graph.spill_src]
-            + graph.spill_weight[None, :]
-            + am_cost[:, graph.spill_pdf]
-        )  # [B, Nspill]
-        s_scores = jnp.minimum(s_scores, INF_COST)
-        new_alpha = new_alpha.at[:, graph.spill_dst].min(s_scores)
+    if not n_spill:
+        best_arc = jnp.where(slot_alpha >= INF_COST, -1, slot_bp)
+        return slot_alpha, best_arc
 
-    # winning arc = min arc id among candidates achieving the min (the
-    # same tie-break as the scatter step / numpy reference)
-    pad_cand = jnp.where(
-        pad_scores <= new_alpha[:, :, None],
-        graph.slot_arc.reshape(S, W)[None, :, :],
+    s_scores = (
+        alpha[:, graph.spill_src]
+        + graph.spill_weight[None, :]
+        + am_cost[:, graph.spill_pdf]
+    )  # [B, Nspill]
+    s_scores = jnp.minimum(s_scores, INF_COST)
+    spill_alpha = (
+        jnp.full((B, S), INF_COST).at[:, graph.spill_dst].min(s_scores)
+    )
+    s_cand = jnp.where(
+        s_scores <= spill_alpha[:, graph.spill_dst],
+        graph.spill_arc[None, :],
         A,
     )
-    pad_cand = jnp.where(pad_cand < 0, A, pad_cand)
-    best_arc = jnp.min(pad_cand, axis=-1)  # [B, S]
-    if n_spill:
-        s_cand = jnp.where(
-            s_scores <= new_alpha[:, graph.spill_dst],
-            graph.spill_arc[None, :],
-            A,
-        )
-        best_arc = best_arc.at[:, graph.spill_dst].min(s_cand)
+    spill_bp = (
+        jnp.full((B, S), A, dtype=jnp.int32)
+        .at[:, graph.spill_dst]
+        .min(s_cand)
+    )
+    # every spill arc id of a state exceeds all its slot arc ids (slots
+    # take the lowest-id in-arcs), so on a slot/spill tie the slot wins —
+    # exactly the global min-arc-id tie-break.
+    use_spill = spill_alpha < slot_alpha
+    new_alpha = jnp.minimum(slot_alpha, spill_alpha)
+    best_arc = jnp.where(use_spill, spill_bp, slot_bp)
     best_arc = jnp.where(new_alpha >= INF_COST, -1, best_arc)
     return new_alpha, best_arc
 
