@@ -247,10 +247,17 @@ def _component_forward(
         offs = time_offsets
         span = offs[-1] - offs[0]
         T_out = x.shape[1] - span
-        cat = jnp.concatenate(
-            [x[:, (o - offs[0]) : (o - offs[0]) + T_out] for o in offs], axis=-1
-        )
-        y = cat @ params["w"]
+        D = x.shape[-1]
+        w = params["w"]
+        # one matmul per time offset, summed — same result as the
+        # concat-then-matmul formulation but the [B, T, len(offs)*D]
+        # concat never materializes (slices fuse into the matmuls; the
+        # concat was the TDNN-F forward's largest HBM stream)
+        y = None
+        for i, o in enumerate(offs):
+            xi = x[:, (o - offs[0]) : (o - offs[0]) + T_out]
+            yi = xi @ w[i * D : (i + 1) * D]
+            y = yi if y is None else y + yi
         if "b" in params:
             y = y + params["b"]
         return y
