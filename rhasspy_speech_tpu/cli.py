@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     p_train.add_argument("--lang-suffixes", default="grammar,arpa")
     p_train.add_argument("--rescore-order", type=int, default=5)
     p_train.add_argument("--smoothing", default="witten_bell",
-                         choices=["witten_bell", "kneser_ney"])
+                         choices=["witten_bell", "kneser_ney", "absolute", "katz"])
     p_train.set_defaults(func=_cmd_train)
 
     p_tr = sub.add_parser("transcribe", help="decode WAV files")

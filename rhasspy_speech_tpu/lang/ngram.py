@@ -354,6 +354,201 @@ def kneser_ney(
     return model
 
 
+def absolute_discounting(
+    counts: NgramCounts, order: int, discount: Optional[float] = None
+) -> ArpaModel:
+    """Interpolated absolute discounting (ngrammake --method=absolute,
+    ngrammake-main.cc:78): Kneser-Ney's subtract-D-and-interpolate recipe
+    applied to RAW counts at every order (no continuation counts)."""
+    by_order: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    for ngram, count in counts.items():
+        if len(ngram) <= order:
+            by_order[len(ngram) - 1][ngram] = count
+
+    vocab = {ng[0] for ng in by_order[0]}
+    vocab.discard(BOS)
+    v_size = max(1, len(vocab))
+
+    if discount is None:
+        top = list(by_order[order - 1].values()) or list(by_order[0].values())
+        if top and all(abs(c - round(c)) < 1e-6 for c in top):
+            n1 = sum(1 for c in top if round(c) == 1)
+            n2 = sum(1 for c in top if round(c) == 2)
+            discount = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75
+        else:
+            discount = 0.75
+    D = float(discount)
+
+    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    z = sum(c for ng, c in by_order[0].items() if ng[0] != BOS)
+    t0 = sum(1 for ng in by_order[0] if ng[0] != BOS)
+    z = max(z, 1e-10)
+    for ngram, c in by_order[0].items():
+        if ngram[0] == BOS:
+            continue
+        probs[0][ngram] = max(c - D, 0.0) / z + D * t0 / z * (1.0 / v_size)
+
+    for n in range(2, order + 1):
+        level = by_order[n - 1]
+        hist_count: Dict[Tuple[str, ...], float] = {}
+        hist_types: Dict[Tuple[str, ...], int] = {}
+        for ngram, c in level.items():
+            hist = ngram[:-1]
+            hist_count[hist] = hist_count.get(hist, 0.0) + c
+            hist_types[hist] = hist_types.get(hist, 0) + 1
+        for ngram, c in level.items():
+            hist = ngram[:-1]
+            denom = max(hist_count[hist], 1e-10)
+            lam = D * hist_types[hist] / denom
+            lower = probs[n - 2].get(ngram[1:], 1.0 / v_size)
+            probs[n - 1][ngram] = max(c - D, 0.0) / denom + lam * lower
+
+    model = ArpaModel(order=order, ngrams=[dict() for _ in range(order)])
+
+    def log10_safe(p: float) -> float:
+        return math.log10(p) if p > 0 else _LOG10_MIN
+
+    for n in range(1, order + 1):
+        level = by_order[n - 1]
+        next_hist_count: Dict[Tuple[str, ...], float] = {}
+        next_hist_types: Dict[Tuple[str, ...], int] = {}
+        if n < order:
+            for ngram, c in by_order[n].items():
+                hist = ngram[:-1]
+                next_hist_count[hist] = next_hist_count.get(hist, 0.0) + c
+                next_hist_types[hist] = next_hist_types.get(hist, 0) + 1
+        for ngram in level:
+            if n == 1 and ngram[0] == BOS:
+                logp = _LOG10_MIN
+            else:
+                logp = log10_safe(probs[n - 1].get(ngram, 0.0))
+            backoff: Optional[float] = None
+            if n < order and (ngram in next_hist_count or ngram[-1] != EOS):
+                c_h = next_hist_count.get(ngram, 0.0)
+                t_h = next_hist_types.get(ngram, 0)
+                if t_h > 0:
+                    backoff = log10_safe(D * t_h / max(c_h, 1e-10))
+                elif ngram[-1] != EOS:
+                    backoff = 0.0
+            model.ngrams[n - 1][ngram] = (logp, backoff)
+
+    return model
+
+
+def katz(
+    counts: NgramCounts, order: int, cutoff: int = 5
+) -> ArpaModel:
+    """Katz backoff with Good-Turing discounting (ngrammake --method=katz,
+    ngrammake-main.cc:78; include/ngram/ngram-katz.h).
+
+    Counts r <= ``cutoff`` are discounted by the Good-Turing ratio
+    d_r = (r*/r - A) / (1 - A) with r* = (r+1) n_{r+1} / n_r and
+    A = (k+1) n_{k+1} / n_1 (count-of-count bins over rounded counts);
+    invalid ratios fall back to 1 (no discount). Backoff weights are
+    computed to normalize exactly:
+    alpha(h) = (1 - sum_seen p) / (1 - sum_seen p_lower)."""
+    by_order: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    for ngram, count in counts.items():
+        if len(ngram) <= order:
+            by_order[len(ngram) - 1][ngram] = count
+
+    vocab = {ng[0] for ng in by_order[0]}
+    vocab.discard(BOS)
+    v_size = max(1, len(vocab))
+
+    def gt_ratios(level: Dict[Tuple[str, ...], float]) -> Dict[int, float]:
+        n_r: Dict[int, int] = {}
+        for c in level.values():
+            r = int(round(c))
+            if 1 <= r <= cutoff + 1:
+                n_r[r] = n_r.get(r, 0) + 1
+        d: Dict[int, float] = {}
+        n1 = n_r.get(1, 0)
+        nk1 = n_r.get(cutoff + 1, 0)
+        if n1 <= 0:
+            return d
+        A = (cutoff + 1) * nk1 / n1
+        if A >= 1.0:
+            return d
+        for r in range(1, cutoff + 1):
+            nr = n_r.get(r, 0)
+            nr1 = n_r.get(r + 1, 0)
+            if nr <= 0:
+                continue
+            r_star = (r + 1) * nr1 / nr
+            dr = (r_star / r - A) / (1.0 - A)
+            if 0.0 < dr <= 1.0:
+                d[r] = dr
+        return d
+
+    def discounted(c: float, d: Dict[int, float]) -> float:
+        r = int(round(c))
+        return c * d.get(r, 1.0) if r <= cutoff else c
+
+    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+
+    # Unigrams: GT-discounted ML, leftover mass spread uniformly (closed
+    # vocabulary, so there are no unseen unigrams to receive it)
+    d1 = gt_ratios({ng: c for ng, c in by_order[0].items() if ng[0] != BOS})
+    z = sum(c for ng, c in by_order[0].items() if ng[0] != BOS)
+    z = max(z, 1e-10)
+    disc_total = 0.0
+    for ngram, c in by_order[0].items():
+        if ngram[0] == BOS:
+            continue
+        p = discounted(c, d1) / z
+        probs[0][ngram] = p
+        disc_total += p
+    leftover = max(0.0, 1.0 - disc_total)
+    for ngram in probs[0]:
+        probs[0][ngram] += leftover / v_size
+
+    for n in range(2, order + 1):
+        level = by_order[n - 1]
+        d_n = gt_ratios(level)
+        hist_count: Dict[Tuple[str, ...], float] = {}
+        for ngram, c in level.items():
+            hist = ngram[:-1]
+            hist_count[hist] = hist_count.get(hist, 0.0) + c
+        for ngram, c in level.items():
+            denom = max(hist_count[ngram[:-1]], 1e-10)
+            probs[n - 1][ngram] = discounted(c, d_n) / denom
+
+    model = ArpaModel(order=order, ngrams=[dict() for _ in range(order)])
+
+    def log10_safe(p: float) -> float:
+        return math.log10(p) if p > 0 else _LOG10_MIN
+
+    # Backoff weights from exact normalization over each history
+    seen_by_hist: List[Dict[Tuple[str, ...], List[Tuple[str, ...]]]] = [
+        dict() for _ in range(order)
+    ]
+    for n in range(2, order + 1):
+        for ngram in by_order[n - 1]:
+            seen_by_hist[n - 1].setdefault(ngram[:-1], []).append(ngram)
+
+    for n in range(1, order + 1):
+        level = by_order[n - 1]
+        for ngram in level:
+            if n == 1 and ngram[0] == BOS:
+                logp = _LOG10_MIN
+            else:
+                logp = log10_safe(probs[n - 1].get(ngram, 0.0))
+            backoff: Optional[float] = None
+            if n < order and ngram[-1] != EOS:
+                seen = seen_by_hist[n].get(ngram, [])
+                p_seen = sum(probs[n].get(s, 0.0) for s in seen)
+                lower_seen = sum(
+                    probs[n - 1].get(s[1:], 1.0 / v_size) for s in seen
+                )
+                num = max(0.0, 1.0 - p_seen)
+                den = max(1e-10, 1.0 - lower_seen)
+                backoff = log10_safe(num / den) if num > 0 else _LOG10_MIN
+            model.ngrams[n - 1][ngram] = (logp, backoff)
+
+    return model
+
+
 # ---------------------------------------------------------------------------
 # ARPA → G.fst
 # ---------------------------------------------------------------------------
@@ -447,10 +642,15 @@ def make_arpa_from_fst(
     """ngramcount | ngrammake --method=<method> | ngramprint --ARPA.
 
     witten_bell is the reference's choice (kaldi.py:274-291);
-    kneser_ney is the other common ngrammake method."""
+    kneser_ney / absolute / katz are the other ngrammake methods
+    (ngrammake-main.cc:78)."""
     counts = count_ngrams(grammar_fst, order, symbols=symbols)
     if method == "witten_bell":
         return witten_bell(counts, order)
     if method == "kneser_ney":
         return kneser_ney(counts, order)
+    if method == "absolute":
+        return absolute_discounting(counts, order)
+    if method == "katz":
+        return katz(counts, order)
     raise ValueError(f"unknown smoothing method {method!r}")

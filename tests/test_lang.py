@@ -433,3 +433,119 @@ def test_kneser_ney_arpa_roundtrip_and_g_fst():
     words.add("#0")
     g = arpa_to_fst(arpa, words)
     assert g.num_states > 0 and g.num_arcs > 0
+
+
+def test_absolute_discounting_probabilities_sum_to_one():
+    """Interpolated absolute discounting: per-history total mass ~= 1."""
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import absolute_discounting
+
+    table = SymbolTable()
+    fst = _sentence_fst(
+        ["a b", "a c", "b c a", "a b c", "c a"], table
+    )
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+    arpa = absolute_discounting(counts, order=2)
+
+    unigrams = {
+        ng[0]: 10 ** logp
+        for ng, (logp, _b) in arpa.ngrams[0].items()
+        if ng[0] != "<s>"
+    }
+    assert sum(unigrams.values()) == pytest.approx(1.0, abs=0.02)
+    for hist_tuple, (_p, backoff) in arpa.ngrams[0].items():
+        if backoff is None:
+            continue
+        hist = hist_tuple[0]
+        seen = {
+            ng[1]: 10 ** logp
+            for ng, (logp, _) in arpa.ngrams[1].items()
+            if ng[0] == hist
+        }
+        alpha = 10 ** backoff
+        unseen_mass = sum(p for w, p in unigrams.items() if w not in seen)
+        total = sum(seen.values()) + alpha * unseen_mass
+        assert total == pytest.approx(1.0, abs=0.02), hist
+
+
+def test_katz_probabilities_sum_to_one():
+    """Katz backoff: explicit + alpha-weighted backoff mass ~= 1 per
+    history (singleton-rich corpus so Good-Turing bins are populated)."""
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import katz
+
+    table = SymbolTable()
+    sents = (
+        ["a b"] * 3 + ["a c", "b c", "c a", "b a", "c b a", "a b c"]
+    )
+    fst = _sentence_fst(sents, table)
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+    arpa = katz(counts, order=2)
+
+    unigrams = {
+        ng[0]: 10 ** logp
+        for ng, (logp, _b) in arpa.ngrams[0].items()
+        if ng[0] != "<s>"
+    }
+    assert sum(unigrams.values()) == pytest.approx(1.0, abs=0.02)
+    for hist_tuple, (_p, backoff) in arpa.ngrams[0].items():
+        if backoff is None or backoff <= -99.0:
+            continue
+        hist = hist_tuple[0]
+        seen = {
+            ng[1]: 10 ** logp
+            for ng, (logp, _) in arpa.ngrams[1].items()
+            if ng[0] == hist
+        }
+        alpha = 10 ** backoff
+        unseen_mass = sum(p for w, p in unigrams.items() if w not in seen)
+        total = sum(seen.values()) + alpha * unseen_mass
+        assert total == pytest.approx(1.0, abs=0.03), hist
+
+
+def test_katz_discounts_singletons():
+    """Good-Turing shifts mass off singleton bigrams: a once-seen bigram
+    must cost more than its ML estimate, a frequent one stays near ML."""
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import katz
+
+    table = SymbolTable()
+    sents = ["q x"] * 8 + ["q y", "q z", "q w", "y z", "z w", "w y"]
+    fst = _sentence_fst(sents, table)
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+    arpa = katz(counts, order=2)
+
+    p_qx = 10 ** arpa.ngrams[1][("q", "x")][0]  # seen 8x of 11 from q
+    p_qy = 10 ** arpa.ngrams[1][("q", "y")][0]  # singleton
+    ml_qx = 8.0 / 11.0
+    ml_qy = 1.0 / 11.0
+    assert p_qy < ml_qy  # singleton discounted below ML
+    assert p_qx == pytest.approx(ml_qx, rel=0.15)  # big count ~undisturbed
+
+
+def test_all_smoothing_methods_build_decodable_g():
+    """Every ngrammake method produces an ARPA that compiles to a G.fst
+    scoring in-grammar sentences finitely."""
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import arpa_to_fst, make_arpa_from_fst
+    from rhasspy_speech_tpu.pipeline.fuzzy import lm_score
+
+    table = SymbolTable()
+    fst = _sentence_fst(["a b", "a c", "b c a"], table)
+    fst.isymbols = table
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for w, _ in sorted(table, key=lambda kv: kv[1]):
+        if w not in ("<eps>",):
+            words.add(w)
+    words.add("#0")
+    for method in ("witten_bell", "kneser_ney", "absolute", "katz"):
+        arpa = make_arpa_from_fst(fst, order=2, symbols=table, method=method)
+        g = arpa_to_fst(arpa, words)
+        phi = words.find("#0")
+        ids = [words.find(w) for w in ("a", "b")]
+        cost = lm_score(g, ids, phi)
+        assert cost < 50.0, method
