@@ -52,16 +52,23 @@ _BUCKET = 16  # output-frame bucket size for compile caching
 
 
 def read_wav(path: Union[str, Path]) -> np.ndarray:
-    """16 kHz mono 16-bit WAV -> float32 samples (Kaldi int16 range)."""
+    """WAV -> 16 kHz mono float32 samples (Kaldi int16 range).
+
+    16 kHz mono s16le reads directly; other rates/channel counts go
+    through the native runtime's decoder + windowed-sinc resampler (the
+    job the reference delegates to sox, tests/resample.py)."""
     with wave.open(str(path), "rb") as w:
-        if w.getframerate() != 16000 or w.getnchannels() != 1 or w.getsampwidth() != 2:
+        if w.getframerate() == 16000 and w.getnchannels() == 1 and w.getsampwidth() == 2:
+            return np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.int16
+            ).astype(np.float32)
+        if w.getsampwidth() != 2:
             raise ValueError(
-                f"{path}: expected 16kHz mono s16le, got "
-                f"{w.getframerate()}Hz/{w.getnchannels()}ch/{w.getsampwidth() * 8}bit"
+                f"{path}: expected 16-bit PCM, got {w.getsampwidth() * 8}-bit"
             )
-        return np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16).astype(
-            np.float32
-        )
+    from ..native import load_wav
+
+    return load_wav(str(path), target_rate=16000)
 
 
 @dataclass

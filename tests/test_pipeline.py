@@ -666,3 +666,35 @@ def test_real_wavs_through_full_scale_graph(tmp_path):
         for text in texts:
             for tok in text.split():
                 assert tok in vocab, (name, text, tok)
+
+
+def test_transcribe_non_16k_wav_resampled(profile_and_train, tmp_path):
+    """A 22.05 kHz stereo WAV decodes to the right text: read_wav routes
+    through the native decoder + windowed-sinc resampler (the job the
+    reference delegates to sox, tests/resample.py)."""
+    import wave as _wave
+
+    from rhasspy_speech_tpu.native import resample
+    from rhasspy_speech_tpu.pipeline.transcribe import read_wav
+
+    profile, train_dir = profile_and_train
+    pcm16k = synthesize_sentence(profile, "turn on the light", seed=77)
+    pcm22k = resample(pcm16k, 16000, 22050)
+    stereo = np.stack([pcm22k, pcm22k], axis=-1)
+    path = tmp_path / "in22k.wav"
+    with _wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(
+            np.clip(stereo, -32768, 32767).astype("<i2").tobytes()
+        )
+
+    back = read_wav(path)
+    # round-trip 16k -> 22.05k -> 16k keeps length within one frame
+    assert abs(back.shape[0] - pcm16k.shape[0]) < 160
+
+    t = Nnet3WavTranscriber(
+        profile.model_dir, train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    )
+    assert t.transcribe(path) == ["turn on the light"]
