@@ -428,7 +428,7 @@ def viterbi(
             new_alpha, bp = decode_step(graph, alpha, am_t)
             return new_alpha, encode(bp)
 
-        alpha_final, bps = jax.lax.scan(step, alpha0, am_costs, unroll=4)
+        alpha_final, bps = jax.lax.scan(step, alpha0, am_costs, unroll=2)
         return alpha_final, bps
 
     ts = jnp.arange(am_costs.shape[0], dtype=jnp.int32)
@@ -442,7 +442,7 @@ def viterbi(
         return out_alpha, out_bp
 
     alpha_final, bps = jax.lax.scan(
-        step_masked, alpha0, (am_costs, ts), unroll=4
+        step_masked, alpha0, (am_costs, ts), unroll=2
     )
     return alpha_final, bps
 
