@@ -106,6 +106,30 @@ def apply_lda(spliced: jnp.ndarray, params: IvectorParams) -> jnp.ndarray:
     return spliced @ lda.T
 
 
+def splice_lda(feats: jnp.ndarray, params: IvectorParams) -> jnp.ndarray:
+    """Fused splice(+-ctx) -> LDA: one matmul per splice offset, summed.
+
+    Equivalent to apply_lda(splice_frames(feats, ...), params) but the
+    [B, T, D*(l+1+r)] splice concat never materializes — each offset's
+    shifted view multiplies its own D-column block of the LDA matrix
+    (the same per-offset trick as the TdnnComponent forward)."""
+    left, right = params.splice_left, params.splice_right
+    T = feats.shape[1]
+    D = feats.shape[-1]
+    lda = params.lda
+    n_blocks = left + 1 + right
+    has_offset = lda.shape[1] == n_blocks * D + 1
+    out = None
+    for i, off in enumerate(range(-left, right + 1)):
+        idx = np.clip(np.arange(T) + off, 0, T - 1)
+        block = lda[:, i * D : (i + 1) * D].T  # [D, out]
+        y = feats[:, idx] @ block
+        out = y if out is None else out + y
+    if has_offset:
+        out = out + lda[:, n_blocks * D]
+    return out
+
+
 def gmm_log_likes(lda_feats: jnp.ndarray, params: IvectorParams) -> jnp.ndarray:
     """[B, T, D] -> [B, T, I] per-Gaussian log-likelihoods
     (DiagGmm::LogLikelihoods: gconst + m'Sx - 0.5 x'Sx)."""
@@ -210,8 +234,7 @@ def extract_ivectors(
     frame_weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Whole-utterance mode: [B, T, D] base features -> [B, K] ivectors."""
-    spliced = splice_frames(feats, params.splice_left, params.splice_right)
-    lda_feats = apply_lda(spliced, params)
+    lda_feats = splice_lda(feats, params)
     ll = gmm_log_likes(lda_feats, params)
     post = gselect_posteriors(ll, params)
     gamma, X = accumulate_stats(lda_feats, post, lengths, frame_weights)
