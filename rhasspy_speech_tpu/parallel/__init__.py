@@ -5,5 +5,11 @@ from .sharding import (
     shard_streams,
     sharded_decode_fn,
 )
+from .transcriber import ShardedWavTranscriber
 
-__all__ = ["make_stream_mesh", "shard_streams", "sharded_decode_fn"]
+__all__ = [
+    "ShardedWavTranscriber",
+    "make_stream_mesh",
+    "shard_streams",
+    "sharded_decode_fn",
+]

@@ -241,9 +241,17 @@ class AcousticModel:
         on the XLA path with a fresh fold of the instance key per call."""
         pcm = jnp.asarray(pcm_batch)
         # Decide by where the data actually lives, not a config global —
-        # in a mixed CPU/TPU process the two can disagree.
+        # in a mixed CPU/TPU process the two can disagree. Multi-device
+        # (stream-sharded) inputs take the XLA path: the Pallas kernel has
+        # no SPMD partitioning rule, while XLA partitions rfft/matmul ops
+        # over the batch dim for free.
         platform = next(iter(pcm.devices())).platform
-        if platform == "tpu" and self.frontend_config.dither == 0.0:
+        multi_device = len(pcm.sharding.device_set) > 1
+        if (
+            platform == "tpu"
+            and not multi_device
+            and self.frontend_config.dither == 0.0
+        ):
             from ..ops.pallas_mfcc import mfcc_pallas
 
             mfcc = mfcc_pallas(self.frontend_config, pcm, interpret=False)
@@ -430,6 +438,13 @@ class Nnet3WavTranscriber:
 
         self.decode_memory_budget = decode_memory_budget
 
+        # Multi-chip serving (parallel.ShardedWavTranscriber): when set,
+        # batch inputs are placed with this sharding and sub-batches are
+        # rounded to shard multiples so XLA partitions every device program
+        # over the stream mesh.
+        self.input_sharding = None
+        self._shard_count = 1
+
         self.am = AcousticModel(self.model_dir, compute_dtype=compute_dtype)
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None, f"no graph.npz in {graph_dir}"
@@ -530,6 +545,8 @@ class Nnet3WavTranscriber:
         pcm = np.zeros((len(pcm_batch), max_samples), dtype=np.float32)
         for i, p in enumerate(pcm_batch):
             pcm[i, : p.shape[0]] = p
+        if self.input_sharding is not None:
+            pcm = jax.device_put(jnp.asarray(pcm), self.input_sharding)
 
         metrics = get_metrics()
         metrics.add_audio(
@@ -619,6 +636,10 @@ class Nnet3WavTranscriber:
         out: List[List[Tuple[List[int], float]]] = []
         B = len(pcm_batch)
         sub = min(arg, B)
+        if self._shard_count > 1:
+            # sub-batch boundaries must align with shard boundaries, or the
+            # log_probs slices force cross-device resharding gathers
+            sub = min(B, -(-sub // self._shard_count) * self._shard_count)
         lengths_np = np.asarray(lengths)
         pending = []
         with StageTimer("decode", metrics):

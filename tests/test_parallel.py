@@ -73,3 +73,51 @@ def test_sharded_am_forward(mesh):
     plain = np.asarray(f(jnp.asarray(feats)))
     sharded = np.asarray(f(shard_streams(mesh, feats)))
     np.testing.assert_allclose(plain, sharded, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_transcriber_matches_single_chip(mesh, tmp_path):
+    """ShardedWavTranscriber over the 8-CPU mesh returns the same
+    transcripts as the single-device transcriber, including a batch that
+    is not a multiple of the mesh size (padded with empty streams)."""
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.parallel import ShardedWavTranscriber
+    from rhasspy_speech_tpu.pipeline import Nnet3WavTranscriber, lang_dir_name
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+
+    lexicon = {
+        "turn": ["t", "er", "n"],
+        "on": ["aa", "n"],
+        "off": ["ao", "f"],
+        "light": ["l", "ay", "t"],
+        "fan": ["f", "ae", "n"],
+    }
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_model_sync(
+        "en",
+        {
+            "language": "en",
+            "intents": {
+                "M": {"data": [{"sentences": ["turn (on|off) (light|fan)"]}]}
+            },
+        },
+        tmp_path / "train",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang_dir = tmp_path / "train" / lang_dir_name(LangSuffix.GRAMMAR)
+
+    texts = ["turn on light", "turn off fan", "turn on fan"]  # B=3, pads to 8
+    pcms = [synthesize_sentence(profile, t, seed=100 + i) for i, t in enumerate(texts)]
+
+    single = Nnet3WavTranscriber(profile.model_dir, lang_dir)
+    sharded = ShardedWavTranscriber(profile.model_dir, lang_dir, mesh=mesh)
+    assert sharded._shard_count == 8
+
+    want = single.transcribe_pcm_batch(pcms)
+    got = sharded.transcribe_pcm_batch(pcms)
+    assert got == want
+    assert [g[0] if g else None for g in got] == texts
