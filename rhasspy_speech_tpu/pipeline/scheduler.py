@@ -70,6 +70,7 @@ class StreamScheduler:
         pool_capacity_samples: int = 16000 * 60,
         endpointing: Optional["EndpointConfig"] = None,
         silence_weight: Optional[float] = None,
+        mesh=None,
     ):
         self.am = AcousticModel(Path(model_dir))
         self.artifacts = LangArtifacts.load(graph_dir)
@@ -196,6 +197,35 @@ class StreamScheduler:
         self._alpha = jnp.broadcast_to(
             jnp.asarray(self.graph.init_weight)[None, :], (max_streams, S)
         ).copy()
+
+        # Multi-chip lane sharding: persistent per-lane state and per-tick
+        # inputs placed P("streams", ...) so XLA partitions the chunk step
+        # over the mesh (all ops are per-lane; zero collectives).
+        self._lane_spec = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n = int(np.prod(mesh.devices.shape))
+            if max_streams % n:
+                raise ValueError(
+                    f"max_streams={max_streams} must be a multiple of the "
+                    f"mesh size {n}"
+                )
+            axis = mesh.axis_names[0]
+
+            def _lane_spec(a):
+                return NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+
+            self._lane_spec = _lane_spec
+            self._alpha = jax.device_put(self._alpha, _lane_spec(self._alpha))
+            self._iv_gamma = jax.device_put(
+                self._iv_gamma, _lane_spec(self._iv_gamma)
+            )
+            self._iv_X = jax.device_put(self._iv_X, _lane_spec(self._iv_X))
+            self._am_state = {
+                k: jax.device_put(v, _lane_spec(v))
+                for k, v in self._am_state.items()
+            }
         cfg = self.am.frontend_config
         self._frame_len = cfg.frame_length
         self._frame_shift = cfg.frame_shift
@@ -418,10 +448,19 @@ class StreamScheduler:
                 ]
             )
             with StageTimer("stream_chunk", metrics):
+                win_dev = jnp.asarray(windows)
+                nv_dev = jnp.asarray(n_valid)
+                ivw_dev = jnp.asarray(iv_wins)
+                ivs_dev = jnp.asarray(iv_ws)
+                if self._lane_spec is not None:
+                    win_dev = jax.device_put(win_dev, self._lane_spec(win_dev))
+                    nv_dev = jax.device_put(nv_dev, self._lane_spec(nv_dev))
+                    ivw_dev = jax.device_put(ivw_dev, self._lane_spec(ivw_dev))
+                    ivs_dev = jax.device_put(ivs_dev, self._lane_spec(ivs_dev))
                 alpha, bps, gamma, X, am_state = self._batch_chunk(
-                    self._alpha, jnp.asarray(windows), jnp.asarray(n_valid),
+                    self._alpha, win_dev, nv_dev,
                     self._iv_gamma, self._iv_X,
-                    jnp.asarray(iv_wins), jnp.asarray(iv_ws),
+                    ivw_dev, ivs_dev,
                     self._am_state,
                 )
                 self._alpha = alpha

@@ -121,3 +121,62 @@ def test_sharded_transcriber_matches_single_chip(mesh, tmp_path):
     got = sharded.transcribe_pcm_batch(pcms)
     assert got == want
     assert [g[0] if g else None for g in got] == texts
+
+
+def test_sharded_scheduler_matches_unsharded(mesh, tmp_path):
+    """StreamScheduler(mesh=...) over the 8-CPU mesh streams to the same
+    transcripts as the unsharded scheduler."""
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.pipeline import lang_dir_name
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+
+    lexicon = {
+        "turn": ["t", "er", "n"],
+        "on": ["aa", "n"],
+        "off": ["ao", "f"],
+        "light": ["l", "ay", "t"],
+    }
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_model_sync(
+        "en",
+        {
+            "language": "en",
+            "intents": {
+                "M": {"data": [{"sentences": ["turn (on|off) light"]}]}
+            },
+        },
+        tmp_path / "train",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang_dir = tmp_path / "train" / lang_dir_name(LangSuffix.GRAMMAR)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        StreamScheduler(profile.model_dir, lang_dir, max_streams=6, mesh=mesh)
+
+    texts = ["turn on light", "turn off light", "turn on light"]
+    pcms = [synthesize_sentence(profile, t, seed=300 + i) for i, t in enumerate(texts)]
+
+    def run(sched):
+        sids = [sched.open_stream() for _ in texts]
+        for i, sid in enumerate(sids):
+            sched.feed(sid, pcms[i])
+            sched.finish(sid)
+        for _ in range(200):
+            if all(sched.poll(sid) is not None for sid in sids):
+                break
+            sched.step()
+        return [sched.poll(sid) for sid in sids]
+
+    plain = run(StreamScheduler(profile.model_dir, lang_dir, max_streams=8))
+    sharded = run(
+        StreamScheduler(profile.model_dir, lang_dir, max_streams=8, mesh=mesh)
+    )
+    assert sharded == plain == [[t] for t in texts]
