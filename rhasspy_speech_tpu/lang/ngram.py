@@ -246,18 +246,21 @@ def witten_bell(counts: NgramCounts, order: int) -> ArpaModel:
     return model
 
 
-def kneser_ney(
-    counts: NgramCounts, order: int, discount: Optional[float] = None
+def _interpolated_discount_model(
+    counts: NgramCounts,
+    order: int,
+    discount: Optional[float],
+    use_continuation: bool,
 ) -> ArpaModel:
-    """Interpolated Kneser-Ney in backoff ARPA form (the ngrammake
-    --method=kneser_ney alternative the reference's toolchain offers,
-    ngrammake-main.cc:78).
+    """Shared core of kneser_ney / absolute_discounting: subtract-D
+    interpolation in backoff ARPA form over an effective-count table
+    (continuation counts below the top order for KN, raw counts for
+    absolute discounting).
 
-    Highest order uses raw counts; lower orders use continuation (distinct
-    left-context) counts. The interpolated probabilities are stored
-    directly, with backoff weights D*T(h)/denom(h) — the standard
-    "interpolated model in backoff form" every ARPA consumer (including
-    pipeline/fuzzy.lm_score's phi walk) evaluates correctly."""
+    The interpolation weight of a history is sum_s min(c_s, D) / c(h) —
+    equal to the textbook D*T(h)/c(h) when every seen count exceeds D,
+    but still exactly normalizing when counts are fractional and below D
+    (expected counts from a weighted grammar FST routinely are)."""
     by_order: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
     for ngram, count in counts.items():
         if len(ngram) <= order:
@@ -279,45 +282,51 @@ def kneser_ney(
             discount = 0.75
     D = float(discount)
 
-    # Effective counts per level: raw at the top, continuation types below.
+    # Effective counts per level
     eff: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
     eff[order - 1] = dict(by_order[order - 1])
-    for n in range(order - 1, 0, -1):
-        # continuation count of an n-gram = #distinct words preceding it
-        # among the (n+1)-grams
-        cont: Dict[Tuple[str, ...], float] = {}
-        for ngram in by_order[n]:
-            cont[ngram[1:]] = cont.get(ngram[1:], 0.0) + 1.0
-        # n-grams with no observed left extension (e.g. starting with <s>)
-        # keep their raw counts
-        for ngram, c in by_order[n - 1].items():
-            eff[n - 1][ngram] = cont.get(ngram, c if ngram[0] == BOS else 0.0)
-        for ngram, c in cont.items():
-            eff[n - 1].setdefault(ngram, c)
+    if use_continuation:
+        for n in range(order - 1, 0, -1):
+            # continuation count of an n-gram = #distinct words preceding
+            # it among the (n+1)-grams
+            cont: Dict[Tuple[str, ...], float] = {}
+            for ngram in by_order[n]:
+                cont[ngram[1:]] = cont.get(ngram[1:], 0.0) + 1.0
+            # n-grams with no observed left extension (e.g. starting with
+            # <s>) keep their raw counts
+            for ngram, c in by_order[n - 1].items():
+                eff[n - 1][ngram] = cont.get(
+                    ngram, c if ngram[0] == BOS else 0.0
+                )
+            for ngram, c in cont.items():
+                eff[n - 1].setdefault(ngram, c)
+    else:
+        for n in range(order - 1):
+            eff[n] = dict(by_order[n])
 
     probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
 
-    # Unigrams from continuation mass, discounted + interpolated to uniform
+    # Unigrams, discounted + interpolated to uniform
     z = sum(c for ng, c in eff[0].items() if ng[0] != BOS)
-    t0 = sum(1 for ng in eff[0] if ng[0] != BOS)
     z = max(z, 1e-10)
+    lam0 = sum(min(c, D) for ng, c in eff[0].items() if ng[0] != BOS) / z
     for ngram, c in eff[0].items():
         if ngram[0] == BOS:
             continue
-        probs[0][ngram] = max(c - D, 0.0) / z + D * t0 / z * (1.0 / v_size)
+        probs[0][ngram] = max(c - D, 0.0) / z + lam0 * (1.0 / v_size)
 
     for n in range(2, order + 1):
         level = eff[n - 1]
         hist_count: Dict[Tuple[str, ...], float] = {}
-        hist_types: Dict[Tuple[str, ...], int] = {}
+        hist_min: Dict[Tuple[str, ...], float] = {}
         for ngram, c in level.items():
             hist = ngram[:-1]
             hist_count[hist] = hist_count.get(hist, 0.0) + c
-            hist_types[hist] = hist_types.get(hist, 0) + 1
+            hist_min[hist] = hist_min.get(hist, 0.0) + min(c, D)
         for ngram, c in level.items():
             hist = ngram[:-1]
             denom = max(hist_count[hist], 1e-10)
-            lam = D * hist_types[hist] / denom
+            lam = hist_min[hist] / denom
             lower = probs[n - 2].get(ngram[1:], 1.0 / v_size)
             probs[n - 1][ngram] = max(c - D, 0.0) / denom + lam * lower
 
@@ -330,12 +339,11 @@ def kneser_ney(
         level = by_order[n - 1]
         next_eff = eff[n] if n < order else {}
         next_hist_count: Dict[Tuple[str, ...], float] = {}
-        next_hist_types: Dict[Tuple[str, ...], int] = {}
+        next_hist_min: Dict[Tuple[str, ...], float] = {}
         for ngram, c in next_eff.items():
             hist = ngram[:-1]
             next_hist_count[hist] = next_hist_count.get(hist, 0.0) + c
-            next_hist_types[hist] = next_hist_types.get(hist, 0) + 1
-
+            next_hist_min[hist] = next_hist_min.get(hist, 0.0) + min(c, D)
         for ngram in level:
             if n == 1 and ngram[0] == BOS:
                 logp = _LOG10_MIN
@@ -344,14 +352,30 @@ def kneser_ney(
             backoff: Optional[float] = None
             if n < order and (ngram in next_hist_count or ngram[-1] != EOS):
                 c_h = next_hist_count.get(ngram, 0.0)
-                t_h = next_hist_types.get(ngram, 0)
-                if t_h > 0:
-                    backoff = log10_safe(D * t_h / max(c_h, 1e-10))
+                m_h = next_hist_min.get(ngram, 0.0)
+                if m_h > 0:
+                    backoff = log10_safe(m_h / max(c_h, 1e-10))
                 elif ngram[-1] != EOS:
                     backoff = 0.0
             model.ngrams[n - 1][ngram] = (logp, backoff)
 
     return model
+
+
+def kneser_ney(
+    counts: NgramCounts, order: int, discount: Optional[float] = None
+) -> ArpaModel:
+    """Interpolated Kneser-Ney in backoff ARPA form (ngrammake
+    --method=kneser_ney, ngrammake-main.cc:78).
+
+    Highest order uses raw counts; lower orders use continuation (distinct
+    left-context) counts. Interpolated probabilities are stored directly,
+    with mass-exact backoff weights — the "interpolated model in backoff
+    form" every ARPA consumer (including pipeline/fuzzy.lm_score's phi
+    walk) evaluates correctly."""
+    return _interpolated_discount_model(
+        counts, order, discount, use_continuation=True
+    )
 
 
 def absolute_discounting(
@@ -360,79 +384,9 @@ def absolute_discounting(
     """Interpolated absolute discounting (ngrammake --method=absolute,
     ngrammake-main.cc:78): Kneser-Ney's subtract-D-and-interpolate recipe
     applied to RAW counts at every order (no continuation counts)."""
-    by_order: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
-    for ngram, count in counts.items():
-        if len(ngram) <= order:
-            by_order[len(ngram) - 1][ngram] = count
-
-    vocab = {ng[0] for ng in by_order[0]}
-    vocab.discard(BOS)
-    v_size = max(1, len(vocab))
-
-    if discount is None:
-        top = list(by_order[order - 1].values()) or list(by_order[0].values())
-        if top and all(abs(c - round(c)) < 1e-6 for c in top):
-            n1 = sum(1 for c in top if round(c) == 1)
-            n2 = sum(1 for c in top if round(c) == 2)
-            discount = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75
-        else:
-            discount = 0.75
-    D = float(discount)
-
-    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
-    z = sum(c for ng, c in by_order[0].items() if ng[0] != BOS)
-    t0 = sum(1 for ng in by_order[0] if ng[0] != BOS)
-    z = max(z, 1e-10)
-    for ngram, c in by_order[0].items():
-        if ngram[0] == BOS:
-            continue
-        probs[0][ngram] = max(c - D, 0.0) / z + D * t0 / z * (1.0 / v_size)
-
-    for n in range(2, order + 1):
-        level = by_order[n - 1]
-        hist_count: Dict[Tuple[str, ...], float] = {}
-        hist_types: Dict[Tuple[str, ...], int] = {}
-        for ngram, c in level.items():
-            hist = ngram[:-1]
-            hist_count[hist] = hist_count.get(hist, 0.0) + c
-            hist_types[hist] = hist_types.get(hist, 0) + 1
-        for ngram, c in level.items():
-            hist = ngram[:-1]
-            denom = max(hist_count[hist], 1e-10)
-            lam = D * hist_types[hist] / denom
-            lower = probs[n - 2].get(ngram[1:], 1.0 / v_size)
-            probs[n - 1][ngram] = max(c - D, 0.0) / denom + lam * lower
-
-    model = ArpaModel(order=order, ngrams=[dict() for _ in range(order)])
-
-    def log10_safe(p: float) -> float:
-        return math.log10(p) if p > 0 else _LOG10_MIN
-
-    for n in range(1, order + 1):
-        level = by_order[n - 1]
-        next_hist_count: Dict[Tuple[str, ...], float] = {}
-        next_hist_types: Dict[Tuple[str, ...], int] = {}
-        if n < order:
-            for ngram, c in by_order[n].items():
-                hist = ngram[:-1]
-                next_hist_count[hist] = next_hist_count.get(hist, 0.0) + c
-                next_hist_types[hist] = next_hist_types.get(hist, 0) + 1
-        for ngram in level:
-            if n == 1 and ngram[0] == BOS:
-                logp = _LOG10_MIN
-            else:
-                logp = log10_safe(probs[n - 1].get(ngram, 0.0))
-            backoff: Optional[float] = None
-            if n < order and (ngram in next_hist_count or ngram[-1] != EOS):
-                c_h = next_hist_count.get(ngram, 0.0)
-                t_h = next_hist_types.get(ngram, 0)
-                if t_h > 0:
-                    backoff = log10_safe(D * t_h / max(c_h, 1e-10))
-                elif ngram[-1] != EOS:
-                    backoff = 0.0
-            model.ngrams[n - 1][ngram] = (logp, backoff)
-
-    return model
+    return _interpolated_discount_model(
+        counts, order, discount, use_continuation=False
+    )
 
 
 def katz(

@@ -67,6 +67,14 @@ class DeviceGraph:
     def num_arcs(self) -> int:
         return int(self.arc_src.shape[0])
 
+    @property
+    def base(self) -> "DeviceGraph":
+        """Uniform access to the scatter-form tensors: the alternative
+        layouts (Padded/Hybrid) carry a `base` field; on the scatter graph
+        itself it is the identity, so every decode entry point can write
+        `graph.base` for any layout."""
+        return self
+
 
 @dataclass(frozen=True)
 class PaddedDeviceGraph:
@@ -410,7 +418,7 @@ def viterbi(
     Returns (alpha_final [B, S], backptr [T, B, S] int32, or uint16 encoded
     when compact_bp). Jittable; the backtrace runs on host (see
     backtrace_words)."""
-    base = getattr(graph, "base", graph)
+    base = graph.base
     if compact_bp and base.num_arcs > _COMPACT_BP_MAX_ARC:
         raise ValueError(
             f"compact_bp needs <= {_COMPACT_BP_MAX_ARC} arcs, "
@@ -494,7 +502,7 @@ def viterbi_decode(
     masked/dead frames), final_state [B] int32, total_cost [B] f32 = best
     alpha+final, +inf-like NEG_INF if no complete path). Decode words on
     host with trace_to_words."""
-    base = getattr(graph, "base", graph)
+    base = graph.base
     compact = base.num_arcs <= _COMPACT_BP_MAX_ARC
     alpha_final, bps = viterbi(
         graph, log_probs, acoustic_scale, lengths, compact_bp=compact
@@ -605,7 +613,7 @@ def _checkpoint_fns(graph: DeviceGraph, segment: int):
     Everything that varies per call (am costs, lengths, segment index) is
     an argument; jit re-specializes per shape and caches. Accepts any
     decode layout (scatter / padded / hybrid) via decode_step."""
-    base = getattr(graph, "base", graph)
+    base = graph.base
     cache = getattr(graph, "_ckpt_fns", None)
     if cache is None:
         cache = {}
@@ -707,7 +715,7 @@ def viterbi_decode_checkpointed(
     forward_checkpoints, segment_backtrace = _checkpoint_fns(graph, segment)
 
     final_alpha, boundary_alphas = forward_checkpoints(am_costs, lengths)
-    totals = final_alpha + getattr(graph, "base", graph).final_weight[None, :]
+    totals = final_alpha + graph.base.final_weight[None, :]
     final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)
     total_cost = np.asarray(
         jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
@@ -741,7 +749,7 @@ def kbest_step(
     alpha: [B, S, K]; returns (new_alpha [B, S, K],
     bp [B, S, K] int32 = winning flat candidate arc*K + k_prev, or -1).
     Accepts any decode layout (always runs the scatter form)."""
-    graph = getattr(graph, "base", graph)
+    graph = graph.base
     B, S, K = alpha.shape
     A = graph.num_arcs
     # candidate costs for (arc a, prev-rank k): [B, A, K]
@@ -781,7 +789,7 @@ def viterbi_kbest(
     backptr [T, B, S, K] int32 flat ids arc*K + k_prev; STAY for masked
     frames). Any decode layout is accepted; K-best always runs the scatter
     form (its [B, A, K] candidate tensor dwarfs the layout difference)."""
-    graph = getattr(graph, "base", graph)
+    graph = graph.base
     B = log_probs.shape[0]
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)
     alpha0 = jnp.full((B, graph.num_states, k), INF_COST)
@@ -815,7 +823,7 @@ def viterbi_kbest_decode(
     Returns (arc_traces [B, K, T] int32 (STAY/-1 sentinels), seed_states
     [B, K] int32, seed_costs [B, K] f32). Only O(B*K*T) ints leave the chip
     (vs the full [T, B, S, K] backpointer tensor)."""
-    graph = getattr(graph, "base", graph)
+    graph = graph.base
     alpha_final, bps = viterbi_kbest(graph, log_probs, k, acoustic_scale, lengths)
     B = log_probs.shape[0]
     S = graph.num_states

@@ -288,7 +288,7 @@ def forward_backward(
     reach each state having consumed t frames; beta[t] = best cost to
     finish from each state with frames t..T-1 remaining. Any decode layout
     is accepted (the scatter form runs either way)."""
-    graph = getattr(graph, "base", graph)
+    graph = graph.base
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
     return _forward_backward_fn(graph)(am_costs)
 
@@ -303,7 +303,7 @@ def forward_backward_log(
     Returns (alpha [T+1, B, S], beta [T+1, B, S]) as NEGATED log-sums
     (costs), so alpha[t] + beta[t] - total is an arc/state's posterior cost
     (-log occupancy probability)."""
-    graph = getattr(graph, "base", graph)
+    graph = graph.base
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)
     B = log_probs.shape[0]
     S = graph.num_states

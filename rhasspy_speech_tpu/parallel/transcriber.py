@@ -36,7 +36,8 @@ class ShardedWavTranscriber(Nnet3WavTranscriber):
         super().__init__(*args, **kwargs)
         self.mesh = mesh if mesh is not None else make_stream_mesh()
         self._shard_count = int(np.prod(self.mesh.devices.shape))
-        self.input_sharding = NamedSharding(self.mesh, P("streams", None))
+        axis = self.mesh.axis_names[0]
+        self.input_sharding = NamedSharding(self.mesh, P(axis, None))
 
     def _decode_batch(
         self, pcm_batch: List[np.ndarray], nbest: int

@@ -448,15 +448,17 @@ class StreamScheduler:
                 ]
             )
             with StageTimer("stream_chunk", metrics):
-                win_dev = jnp.asarray(windows)
-                nv_dev = jnp.asarray(n_valid)
-                ivw_dev = jnp.asarray(iv_wins)
-                ivs_dev = jnp.asarray(iv_ws)
                 if self._lane_spec is not None:
-                    win_dev = jax.device_put(win_dev, self._lane_spec(win_dev))
-                    nv_dev = jax.device_put(nv_dev, self._lane_spec(nv_dev))
-                    ivw_dev = jax.device_put(ivw_dev, self._lane_spec(ivw_dev))
-                    ivs_dev = jax.device_put(ivs_dev, self._lane_spec(ivs_dev))
+                    # shard host->devices directly: no device-0 staging copy
+                    win_dev = jax.device_put(windows, self._lane_spec(windows))
+                    nv_dev = jax.device_put(n_valid, self._lane_spec(n_valid))
+                    ivw_dev = jax.device_put(iv_wins, self._lane_spec(iv_wins))
+                    ivs_dev = jax.device_put(iv_ws, self._lane_spec(iv_ws))
+                else:
+                    win_dev = jnp.asarray(windows)
+                    nv_dev = jnp.asarray(n_valid)
+                    ivw_dev = jnp.asarray(iv_wins)
+                    ivs_dev = jnp.asarray(iv_ws)
                 alpha, bps, gamma, X, am_state = self._batch_chunk(
                     self._alpha, win_dev, nv_dev,
                     self._iv_gamma, self._iv_X,

@@ -629,60 +629,64 @@ class Nnet3WavTranscriber:
 
         # Exact paths, in sub-batches of `arg` streams (the last sub-batch
         # is padded to keep one compiled shape; pad rows decode 0 frames).
-        # Dispatch EVERY sub-batch's device program first (JAX dispatch is
-        # async), then harvest in order — sub-batch i's host word assembly
-        # overlaps sub-batch i+1's device execution instead of serializing
-        # decode → host tail → decode.
+        # Double-buffered: dispatch sub-batch i+1 (JAX dispatch is async)
+        # BEFORE harvesting sub-batch i, so host word assembly overlaps the
+        # next device execution — bounded at two in-flight programs, since
+        # each one's backpointer tensor is sized to (most of) the decode
+        # memory budget and an unbounded dispatch queue would stack them.
         out: List[List[Tuple[List[int], float]]] = []
         B = len(pcm_batch)
         sub = min(arg, B)
         if self._shard_count > 1:
             # sub-batch boundaries must align with shard boundaries, or the
-            # log_probs slices force cross-device resharding gathers
-            sub = min(B, -(-sub // self._shard_count) * self._shard_count)
+            # log_probs slices force cross-device resharding gathers; round
+            # DOWN so the budget-derived cap is respected (up only when arg
+            # is smaller than one shard's worth)
+            n_sh = self._shard_count
+            sub = min(B, max(n_sh, (sub // n_sh) * n_sh))
         lengths_np = np.asarray(lengths)
-        pending = []
-        with StageTimer("decode", metrics):
-            for start in range(0, B, sub):
-                stop = min(start + sub, B)
-                pad = sub - (stop - start)
-                lp = log_probs[start:stop]
-                lens = lengths_np[start:stop]
-                if pad:
-                    lp = jnp.concatenate(
-                        [lp, jnp.zeros((pad,) + lp.shape[1:], lp.dtype)], axis=0
-                    )
-                    lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
-                lens_dev = jnp.asarray(lens)
 
-                if k != 1:
-                    res = viterbi_kbest_decode(
-                        self.device_graph,
-                        lp,
-                        k=k,
-                        acoustic_scale=self.acoustic_scale,
-                        lengths=lens_dev,
-                    )
-                elif mode == "checkpointed":
-                    # sqrt-remat: no [T, B, S] backpointers resident (its
-                    # segment loop already blocks on host inside)
-                    res = viterbi_decode_checkpointed(
-                        self.device_graph,
-                        lp,
-                        acoustic_scale=self.acoustic_scale,
-                        lengths=lens_dev,
-                    )
-                else:
-                    # 1-best fast path: on-device backtrace
-                    res = viterbi_decode(
-                        self.device_graph,
-                        lp,
-                        acoustic_scale=self.acoustic_scale,
-                        lengths=lens_dev,
-                    )
-                pending.append((start, stop, res))
+        def dispatch(start: int):
+            stop = min(start + sub, B)
+            pad = sub - (stop - start)
+            lp = log_probs[start:stop]
+            lens = lengths_np[start:stop]
+            if pad:
+                lp = jnp.concatenate(
+                    [lp, jnp.zeros((pad,) + lp.shape[1:], lp.dtype)], axis=0
+                )
+                lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+            lens_dev = jnp.asarray(lens)
 
-        for start, stop, res in pending:
+            if k != 1:
+                res = viterbi_kbest_decode(
+                    self.device_graph,
+                    lp,
+                    k=k,
+                    acoustic_scale=self.acoustic_scale,
+                    lengths=lens_dev,
+                )
+            elif mode == "checkpointed":
+                # sqrt-remat: no [T, B, S] backpointers resident (its
+                # segment loop already blocks on host inside)
+                res = viterbi_decode_checkpointed(
+                    self.device_graph,
+                    lp,
+                    acoustic_scale=self.acoustic_scale,
+                    lengths=lens_dev,
+                )
+            else:
+                # 1-best fast path: on-device backtrace
+                res = viterbi_decode(
+                    self.device_graph,
+                    lp,
+                    acoustic_scale=self.acoustic_scale,
+                    lengths=lens_dev,
+                )
+            return start, stop, res
+
+        def harvest(entry) -> None:
+            start, stop, res = entry
             if k == 1:
                 with StageTimer("decode", metrics):
                     trace, fstate, cost = (np.asarray(x) for x in res)
@@ -704,6 +708,16 @@ class Nnet3WavTranscriber:
                         )
                         for i in range(stop - start)
                     )
+
+        prev = None
+        for start in range(0, B, sub):
+            with StageTimer("decode", metrics):
+                cur = dispatch(start)
+            if prev is not None:
+                harvest(prev)
+            prev = cur
+        if prev is not None:
+            harvest(prev)
         return out
 
     def _graph_out_degree(self) -> int:

@@ -549,3 +549,44 @@ def test_all_smoothing_methods_build_decodable_g():
         ids = [words.find(w) for w in ("a", "b")]
         cost = lm_score(g, ids, phi)
         assert cost < 50.0, method
+
+
+def test_fractional_counts_stay_normalized():
+    """Expected counts from a weighted grammar can sit below the discount
+    D; the interpolation weight sum(min(c, D))/c(h) must keep every
+    history's mass at ~1 (the D*T/c formula overshoots to ~3 here)."""
+    import math
+
+    from rhasspy_speech_tpu.fst import SymbolTable
+    from rhasspy_speech_tpu.lang.ngram import absolute_discounting, kneser_ney
+
+    table = SymbolTable()
+    # 4-way alternation: each path weight 0.25 -> fractional counts << 0.75
+    fst = _sentence_fst(["go a", "go b", "go c", "go d"], table)
+    for arcs in fst.arcs:
+        for i, (il, ol, w, ns) in enumerate(arcs):
+            arcs[i] = (il, ol, w + math.log(4.0) / 2, ns)  # spread mass
+    fst.isymbols = table
+    counts = count_ngrams(fst, order=2, symbols=table)
+
+    for builder in (absolute_discounting, kneser_ney):
+        arpa = builder(counts, order=2)
+        unigrams = {
+            ng[0]: 10 ** logp
+            for ng, (logp, _b) in arpa.ngrams[0].items()
+            if ng[0] != "<s>"
+        }
+        assert sum(unigrams.values()) == pytest.approx(1.0, abs=0.05), builder
+        for hist_tuple, (_p, backoff) in arpa.ngrams[0].items():
+            if backoff is None:
+                continue
+            hist = hist_tuple[0]
+            seen = {
+                ng[1]: 10 ** logp
+                for ng, (logp, _) in arpa.ngrams[1].items()
+                if ng[0] == hist
+            }
+            alpha = 10 ** backoff
+            unseen = sum(p for w, p in unigrams.items() if w not in seen)
+            total = sum(seen.values()) + alpha * unseen
+            assert total == pytest.approx(1.0, abs=0.05), (builder, hist)
