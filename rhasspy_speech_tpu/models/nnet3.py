@@ -159,6 +159,96 @@ def _collect_node_refs(desc: Descriptor, out: set) -> None:
         _collect_node_refs(desc[2], out)
 
 
+def collapse_batchnorms(spec: Nnet3Spec) -> Nnet3Spec:
+    """Kaldi CollapseModel equivalent for inference (nnet3/nnet-utils.h
+    CollapseModel; the decode binaries run it at model load,
+    online2-wav-nnet3-latgen-faster.cc:169-171).
+
+    Each BatchNormComponent whose output feeds exactly one linear-family
+    component through a plain node reference is folded into that
+    component's weights (per-time-offset column blocks scaled, the
+    offsets' contribution added to the bias) and deleted — one fewer
+    [B, T, dim] elementwise pass per layer at decode time. BN nodes with
+    multiple consumers, block-wise dims, or non-trivial descriptors are
+    left alone."""
+    import dataclasses as _dc
+
+    nodes = list(spec.nodes)
+    comps = dict(spec.components)
+    linear_types = {
+        "LinearComponent",
+        "TdnnComponent",
+        "AffineComponent",
+        "NaturalGradientAffineComponent",
+        "FixedAffineComponent",
+    }
+    changed = True
+    while changed:
+        changed = False
+        refs: Dict[str, List[int]] = {}
+        for i, n in enumerate(nodes):
+            out: set = set()
+            if n.input is not None:
+                _collect_node_refs(n.input, out)
+            if n.kind == "dim-range":
+                out.add(n.input_node)
+            for name in out:
+                refs.setdefault(name, []).append(i)
+        for i, bn_node in enumerate(nodes):
+            if bn_node.kind != "component":
+                continue
+            comp = comps.get(bn_node.component)
+            if comp is None or comp.type != "BatchNormComponent":
+                continue
+            dim = comp.attrs["Dim"]
+            if comp.attrs.get("BlockDim", dim) != dim:
+                continue
+            users = refs.get(bn_node.name, [])
+            if len(users) != 1:
+                continue
+            c_node = nodes[users[0]]
+            if c_node.kind != "component" or c_node.input != ("node", bn_node.name):
+                continue
+            c_comp = comps[c_node.component]
+            if c_comp.type not in linear_types:
+                continue
+            bn = _extract_params(comp)
+            scale, offset = bn["scale"], bn["offset"]
+            key = "Params" if c_comp.type == "LinearComponent" else "LinearParams"
+            W = np.array(c_comp.attrs[key], dtype=np.float32)  # [out, in_tot]
+            if W.shape[1] % dim != 0:
+                continue
+            extra_b = np.zeros(W.shape[0], np.float32)
+            for blk in range(W.shape[1] // dim):
+                sl = slice(blk * dim, (blk + 1) * dim)
+                extra_b += W[:, sl] @ offset
+                W[:, sl] = W[:, sl] * scale[None, :]
+            attrs = dict(c_comp.attrs)
+            attrs[key] = W
+            old_b = attrs.get("BiasParams")
+            if old_b is not None and getattr(old_b, "shape", (0,))[0]:
+                attrs["BiasParams"] = old_b.astype(np.float32) + extra_b
+            else:
+                attrs["BiasParams"] = extra_b
+            comps[c_node.component] = ComponentSpec(
+                c_comp.name, c_comp.type, attrs
+            )
+            nodes[users[0]] = _dc.replace(c_node, input=bn_node.input)
+            del nodes[i]
+            comps.pop(bn_node.component, None)
+            changed = True
+            break
+    if comps is spec.components and nodes == spec.nodes:
+        return spec
+    return Nnet3Spec(
+        nodes=nodes,
+        components=comps,
+        left_context=spec.left_context,
+        right_context=spec.right_context,
+        priors=spec.priors,
+    )
+
+
 def _component_time_offsets(comp: ComponentSpec) -> List[int]:
     if comp.type == "TdnnComponent":
         return [int(x) for x in comp.attrs["TimeOffsets"]]
@@ -207,7 +297,10 @@ def _extract_params(comp: ComponentSpec) -> Dict[str, np.ndarray]:
              "FixedAffineComponent"):
         return {"w": a["LinearParams"].T.copy(), "b": a["BiasParams"]}
     if t == "LinearComponent":
-        return {"w": a["Params"].T.copy()}
+        out = {"w": a["Params"].T.copy()}
+        if a.get("BiasParams") is not None and np.asarray(a["BiasParams"]).shape[0]:
+            out["b"] = a["BiasParams"]
+        return out
     if t == "TdnnComponent":
         out = {"w": a["LinearParams"].T.copy()}
         if a.get("BiasParams") is not None and a["BiasParams"].shape[0]:
@@ -242,7 +335,8 @@ def _component_forward(
              "FixedAffineComponent"):
         return x @ params["w"] + params["b"]
     if t == "LinearComponent":
-        return x @ params["w"]
+        y = x @ params["w"]
+        return y + params["b"] if "b" in params else y
     if t == "TdnnComponent":
         offs = time_offsets
         span = offs[-1] - offs[0]
@@ -779,13 +873,17 @@ def compile_nnet3(
     subsampling: int = 3,
     output_name: str = "output",
     ivector_period: int = 0,
+    collapse: bool = True,
 ) -> CompiledNnet3:
     """Plan per-node time ranges for a fixed output window.
 
     The plan requests output times {0, sub, ..., sub*(N-1)} and propagates
     required ranges backwards through descriptors and TdnnComponent time
     offsets (Kaldi: nnet-compile.cc ComputeComputationGraph equivalent for
-    the simple-looped case)."""
+    the simple-looped case). collapse=True folds batchnorms into adjacent
+    linear components first (CollapseModel semantics)."""
+    if collapse:
+        spec = collapse_batchnorms(spec)
     node_by_name = {n.name: n for n in spec.nodes}
     if output_name not in node_by_name:
         raise KeyError(f"no output node {output_name!r}")

@@ -463,3 +463,32 @@ def test_bfloat16_compute_dtype(tmp_path):
         # bf16 carries ~8 mantissa bits: relative error ~0.4%
         rel = np.abs(lp16 - lp32) / (np.abs(lp32) + 1.0)
         assert np.median(rel) < 0.01 and rel.max() < 0.1
+
+
+def test_collapse_batchnorms_fold():
+    """CollapseModel semantics (nnet-utils.h CollapseModel, run at load by
+    online2-wav-nnet3-latgen-faster.cc:169-171): single-consumer batchnorms
+    fold into the next linear component — fewer components, same outputs,
+    same context."""
+    from rhasspy_speech_tpu.testing.tdnnf import build_tdnnf_spec
+
+    spec = build_tdnnf_spec(
+        num_pdfs=64, input_dim=8, ivector_dim=4, hidden_dim=32,
+        num_tdnnf_layers=3,
+    )
+    m0 = compile_nnet3(spec, num_out_frames=4, subsampling=3, collapse=False)
+    m1 = compile_nnet3(spec, num_out_frames=4, subsampling=3)
+    assert len(m1.spec.components) < len(m0.spec.components)
+    assert not any(
+        c.type == "BatchNormComponent" for c in m1.spec.components.values()
+    )
+    assert m0.num_input_frames == m1.num_input_frames
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, m0.num_input_frames, 8).astype(np.float32))
+    iv = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(m0.forward(x, iv)),
+        np.asarray(m1.forward(x, iv)),
+        rtol=5e-4, atol=5e-4,
+    )
