@@ -19,11 +19,12 @@ from .pipeline import (
     train_model,
 )
 from .pipeline.stream import Nnet3StreamTranscriber
+from .parallel import ShardedWavTranscriber
 
 # Reference-compatible alias
 KaldiNnet3StreamTranscriber = Nnet3StreamTranscriber
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "KaldiNnet3StreamTranscriber",
@@ -33,6 +34,7 @@ __all__ = [
     "ModelType",
     "Nnet3StreamTranscriber",
     "Nnet3WavTranscriber",
+    "ShardedWavTranscriber",
     "WordCasing",
     "train_model",
     "__version__",
