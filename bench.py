@@ -56,7 +56,7 @@ DTYPE = os.environ.get("BENCH_DTYPE", "")  # "bfloat16" = MXU-native AM
 BATCHES = [
     int(b)
     for b in os.environ.get(
-        "BENCH_BATCHES", "128,256,320,384,416,448,512,1024"
+        "BENCH_BATCHES", "128,256,320,384,512,1024"
     ).split(",")
 ]
 
