@@ -12,7 +12,11 @@ out-degree, padded). Backpointers are [T, B, K] — independent of graph
 size, so arbitrarily large graphs decode in bounded memory.
 
 Exact when K >= the number of simultaneously-reachable states; otherwise a
-beam approximation like Kaldi's max-active.
+beam approximation like Kaldi's max-active. The two dedup strategies
+(dense scatter-min scratch vs lexicographic sort, chosen by scratch size)
+agree exactly in the exact regime; under pruning they may keep different
+equal-cost candidates at the beam boundary — both valid beams, like
+Kaldi's heap ordering.
 
 Performance note (TPU v5e): at dense-feasible graph sizes this path is
 orders of magnitude SLOWER than the dense decoder (XLA gathers and sorts
@@ -32,6 +36,10 @@ import jax.numpy as jnp
 
 from ..graph.dense import NEG_INF_F32, DenseGraph
 from .decoder import INF_COST, STAY, DeviceGraph
+
+# Per-frame dedup scratch cap: [B, S] f32+i32 scatter targets up to ~2 GiB
+# (dense-dedup path); larger graphs/batches fall back to the sort path.
+_DEDUP_SCRATCH_ELEMS = 1 << 28
 
 
 @dataclass(frozen=True)
@@ -91,30 +99,68 @@ def frontier_step(
     flat_dst = dst.reshape(B, -1)
     flat_arc = jnp.where(valid, safe_arcs, -1).reshape(B, -1)
 
-    # lexicographic (dst, cost) ordering via two stable sorts (JAX default
-    # int width is 32, so a packed 64-bit key isn't available)
-    order1 = jnp.argsort(flat_cost, axis=1, stable=True)
-    dst1 = jnp.take_along_axis(flat_dst, order1, axis=1)
-    cost1 = jnp.take_along_axis(flat_cost, order1, axis=1)
-    arc1 = jnp.take_along_axis(flat_arc, order1, axis=1)
-    order2 = jnp.argsort(dst1, axis=1, stable=True)
-    s_dst = jnp.take_along_axis(dst1, order2, axis=1)
-    s_cost = jnp.take_along_axis(cost1, order2, axis=1)
-    s_arc = jnp.take_along_axis(arc1, order2, axis=1)
-    # first occurrence per dst = its min cost
-    first = jnp.concatenate(
-        [
-            jnp.ones((B, 1), dtype=bool),
-            s_dst[:, 1:] != s_dst[:, :-1],
-        ],
-        axis=1,
-    )
-    uniq_cost = jnp.where(first & (s_cost < INF_COST), s_cost, INF_COST)
+    S = base.num_states
+    # Per-destination dedup. Two strategies, chosen by scratch size:
+    #
+    # (a) dense scatter-min dedup: a per-FRAME [B, S] scratch (T times
+    #     smaller than the [T, B, S] backpointers this decoder exists to
+    #     avoid) — two scatter-mins replace the two stable argsorts of the
+    #     sort path, the frontier step's dominant cost;
+    # (b) lexicographic (dst, cost) ordering via two stable sorts (JAX
+    #     default int width is 32, so a packed 64-bit key isn't
+    #     available) when even [B, S] scratch is too large.
+    if B * S <= _DEDUP_SCRATCH_ELEMS:
+        rows = jnp.arange(B)[:, None]
+        clamped_dst = jnp.minimum(flat_dst, S - 1)  # 2**30 pad -> in range
+        pad_mask = flat_dst >= S
+        dense_cost = (
+            jnp.full((B, S), INF_COST).at[rows, clamped_dst].min(
+                jnp.where(pad_mask, INF_COST, flat_cost)
+            )
+        )
+        A = base.num_arcs
+        is_best = (flat_cost <= dense_cost[rows, clamped_dst]) & ~pad_mask
+        cand = jnp.where(is_best, jnp.maximum(flat_arc, 0), A)
+        arc_best = (
+            jnp.full((B, S), A, dtype=jnp.int32)
+            .at[rows, clamped_dst]
+            .min(cand)
+        )
+        # unique winner per destination: the min-arc-id candidate that
+        # achieves the min cost (same tie-break as the dense kernel)
+        winner = (cand == arc_best[rows, clamped_dst]) & (cand < A)
+        uniq_cost = jnp.where(winner, flat_cost, INF_COST)
+        top_cost, top_idx = jax.lax.top_k(-uniq_cost, k)
+        top_cost = -top_cost
+        new_states = jnp.take_along_axis(
+            clamped_dst, top_idx, axis=1
+        ).astype(jnp.int32)
+        new_arcs = jnp.take_along_axis(flat_arc, top_idx, axis=1)
+    else:
+        order1 = jnp.argsort(flat_cost, axis=1, stable=True)
+        dst1 = jnp.take_along_axis(flat_dst, order1, axis=1)
+        cost1 = jnp.take_along_axis(flat_cost, order1, axis=1)
+        arc1 = jnp.take_along_axis(flat_arc, order1, axis=1)
+        order2 = jnp.argsort(dst1, axis=1, stable=True)
+        s_dst = jnp.take_along_axis(dst1, order2, axis=1)
+        s_cost = jnp.take_along_axis(cost1, order2, axis=1)
+        s_arc = jnp.take_along_axis(arc1, order2, axis=1)
+        # first occurrence per dst = its min cost
+        first = jnp.concatenate(
+            [
+                jnp.ones((B, 1), dtype=bool),
+                s_dst[:, 1:] != s_dst[:, :-1],
+            ],
+            axis=1,
+        )
+        uniq_cost = jnp.where(first & (s_cost < INF_COST), s_cost, INF_COST)
 
-    top_cost, top_idx = jax.lax.top_k(-uniq_cost, k)
-    top_cost = -top_cost
-    new_states = jnp.take_along_axis(s_dst, top_idx, axis=1).astype(jnp.int32)
-    new_arcs = jnp.take_along_axis(s_arc, top_idx, axis=1)
+        top_cost, top_idx = jax.lax.top_k(-uniq_cost, k)
+        top_cost = -top_cost
+        new_states = jnp.take_along_axis(s_dst, top_idx, axis=1).astype(
+            jnp.int32
+        )
+        new_arcs = jnp.take_along_axis(s_arc, top_idx, axis=1)
     dead = top_cost >= INF_COST
     new_states = jnp.where(dead, -1, new_states)
     new_arcs = jnp.where(dead, -1, new_arcs)

@@ -105,3 +105,33 @@ def test_topk_on_grammar_graph():
     )
     words, _cost = topk_backtrace(graph, states_t, alphas_t, arcs_t, 0)
     assert [lang.words.find_id(w) for w in words] == ["red", "alert"]
+
+
+def test_dedup_strategies_agree(monkeypatch):
+    """Scatter-min dedup and sort dedup produce identical decodes in the
+    exact regime (K >= reachable states)."""
+    import rhasspy_speech_tpu.ops.frontier as fr
+
+    rng = np.random.RandomState(23)
+    graph = _random_graph(rng, num_states=30, extra_arcs=120)
+    fg = fr.FrontierGraph.from_dense(graph)
+    lp = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(2, 10))).astype(
+            np.float32
+        )
+    )
+    K = graph.num_states  # exact regime
+
+    monkeypatch.setattr(fr, "_DEDUP_SCRATCH_ELEMS", 0)  # force sort path
+    s1, a1, r1 = [np.asarray(x) for x in fr.viterbi_topk(fg, lp, K)]
+    monkeypatch.setattr(fr, "_DEDUP_SCRATCH_ELEMS", 1 << 28)
+    s2, a2, r2 = [np.asarray(x) for x in fr.viterbi_topk(fg, lp, K)]
+
+    # same (state, cost) sets per frame/stream; slot order may differ
+    for t in range(s1.shape[0]):
+        for b in range(s1.shape[1]):
+            m1 = {int(s): float(a) for s, a in zip(s1[t, b], a1[t, b]) if s >= 0}
+            m2 = {int(s): float(a) for s, a in zip(s2[t, b], a2[t, b]) if s >= 0}
+            assert set(m1) == set(m2), (t, b)
+            for st in m1:
+                assert abs(m1[st] - m2[st]) < 1e-4, (t, b, st)
