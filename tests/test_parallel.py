@@ -122,6 +122,12 @@ def test_sharded_transcriber_matches_single_chip(mesh, tmp_path):
     assert got == want
     assert [g[0] if g else None for g in got] == texts
 
+    # n-best (the k-best kernel partitions over the mesh too) + fuzzy
+    want_n = single.transcribe_pcm_batch(pcms, nbest=3, max_fuzzy_cost=2.0)
+    got_n = sharded.transcribe_pcm_batch(pcms, nbest=3, max_fuzzy_cost=2.0)
+    assert got_n == want_n
+    assert [g[0] if g else None for g in got_n] == texts
+
 
 def test_sharded_scheduler_matches_unsharded(mesh, tmp_path):
     """StreamScheduler(mesh=...) over the 8-CPU mesh streams to the same
