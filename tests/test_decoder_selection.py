@@ -152,3 +152,31 @@ def test_huge_graph_decodes_without_dense_backpointers(trained, tmp_path):
     assert t.transcribe_pcm_batch([pcm])[0] == ["turn on the light"]
     nbest = t.transcribe_pcm_batch([pcm], nbest=3)[0]
     assert nbest and nbest[0] == "turn on the light"
+
+
+def test_dense_sub_batching_matches_whole_batch(trained):
+    """A budget that forces dense sub-batches of ~1 stream (the
+    double-buffered dispatch/harvest path) decodes identically to the
+    whole-batch program."""
+    profile, lang_dir = trained
+    whole = Nnet3WavTranscriber(profile.model_dir, lang_dir)
+
+    # big enough for per-stream dense, small enough to split the batch
+    g = whole.artifacts.graph
+    T_guess = 512  # generous frame bound; budget scales with it
+    budget = T_guess * g.num_states * 2 + 1  # ~one stream's u16 bp
+    small = Nnet3WavTranscriber(
+        profile.model_dir, lang_dir, decode_memory_budget=budget
+    )
+
+    texts = ["turn on the light", "turn off light", "turn on light"]
+    pcms = [
+        synthesize_sentence(profile, t, seed=400 + i)
+        for i, t in enumerate(texts)
+    ]
+    want = whole.transcribe_pcm_batch(pcms)
+    got = small.transcribe_pcm_batch(pcms)
+    assert got == want == [[t] for t in texts]
+    got_n = small.transcribe_pcm_batch(pcms, nbest=2)
+    want_n = whole.transcribe_pcm_batch(pcms, nbest=2)
+    assert got_n == want_n
