@@ -160,14 +160,7 @@ def test_dense_sub_batching_matches_whole_batch(trained):
     whole-batch program."""
     profile, lang_dir = trained
     whole = Nnet3WavTranscriber(profile.model_dir, lang_dir)
-
-    # big enough for per-stream dense, small enough to split the batch
     g = whole.artifacts.graph
-    T_guess = 512  # generous frame bound; budget scales with it
-    budget = T_guess * g.num_states * 2 + 1  # ~one stream's u16 bp
-    small = Nnet3WavTranscriber(
-        profile.model_dir, lang_dir, decode_memory_budget=budget
-    )
 
     texts = ["turn on the light", "turn off light", "turn on light"]
     pcms = [
@@ -175,8 +168,38 @@ def test_dense_sub_batching_matches_whole_batch(trained):
         for i, t in enumerate(texts)
     ]
     want = whole.transcribe_pcm_batch(pcms)
-    got = small.transcribe_pcm_batch(pcms)
-    assert got == want == [[t] for t in texts]
-    got_n = small.transcribe_pcm_batch(pcms, nbest=2)
+    assert want == [[t] for t in texts]
+
+    # compute the real per-stream footprints the selector will see, then
+    # pick budgets that keep the dense mode but force sub-batches of 1
+    from rhasspy_speech_tpu.ops.frontend import num_frames
+
+    cfg = whole.am.frontend_config
+    sub = whole.am.subsampling
+    t_out = max(-(-num_frames(cfg, p.shape[0]) // sub) for p in pcms)
+    bucket_out = -(-t_out // 16) * 16
+    per_stream_1best = bucket_out * g.num_states * 2  # u16 bp
+    per_stream_kbest = bucket_out * g.num_states * 2 * 4  # int32, k=2
+
+    small = Nnet3WavTranscriber(
+        profile.model_dir, lang_dir,
+        decode_memory_budget=per_stream_1best + 1,
+    )
+    mode, arg = select_decoder(
+        g.num_states, len(pcms), bucket_out, 1, 7000,
+        per_stream_1best + 1, num_arcs=g.num_arcs,
+    )
+    assert (mode, arg) == ("dense", 1)
+    assert small.transcribe_pcm_batch(pcms) == want
+
+    small_k = Nnet3WavTranscriber(
+        profile.model_dir, lang_dir,
+        decode_memory_budget=per_stream_kbest + 1,
+    )
+    mode, arg = select_decoder(
+        g.num_states, len(pcms), bucket_out, 2, 7000,
+        per_stream_kbest + 1, num_arcs=g.num_arcs,
+    )
+    assert (mode, arg) == ("dense", 1)
     want_n = whole.transcribe_pcm_batch(pcms, nbest=2)
-    assert got_n == want_n
+    assert small_k.transcribe_pcm_batch(pcms, nbest=2) == want_n
