@@ -77,7 +77,7 @@ def main() -> int:
     audio_s = sum(p.shape[0] for p in pcms) / 16000.0
 
     sharded = ShardedWavTranscriber(profile.model_dir, lang_dir, mesh=mesh)
-    sharded.transcribe_pcm_batch(pcms[:1])  # compile
+    sharded.transcribe_pcm_batch(pcms)  # compile at the timed batch shape
     t0 = time.time()
     got = sharded.transcribe_pcm_batch(pcms)
     wall = time.time() - t0

@@ -159,7 +159,9 @@ def _collect_node_refs(desc: Descriptor, out: set) -> None:
         _collect_node_refs(desc[2], out)
 
 
-def collapse_batchnorms(spec: Nnet3Spec) -> Nnet3Spec:
+def collapse_batchnorms(
+    spec: Nnet3Spec, protected: Tuple[str, ...] = ()
+) -> Nnet3Spec:
     """Kaldi CollapseModel equivalent for inference (nnet3/nnet-utils.h
     CollapseModel; the decode binaries run it at model load,
     online2-wav-nnet3-latgen-faster.cc:169-171).
@@ -169,12 +171,14 @@ def collapse_batchnorms(spec: Nnet3Spec) -> Nnet3Spec:
     component's weights (per-time-offset column blocks scaled, the
     offsets' contribution added to the bias) and deleted — one fewer
     [B, T, dim] elementwise pass per layer at decode time. BN nodes with
-    multiple consumers, block-wise dims, or non-trivial descriptors are
-    left alone."""
+    multiple consumers, block-wise dims, non-trivial descriptors, shared
+    components (one ComponentSpec used by several nodes), or names in
+    ``protected`` (e.g. the requested output node) are left alone."""
     import dataclasses as _dc
 
     nodes = list(spec.nodes)
     comps = dict(spec.components)
+    did_fold = False
     linear_types = {
         "LinearComponent",
         "TdnnComponent",
@@ -194,11 +198,19 @@ def collapse_batchnorms(spec: Nnet3Spec) -> Nnet3Spec:
                 out.add(n.input_node)
             for name in out:
                 refs.setdefault(name, []).append(i)
+        comp_uses: Dict[str, int] = {}
+        for n in nodes:
+            if n.kind == "component":
+                comp_uses[n.component] = comp_uses.get(n.component, 0) + 1
         for i, bn_node in enumerate(nodes):
-            if bn_node.kind != "component":
+            if bn_node.kind != "component" or bn_node.name in protected:
                 continue
             comp = comps.get(bn_node.component)
             if comp is None or comp.type != "BatchNormComponent":
+                continue
+            # a component shared by several nodes can't be folded (the
+            # rewrite would corrupt the other nodes' outputs)
+            if comp_uses.get(bn_node.component, 0) != 1:
                 continue
             dim = comp.attrs["Dim"]
             if comp.attrs.get("BlockDim", dim) != dim:
@@ -211,6 +223,8 @@ def collapse_batchnorms(spec: Nnet3Spec) -> Nnet3Spec:
                 continue
             c_comp = comps[c_node.component]
             if c_comp.type not in linear_types:
+                continue
+            if comp_uses.get(c_node.component, 0) != 1:
                 continue
             bn = _extract_params(comp)
             scale, offset = bn["scale"], bn["offset"]
@@ -237,8 +251,9 @@ def collapse_batchnorms(spec: Nnet3Spec) -> Nnet3Spec:
             del nodes[i]
             comps.pop(bn_node.component, None)
             changed = True
+            did_fold = True
             break
-    if comps is spec.components and nodes == spec.nodes:
+    if not did_fold:
         return spec
     return Nnet3Spec(
         nodes=nodes,
@@ -883,7 +898,7 @@ def compile_nnet3(
     the simple-looped case). collapse=True folds batchnorms into adjacent
     linear components first (CollapseModel semantics)."""
     if collapse:
-        spec = collapse_batchnorms(spec)
+        spec = collapse_batchnorms(spec, protected=(output_name,))
     node_by_name = {n.name: n for n in spec.nodes}
     if output_name not in node_by_name:
         raise KeyError(f"no output node {output_name!r}")

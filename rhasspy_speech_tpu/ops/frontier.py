@@ -37,9 +37,12 @@ import jax.numpy as jnp
 from ..graph.dense import NEG_INF_F32, DenseGraph
 from .decoder import INF_COST, STAY, DeviceGraph
 
-# Per-frame dedup scratch cap: [B, S] f32+i32 scatter targets up to ~2 GiB
-# (dense-dedup path); larger graphs/batches fall back to the sort path.
-_DEDUP_SCRATCH_ELEMS = 1 << 28
+# Default per-frame dedup scratch cap in BYTES ([B, S] f32+i32 scatter
+# targets for the dense-dedup path); larger graphs/batches fall back to
+# the sort path. Callers with a decode memory budget pass it through
+# (scratch_bytes), so the frontier never out-allocates the budget that
+# routed decoding to it in the first place.
+DEFAULT_DEDUP_SCRATCH_BYTES = 2 << 30
 
 
 @dataclass(frozen=True)
@@ -74,6 +77,7 @@ def frontier_step(
     alpha: jnp.ndarray,  # [B, K] f32
     am_cost: jnp.ndarray,  # [B, P]
     k: int,
+    scratch_bytes: int = DEFAULT_DEDUP_SCRATCH_BYTES,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frame: returns (new_states [B,K], new_alpha [B,K], arcs [B,K])."""
     base = graph.base
@@ -109,7 +113,7 @@ def frontier_step(
     # (b) lexicographic (dst, cost) ordering via two stable sorts (JAX
     #     default int width is 32, so a packed 64-bit key isn't
     #     available) when even [B, S] scratch is too large.
-    if B * S <= _DEDUP_SCRATCH_ELEMS:
+    if B * S * 8 <= scratch_bytes:  # f32 + i32 scratch
         rows = jnp.arange(B)[:, None]
         clamped_dst = jnp.minimum(flat_dst, S - 1)  # 2**30 pad -> in range
         pad_mask = flat_dst >= S
@@ -173,6 +177,7 @@ def viterbi_topk(
     k: int,
     acoustic_scale: float = 1.0,
     lengths: Optional[jnp.ndarray] = None,
+    scratch_bytes: int = DEFAULT_DEDUP_SCRATCH_BYTES,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sparse-frontier decode over [B, T, P] log-probs.
 
@@ -202,7 +207,7 @@ def viterbi_topk(
         def step(carry, am_t):
             states, alpha = carry
             new_states, new_alpha, arcs = frontier_step(
-                graph, states, alpha, am_t, k
+                graph, states, alpha, am_t, k, scratch_bytes
             )
             return (new_states, new_alpha), (new_states, new_alpha, arcs)
 
@@ -217,7 +222,7 @@ def viterbi_topk(
         am_t, t = xs
         states, alpha = carry
         new_states, new_alpha, arcs = frontier_step(
-            graph, states, alpha, am_t, k
+            graph, states, alpha, am_t, k, scratch_bytes
         )
         active = (t < lengths)[:, None]  # [B, 1]
         out_states = jnp.where(active, new_states, states)
@@ -328,12 +333,14 @@ def viterbi_topk_cached(
     k: int,
     acoustic_scale: float = 1.0,
     lengths: Optional[jnp.ndarray] = None,
+    scratch_bytes: int = DEFAULT_DEDUP_SCRATCH_BYTES,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """viterbi_topk through a compiled function cached on the graph object.
 
     The raw function rebuilds its scan closures per call, which recompiles
     on every decode — ruinous through a remote-compile tunnel. The cache
-    key is (k, acoustic_scale); jit re-specializes per input shape."""
+    key is (k, acoustic_scale, scratch_bytes); jit re-specializes per
+    input shape."""
     B, T, _P = log_probs.shape
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -342,11 +349,13 @@ def viterbi_topk_cached(
     if cache is None:
         cache = {}
         object.__setattr__(graph, "_topk_fns", cache)
-    key = (int(k), float(acoustic_scale))
+    key = (int(k), float(acoustic_scale), int(scratch_bytes))
     fn = cache.get(key)
     if fn is None:
         fn = jax.jit(
-            lambda lp, lens: viterbi_topk(graph, lp, k, acoustic_scale, lens)
+            lambda lp, lens: viterbi_topk(
+                graph, lp, k, acoustic_scale, lens, scratch_bytes
+            )
         )
         cache[key] = fn
     return fn(log_probs, lengths)

@@ -615,6 +615,7 @@ class Nnet3WavTranscriber:
                     arg,
                     acoustic_scale=self.acoustic_scale,
                     lengths=lengths,
+                    scratch_bytes=self.decode_memory_budget,
                 )
                 states_t = np.asarray(states_t)
                 alphas_t = np.asarray(alphas_t)

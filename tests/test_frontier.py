@@ -122,9 +122,9 @@ def test_dedup_strategies_agree(monkeypatch):
     )
     K = graph.num_states  # exact regime
 
-    monkeypatch.setattr(fr, "_DEDUP_SCRATCH_ELEMS", 0)  # force sort path
+    monkeypatch.setattr(fr, "DEFAULT_DEDUP_SCRATCH_BYTES", 0)  # force sort path
     s1, a1, r1 = [np.asarray(x) for x in fr.viterbi_topk(fg, lp, K)]
-    monkeypatch.setattr(fr, "_DEDUP_SCRATCH_ELEMS", 1 << 28)
+    monkeypatch.setattr(fr, "DEFAULT_DEDUP_SCRATCH_BYTES", 2 << 30)
     s2, a2, r2 = [np.asarray(x) for x in fr.viterbi_topk(fg, lp, K)]
 
     # same (state, cost) sets per frame/stream; slot order may differ

@@ -492,3 +492,72 @@ def test_collapse_batchnorms_fold():
         np.asarray(m1.forward(x, iv)),
         rtol=5e-4, atol=5e-4,
     )
+
+
+def test_collapse_skips_shared_components():
+    """nnet3 allows one ComponentSpec to back several nodes; folding such
+    a batchnorm would corrupt (or orphan) the other node — collapse must
+    leave shared components alone and still compile."""
+    from rhasspy_speech_tpu.io import ComponentSpec, NodeSpec, Nnet3Spec, parse_descriptor
+    from rhasspy_speech_tpu.models.nnet3 import collapse_batchnorms
+
+    rng = np.random.RandomState(9)
+    D = 6
+    comps = {
+        "aff": ComponentSpec(
+            "aff", "FixedAffineComponent",
+            {"LinearParams": rng.randn(D, D).astype(np.float32),
+             "BiasParams": rng.randn(D).astype(np.float32)},
+        ),
+        "bn": ComponentSpec(
+            "bn", "BatchNormComponent",
+            {"Dim": D, "BlockDim": D, "Epsilon": 1e-3, "TargetRms": 1.0,
+             "StatsMean": rng.randn(D).astype(np.float32),
+             "StatsVar": (1.0 + rng.rand(D)).astype(np.float32),
+             "Count": 10.0},
+        ),
+        "lin": ComponentSpec(
+            "lin", "LinearComponent",
+            {"Params": rng.randn(D, D).astype(np.float32)},
+        ),
+    }
+    nodes = [
+        NodeSpec(kind="input", name="input", dim=D),
+        NodeSpec(kind="component", name="a", component="aff",
+                 input=parse_descriptor("input")),
+        NodeSpec(kind="component", name="bn_a", component="bn",
+                 input=parse_descriptor("a")),
+        NodeSpec(kind="component", name="bn_b", component="bn",
+                 input=parse_descriptor("input")),
+        NodeSpec(kind="component", name="l", component="lin",
+                 input=parse_descriptor("bn_a")),
+        NodeSpec(kind="output", name="output",
+                 input=parse_descriptor("Sum(l, bn_b)")),
+    ]
+    spec = Nnet3Spec(nodes=nodes, components=comps)
+    folded = collapse_batchnorms(spec)
+    assert folded is spec  # shared 'bn' component: nothing foldable
+
+    m = compile_nnet3(spec, num_out_frames=3, subsampling=1)
+    x = jnp.asarray(rng.randn(2, m.num_input_frames, D).astype(np.float32))
+    out = m.forward(x)
+    assert out.shape == (2, 3, D)
+
+
+def test_collapse_protects_output_name():
+    """Requesting an internal batchnorm node as the output must not let
+    collapse delete it."""
+    from rhasspy_speech_tpu.testing.tdnnf import build_tdnnf_spec
+
+    spec = build_tdnnf_spec(
+        num_pdfs=32, input_dim=8, ivector_dim=0, hidden_dim=16,
+        num_tdnnf_layers=2,
+    )
+    bn_names = [n.name for n in spec.nodes if n.name.endswith(".batchnorm")]
+    assert bn_names
+    m = compile_nnet3(
+        spec, num_out_frames=2, subsampling=3, output_name=bn_names[0]
+    )
+    x = np.random.RandomState(1).randn(1, m.num_input_frames, 8).astype(np.float32)
+    out = m.forward(jnp.asarray(x))
+    assert out.shape[0] == 1
