@@ -496,8 +496,15 @@ def katz(
                     probs[n - 1].get(s[1:], 1.0 / v_size) for s in seen
                 )
                 num = max(0.0, 1.0 - p_seen)
-                den = max(1e-10, 1.0 - lower_seen)
-                backoff = log10_safe(num / den) if num > 0 else _LOG10_MIN
+                den = 1.0 - lower_seen
+                # Fractional expected counts can push lower_seen to/past 1.0;
+                # the lower order then has no leftover mass, so emit "no
+                # backoff" instead of dividing by an epsilon floor (which
+                # would produce an absurd positive backoff weight).
+                if num <= 0 or den <= 1e-10:
+                    backoff = _LOG10_MIN
+                else:
+                    backoff = log10_safe(num / den)
             model.ngrams[n - 1][ngram] = (logp, backoff)
 
     return model

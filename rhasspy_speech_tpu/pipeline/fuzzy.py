@@ -57,11 +57,15 @@ def get_fuzzy_text(
         return None
     nbest_fst = nbest_to_fst(nbest)
     # Serving-path amortization: index the (big) fuzzy FST once per object,
-    # not once per utterance.
-    index = getattr(g_fuzzy, "_rstpu_ilabel_index", None)
-    if index is None or len(index) != g_fuzzy.num_states:
+    # not once per utterance. Keyed on (num_states, num_arcs) so in-place
+    # arc mutations invalidate the cache, not just added states.
+    num_arcs = sum(len(a) for a in g_fuzzy.arcs)
+    cached = getattr(g_fuzzy, "_rstpu_ilabel_index", None)
+    if cached is not None and cached[0] == (g_fuzzy.num_states, num_arcs):
+        index = cached[1]
+    else:
         index = ilabel_index(g_fuzzy)
-        g_fuzzy._rstpu_ilabel_index = index
+        g_fuzzy._rstpu_ilabel_index = ((g_fuzzy.num_states, num_arcs), index)
     composed = compose(nbest_fst, g_fuzzy, fst2_index=index)
     best = shortest_path(composed, nshortest=1)
     if best.start < 0 or best.num_states == 0:

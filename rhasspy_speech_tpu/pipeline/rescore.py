@@ -39,28 +39,38 @@ def remap_symbols(
 ) -> Fst:
     """Relabel ``fst`` so ids under ``old_table`` become ids of the same
     symbol under ``new_table``. No-op when either table is missing or they
-    assign identical ids. Symbols absent from ``new_table`` are dropped to
-    epsilon (with a warning)."""
+    assign identical ids. Arcs whose symbol is absent from ``new_table``
+    are REMOVED (with a warning): eliding the phone would let a hypothesis
+    match a wrong word with that phone silently deleted, so the path must
+    die instead."""
     if old_table is None or new_table is None:
         return fst
 
     mapping = {}
-    missing = []
+    missing_names = []
+    missing_ids = set()
     for name, old_id in old_table:
         if old_id == 0:
             continue
         new_id = new_table.find(name)
         if new_id is None:
-            missing.append(name)
-            new_id = EPS_ID
-        if new_id != old_id:
+            missing_names.append(name)
+            missing_ids.add(old_id)
+        elif new_id != old_id:
             mapping[old_id] = new_id
-    if missing:
+    if missing_names:
         _LOGGER.warning(
-            "%d symbols missing from the target table (mapped to eps): %s",
-            len(missing),
-            missing[:8],
+            "%d symbols missing from the target table (arcs dropped): %s",
+            len(missing_names),
+            missing_names[:8],
         )
+        check = (0,) if side == "input" else (1,) if side == "output" else (0, 1)
+        for state_arcs in fst.arcs:
+            state_arcs[:] = [
+                arc
+                for arc in state_arcs
+                if not any(arc[idx] in missing_ids for idx in check)
+            ]
     if not mapping:
         return fst
     return fst.relabel(

@@ -358,6 +358,7 @@ def select_decoder(
     segment: int = 32,
     out_degree: Optional[int] = None,
     num_arcs: Optional[int] = None,
+    min_sub_batch: int = 1,
 ) -> Tuple[str, int]:
     """Pick the decode kernel from the backpointer footprint (bytes).
 
@@ -367,7 +368,9 @@ def select_decoder(
       that size so [T, sub_batch, S, k] backpointers fit the budget
       (sub_batch == batch when everything fits at once). 1-best graphs
       with <= 65533 arcs store uint16 backpointers (2 bytes/element), so
-      pass ``num_arcs`` when known — it doubles the feasible sub-batch;
+      pass ``num_arcs`` when known — it doubles the feasible sub-batch.
+      For k > 1 the per-frame [B, num_arcs, k] candidate tensor of
+      viterbi_kbest is charged against the budget too;
     - ("checkpointed", sub_batch): 1-best graphs whose [T, 1, S] tensor
       alone busts the budget — sqrt-rematerialized backtrace, still
       exact, boundary alphas + one segment resident, sub-batched too;
@@ -377,21 +380,34 @@ def select_decoder(
       clamped so both the [T, B, K] trellis triple and the per-frame
       [B, K, out_degree] expansion fit the budget (a max_active the
       memory cannot honor is a beam, not a promise).
+
+    ``min_sub_batch`` is the smallest sub-batch the caller can dispatch
+    (one shard's worth of streams on a mesh); a mode is feasible only if
+    that many streams fit the budget at once, so forced shard-multiple
+    rounding can never exceed it.
     """
     from ..ops.decoder import _COMPACT_BP_MAX_ARC
 
+    min_sub = max(1, min(min_sub_batch, batch))
     bp_bytes = (
         2
         if k == 1 and num_arcs is not None and num_arcs <= _COMPACT_BP_MAX_ARC
         else 4
     )
     per_stream_dense = frames * num_states * k * bp_bytes
-    if per_stream_dense <= budget:
-        return "dense", max(1, min(batch, budget // per_stream_dense))
+    if k > 1 and num_arcs is not None:
+        # viterbi_kbest's per-frame [B, A, k] f32 candidates live alongside
+        # the backpointers; arc-heavy graphs can pass the bp test yet OOM
+        # in the k-best kernel without this term.
+        per_stream_dense += num_arcs * k * 4
+    if per_stream_dense * min_sub <= budget:
+        return "dense", max(min_sub, min(batch, budget // per_stream_dense))
     n_seg = -(-frames // segment)
     per_stream_ckpt = (n_seg + segment) * num_states * 4  # f32 alphas
-    if k == 1 and per_stream_ckpt <= budget:
-        return "checkpointed", max(1, min(batch, budget // per_stream_ckpt))
+    if k == 1 and per_stream_ckpt * min_sub <= budget:
+        return "checkpointed", max(
+            min_sub, min(batch, budget // per_stream_ckpt)
+        )
     k_mem = budget // max(1, frames * batch * 3 * 4)
     if out_degree:
         k_mem = min(k_mem, budget // max(1, batch * out_degree * 4))
@@ -591,6 +607,7 @@ class Nnet3WavTranscriber:
             self.decode_memory_budget,
             out_degree=self._graph_out_degree(),
             num_arcs=graph.num_arcs,
+            min_sub_batch=self._shard_count,
         )
         if mode != "dense" or arg < len(pcm_batch):
             _LOGGER.debug(
@@ -641,8 +658,9 @@ class Nnet3WavTranscriber:
         if self._shard_count > 1:
             # sub-batch boundaries must align with shard boundaries, or the
             # log_probs slices force cross-device resharding gathers; round
-            # DOWN so the budget-derived cap is respected (up only when arg
-            # is smaller than one shard's worth)
+            # DOWN so the budget-derived cap is respected (select_decoder's
+            # min_sub_batch guarantees one shard's worth fits the budget,
+            # so the max(n_sh, ...) floor cannot exceed it)
             n_sh = self._shard_count
             sub = min(B, max(n_sh, (sub // n_sh) * n_sh))
         lengths_np = np.asarray(lengths)

@@ -39,9 +39,19 @@ def test_select_decoder_thresholds():
     # A graph small enough for uint16 backpointers fits twice the streams
     mode, sub2 = select_decoder(20_000, 4096, 100, 1, 7000, num_arcs=60_000)
     assert mode == "dense" and sub2 == DEFAULT_DECODE_BUDGET // (100 * 20_000 * 2)
-    # ... but only for 1-best (k-best backpointers stay int32)
+    # ... but only for 1-best (k-best backpointers stay int32, and the
+    # per-frame [B, A, k] candidate tensor is charged per stream too)
     mode, sub3 = select_decoder(20_000, 4096, 100, 2, 7000, num_arcs=60_000)
-    assert mode == "dense" and sub3 == sub // 2
+    assert mode == "dense"
+    assert sub3 == DEFAULT_DECODE_BUDGET // (100 * 20_000 * 2 * 4 + 60_000 * 2 * 4)
+    # An arc-heavy graph that passes the bp test alone must not pass k-best:
+    # [B, A, k] candidates dominate and shrink the sub-batch accordingly
+    mode, sub4 = select_decoder(
+        2_000, 64, 100, 4, 7000, budget=1 << 24, num_arcs=500_000
+    )
+    assert mode == "dense"
+    assert sub4 == (1 << 24) // (100 * 2_000 * 4 * 4 + 500_000 * 4 * 4)
+    assert sub4 == 1
     # Per-stream dense footprint over budget, 1-best: checkpointed
     mode, sub = select_decoder(300_000, 2, 10_000, 1, 7000)
     assert mode == "checkpointed" and sub >= 1
@@ -59,6 +69,28 @@ def test_select_decoder_thresholds():
         out_degree=1000,
     )
     assert mode == "frontier" and k == (1 << 20) // (64 * 1000 * 4) == 4
+
+
+def test_select_decoder_min_sub_batch():
+    # One shard's worth of streams must fit the budget at once, or the
+    # forced shard-multiple rounding would exceed it: with min_sub_batch=8
+    # the dense plan that fits only 2 streams falls through to checkpointed
+    per_stream_dense = 100 * 20_000 * 4  # uint16 needs num_arcs; this is i32
+    budget = 30_000_000  # fits 3 dense streams, or 10 checkpointed
+    mode, sub = select_decoder(20_000, 64, 100, 1, 7000, budget=budget)
+    assert (mode, sub) == ("dense", budget // per_stream_dense)
+    mode, sub = select_decoder(
+        20_000, 64, 100, 1, 7000, budget=budget, min_sub_batch=8
+    )
+    assert mode == "checkpointed" and sub >= 8
+    # ... and checkpointed falls through to frontier the same way
+    n_seg = -(-100 // 32)
+    per_stream_ckpt = (n_seg + 32) * 20_000 * 4
+    budget2 = per_stream_ckpt * 2
+    mode, _ = select_decoder(
+        20_000, 64, 10_000, 1, 7000, budget=budget2, min_sub_batch=8
+    )
+    assert mode == "frontier"
 
 
 @pytest.fixture(scope="module")
@@ -179,7 +211,8 @@ def test_dense_sub_batching_matches_whole_batch(trained):
     t_out = max(-(-num_frames(cfg, p.shape[0]) // sub) for p in pcms)
     bucket_out = -(-t_out // 16) * 16
     per_stream_1best = bucket_out * g.num_states * 2  # u16 bp
-    per_stream_kbest = bucket_out * g.num_states * 2 * 4  # int32, k=2
+    # int32 bp, k=2, plus the per-frame [B, A, k] candidate charge
+    per_stream_kbest = bucket_out * g.num_states * 2 * 4 + g.num_arcs * 2 * 4
 
     small = Nnet3WavTranscriber(
         profile.model_dir, lang_dir,

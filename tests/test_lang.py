@@ -505,6 +505,28 @@ def test_katz_probabilities_sum_to_one():
         assert total == pytest.approx(1.0, abs=0.03), hist
 
 
+def test_katz_backoff_never_positive_when_lower_mass_covered():
+    """With fractional expected counts, sum of lower-order probs over the
+    seen continuations can reach/exceed 1.0; the backoff weight must then
+    be 'no backoff mass' (very negative), never a positive log10 weight
+    from dividing by an epsilon-floored denominator."""
+    from rhasspy_speech_tpu.lang.ngram import katz
+
+    # One history whose single continuation carries all unigram mass:
+    # lower_seen == P_uni(b) ~ 1.0 after leftover spreading.
+    counts = {
+        ("<s>",): 2.0,
+        ("b",): 2.0,
+        ("</s>",): 2.0,
+        ("<s>", "b"): 2.0,
+        ("b", "</s>"): 2.0,
+    }
+    arpa = katz(counts, order=2)
+    for _ng, (_logp, backoff) in arpa.ngrams[0].items():
+        if backoff is not None:
+            assert backoff <= 0.0
+
+
 def test_katz_discounts_singletons():
     """Good-Turing shifts mass off singleton bigrams: a once-seen bigram
     must cost more than its ML estimate, a frequent one stays near ML."""

@@ -71,6 +71,37 @@ def test_make_ldet_maps_homophone_phones_to_both_words():
     assert texts == {"red", "read"}
 
 
+def test_remap_symbols_drops_unmappable_arcs():
+    """Phones with no counterpart in the target table must KILL the path,
+    not be elided to epsilon — an elided phone would let a hypothesis
+    match a wrong (shorter) word during the Ldet composition."""
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+    from rhasspy_speech_tpu.pipeline.rescore import remap_symbols
+
+    old = SymbolTable()
+    new = SymbolTable()
+    for name in ("<eps>", "a", "b", "c"):
+        old.add(name)
+    for name in ("<eps>", "b", "a"):  # 'c' missing; a/b ids swapped
+        new.add(name)
+
+    fst = Fst()
+    s0, s1, s2 = (fst.add_state() for _ in range(3))
+    fst.start = s0
+    fst.set_final(s2, 0.0)
+    a, b, c = old.find("a"), old.find("b"), old.find("c")
+    fst.add_arc(s0, a, a, 0.0, s1)  # survives, remapped
+    fst.add_arc(s1, b, b, 0.0, s2)  # survives, remapped
+    fst.add_arc(s0, c, c, 0.0, s2)  # unmappable: must be dropped
+
+    out = remap_symbols(fst, old, new, "both")
+    labels = {arc[0] for arcs in out.arcs for arc in arcs}
+    assert labels == {new.find("a"), new.find("b")}
+    # The c-arc is gone entirely (not an epsilon arc)
+    assert all(arc[0] != 0 and arc[1] != 0 for arcs in out.arcs for arc in arcs)
+    assert sum(len(arcs) for arcs in out.arcs) == 2
+
+
 @pytest.fixture(scope="module")
 def rescore_setup(tmp_path_factory):
     root = tmp_path_factory.mktemp("rescore_oov")
