@@ -155,6 +155,130 @@ def build_ivector_params(num_ceps: int):
     return make_ivector_params(dubm, extractor, lda, cfg)
 
 
+def streaming_bench(graph, g_fuzzy, lang, lanes_list):
+    """Drive the REAL StreamScheduler (the product's serving shape) at the
+    flagship config: chunked PCM arrival, i-vector stat carry, admissions/
+    retirements, fuzzy tail. Reference shape: online2-cli-nnet3-decode-faster
+    reading chunks from a pipe (online2-cli-nnet3-decode-faster.cc:139-153).
+
+    Each tick advances every active lane one decode chunk (21 input frames
+    = 0.21 s audio); per-chunk RTF = tick_wall / 0.21. Lanes finish a
+    SECONDS-long utterance every ~14 ticks (staggered), then are finished,
+    polled, closed, and reopened — the full lifecycle is in the loop.
+    """
+    import shutil
+    import tempfile
+
+    from rhasspy_speech_tpu.pipeline.artifacts import LangArtifacts
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.testing.flagship import write_flagship_model_dir
+
+    workdir = tempfile.mkdtemp(prefix="rstpu_bench_")
+    try:
+        max_phone = max(
+            pid
+            for (p, pid) in lang.phones
+            if pid != 0 and not p.startswith("#")
+        )
+        model_dir = write_flagship_model_dir(
+            os.path.join(workdir, "model"),
+            num_pdfs=graph.num_pdfs,
+            max_phone=max_phone,
+            hidden_dim=HIDDEN,
+            num_tdnnf_layers=LAYERS,
+            ivector_dim=IVEC_DIM,
+            ubm_gauss=UBM_GAUSS,
+        )
+        graph_dir = os.path.join(workdir, "graph")
+        LangArtifacts(
+            words=lang.words, g_fuzzy=g_fuzzy, graph=graph, phones=lang.phones
+        ).save(graph_dir)
+
+        CHUNK = 21 * 160  # one decode chunk of audio (0.21 s)
+        chunk_sec = CHUNK / 16000.0
+        utt_ticks = max(2, int(round(SECONDS * 16000 / CHUNK)))
+        rng = np.random.RandomState(1)
+        pcm_pool = [
+            (1000.0 * rng.randn(CHUNK)).astype(np.float32) for _ in range(16)
+        ]
+
+        points = []
+        for lanes in lanes_list:
+            try:
+                sched = StreamScheduler(
+                    model_dir, graph_dir, max_streams=lanes,
+                    max_fuzzy_cost=1.0,
+                    pool_capacity_samples=int(16000 * (SECONDS + 2)),
+                )
+                remaining = np.zeros(lanes, dtype=np.int64)
+                for sid_expect in range(lanes):
+                    sid = sched.open_stream()
+                    assert sid >= 0
+                    # stagger retirements across the utterance length
+                    remaining[sid] = utt_ticks - (sid % utt_ticks)
+                    sched.feed(sid, pcm_pool[sid % len(pcm_pool)])
+                    sched.feed(sid, pcm_pool[(sid + 1) % len(pcm_pool)])
+
+                completed = 0
+
+                def tick(i):
+                    nonlocal completed
+                    for sid in range(lanes):
+                        st = sched.slots[sid]
+                        if st.done:
+                            sched.close(sid)
+                            nsid = sched.open_stream()
+                            remaining[nsid] = utt_ticks
+                            sched.feed(nsid, pcm_pool[i % len(pcm_pool)])
+                            sched.feed(nsid, pcm_pool[(i + 1) % len(pcm_pool)])
+                            completed += 1
+                        elif remaining[sid] > 0:
+                            sched.feed(
+                                sid, pcm_pool[(sid + i) % len(pcm_pool)]
+                            )
+                            remaining[sid] -= 1
+                            if remaining[sid] == 0:
+                                sched.finish(sid)
+                    return sched.step()
+
+                tc = time.time()
+                tick(0)  # compile
+                compile_s = time.time() - tc
+                warm = max(4, utt_ticks // 2)
+                for i in range(1, warm):
+                    tick(i)
+                n_meas = 2 * utt_ticks
+                active_total = 0
+                t0 = time.time()
+                for i in range(warm, warm + n_meas):
+                    active_total += tick(i)
+                wall = time.time() - t0
+
+                tick_ms = wall / n_meas * 1000.0
+                chunk_rtf = (wall / n_meas) / chunk_sec
+                xrt = active_total * chunk_sec / wall
+                points.append(
+                    {"lanes": lanes, "tick_ms": round(tick_ms, 1),
+                     "chunk_rtf": round(chunk_rtf, 4),
+                     "xrt_streams": round(xrt, 1)}
+                )
+                sys.stderr.write(
+                    f"stream lanes {lanes}: tick {tick_ms:.1f} ms "
+                    f"chunk-RTF {chunk_rtf:.4f} {xrt:.0f} xRT streams "
+                    f"({completed} utts retired; compile {compile_s:.1f}s)\n"
+                )
+                del sched
+            except Exception as exc:
+                sys.stderr.write(
+                    f"stream lanes {lanes}: infeasible ({type(exc).__name__}: {exc})\n"
+                )
+                points.append({"lanes": lanes, "tick_ms": None,
+                               "chunk_rtf": None, "xrt_streams": 0.0})
+        return points
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -255,31 +379,40 @@ def main():
             if frontier_graph is None:
                 frontier_graph = FrontierGraph.from_dense(graph)
 
-        def decode_and_tail(lp):
+        def decode_and_tail(lp, stages=None):
+            def mark(name, t0):
+                if stages is not None:
+                    stages[name] = stages.get(name, 0.0) + (time.time() - t0)
+                return time.time()
+
             if mode == "frontier":
+                t0 = time.time()
                 states_t, alphas_t, arcs_t = viterbi_topk_cached(
                     frontier_graph, lp, arg
                 )
                 states_np = np.asarray(states_t)
                 alphas_np = np.asarray(alphas_t)
                 arcs_np = np.asarray(arcs_t)
+                t0 = mark("decode", t0)
                 words = [
                     topk_backtrace(graph, states_np, alphas_np, arcs_np, i)[0]
                     for i in range(batch)
                 ]
+                t0 = mark("backtrace", t0)
                 fuzzy_tail(words)
+                mark("fuzzy", t0)
                 return
             # exact paths in sub-batches of `arg` (production plan)
             for start in range(0, batch, arg):
                 chunk = lp[start : start + arg]
+                t0 = time.time()
                 if mode == "dense":
                     trace, fstate, cost = jitted_dense(chunk)
-                    assembled = traces_to_words_batch(
-                        graph,
-                        np.asarray(trace),
-                        np.asarray(fstate),
-                        np.asarray(cost),
+                    trace, fstate, cost = (
+                        np.asarray(trace), np.asarray(fstate), np.asarray(cost)
                     )
+                    t0 = mark("decode", t0)
+                    assembled = traces_to_words_batch(graph, trace, fstate, cost)
                 else:
                     from rhasspy_speech_tpu.ops.decoder import (
                         viterbi_decode_checkpointed,
@@ -288,8 +421,11 @@ def main():
                     trace, fstate, cost = viterbi_decode_checkpointed(
                         dev_graph, chunk
                     )
+                    t0 = mark("decode", t0)
                     assembled = traces_to_words_batch(graph, trace, fstate, cost)
+                t0 = mark("backtrace", t0)
                 fuzzy_tail([w for w, _c in assembled])
+                mark("fuzzy", t0)
 
         pcm = jnp.asarray(
             (1000.0 * rng.randn(batch, n_samples)).astype(np.float32)
@@ -301,28 +437,29 @@ def main():
         compile_s = time.time() - tc
 
         times = []
-        verbose = os.environ.get("BENCH_VERBOSE")
         for _ in range(ITERS):
             t1 = time.time()
             lp = jitted_front(pcm)
-            if verbose:
-                lp.block_until_ready()
-                t_front = time.time() - t1
             decode_and_tail(lp)
             times.append(time.time() - t1)
-            if verbose:
-                sys.stderr.write(
-                    f"  front {t_front * 1000:.1f} ms, decode+tail "
-                    f"{(times[-1] - t_front) * 1000:.1f} ms\n"
-                )
+
+        # One extra instrumented iteration for the stage breakdown (the
+        # front block boundary removes front/decode dispatch overlap, so
+        # it is reported separately, not folded into the headline avg).
+        stages = {}
+        t1 = time.time()
+        lp = jitted_front(pcm)
+        lp.block_until_ready()
+        stages["front"] = time.time() - t1
+        decode_and_tail(lp, stages=stages)
 
         avg = float(np.mean(times))
-        return avg, compile_s, mode, arg
+        return avg, compile_s, mode, arg, stages
 
     results = []
     for batch in BATCHES:
         try:
-            avg, compile_s, mode, arg = measure(batch)
+            avg, compile_s, mode, arg, stages = measure(batch)
         except Exception as exc:  # e.g. RESOURCE_EXHAUSTED past the HBM knee
             sys.stderr.write(f"batch {batch}: infeasible ({type(exc).__name__})\n")
             results.append({"batch": batch, "rtf": None, "xrt_streams": 0.0,
@@ -330,18 +467,39 @@ def main():
             continue
         rtf = avg / SECONDS
         xrt = batch * SECONDS / avg
+        stage_ms = {k: round(v * 1000, 1) for k, v in stages.items()}
         results.append({"batch": batch, "rtf": round(rtf, 4),
-                        "xrt_streams": round(xrt, 1), "decode": mode})
+                        "xrt_streams": round(xrt, 1), "decode": mode,
+                        "stage_ms": stage_ms})
         sys.stderr.write(
             f"batch {batch} [{mode}({arg})]: "
             f"avg {avg * 1000:.1f} ms RTF {rtf:.4f} "
-            f"{xrt:.0f} xRT streams (compile {compile_s:.1f}s)\n"
+            f"{xrt:.0f} xRT streams (compile {compile_s:.1f}s) "
+            f"stages {stage_ms}\n"
         )
 
     feasible = [r for r in results if r["rtf"] is not None]
     peak = max(feasible, key=lambda r: r["xrt_streams"])
     realtime = [r for r in feasible if r["rtf"] < 0.1]
     north = max(realtime, key=lambda r: r["batch"]) if realtime else None
+
+    # Streaming serving point: the StreamScheduler lanes x chunks shape
+    # (VERDICT r2 item 1). BENCH_STREAMING=0 skips it.
+    stream_points = []
+    stream_north = None
+    if os.environ.get("BENCH_STREAMING", "1") != "0":
+        lanes_list = [
+            int(x)
+            for x in os.environ.get(
+                "BENCH_LANES", "64,128,192,256"
+            ).split(",")
+        ]
+        stream_points = streaming_bench(graph, g_fuzzy, lang, lanes_list)
+        rt = [
+            p for p in stream_points
+            if p["chunk_rtf"] is not None and p["chunk_rtf"] < 0.1
+        ]
+        stream_north = max(rt, key=lambda p: p["lanes"]) if rt else None
 
     sys.stderr.write(
         f"graph: {graph.num_states} states / {graph.num_arcs} arcs / "
@@ -365,6 +523,8 @@ def main():
                 "vs_baseline": round(value / 100.0, 3),
                 "north_star_point": north,
                 "peak_throughput_point": peak,
+                "streaming_point": stream_north,
+                "streaming_sweep": stream_points,
                 "sweep": results,
                 "graph": {
                     "states": graph.num_states,

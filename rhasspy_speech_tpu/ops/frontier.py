@@ -78,8 +78,17 @@ def frontier_step(
     am_cost: jnp.ndarray,  # [B, P]
     k: int,
     scratch_bytes: int = DEFAULT_DEDUP_SCRATCH_BYTES,
+    beam: Optional[float] = None,
+    min_active: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One frame: returns (new_states [B,K], new_alpha [B,K], arcs [B,K])."""
+    """One frame: returns (new_states [B,K], new_alpha [B,K], arcs [B,K]).
+
+    ``beam``/``min_active`` implement LatticeFasterDecoder's GetCutoff
+    (lattice-faster-decoder.cc:644-712) under static shapes: after the
+    top-K (the max_active cap), candidates costlier than best+beam are
+    dropped — except the first ``min_active`` slots, which survive any
+    beam (Kaldi's min-active floor keeps the search alive through bad
+    acoustic stretches). beam=None keeps every top-K candidate."""
     base = graph.base
     B = states.shape[0]
     D = graph.out_degree
@@ -165,6 +174,14 @@ def frontier_step(
             jnp.int32
         )
         new_arcs = jnp.take_along_axis(s_arc, top_idx, axis=1)
+    if beam is not None and np.isfinite(beam):
+        # top_k over -cost yields slots sorted best-first, so slot index
+        # IS the rank: the min_active floor is a prefix mask.
+        best = top_cost[:, :1]
+        keep = (top_cost <= best + jnp.float32(beam)) | (
+            jnp.arange(top_cost.shape[1])[None, :] < min_active
+        )
+        top_cost = jnp.where(keep, top_cost, INF_COST)
     dead = top_cost >= INF_COST
     new_states = jnp.where(dead, -1, new_states)
     new_arcs = jnp.where(dead, -1, new_arcs)
@@ -178,11 +195,16 @@ def viterbi_topk(
     acoustic_scale: float = 1.0,
     lengths: Optional[jnp.ndarray] = None,
     scratch_bytes: int = DEFAULT_DEDUP_SCRATCH_BYTES,
+    beam: Optional[float] = None,
+    min_active: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sparse-frontier decode over [B, T, P] log-probs.
 
     lengths: optional [B] int32 per-stream frame counts; frames at or past
     a stream's length keep the carried frontier and record STAY arcs.
+
+    beam/min_active: per-frame beam pruning with a survivor floor on top
+    of the top-K cap (see frontier_step).
 
     Returns (states [T, B, K], alphas [T, B, K], arcs [T, B, K])."""
     base = graph.base
@@ -207,7 +229,8 @@ def viterbi_topk(
         def step(carry, am_t):
             states, alpha = carry
             new_states, new_alpha, arcs = frontier_step(
-                graph, states, alpha, am_t, k, scratch_bytes
+                graph, states, alpha, am_t, k, scratch_bytes,
+                beam, min_active,
             )
             return (new_states, new_alpha), (new_states, new_alpha, arcs)
 
@@ -222,7 +245,8 @@ def viterbi_topk(
         am_t, t = xs
         states, alpha = carry
         new_states, new_alpha, arcs = frontier_step(
-            graph, states, alpha, am_t, k, scratch_bytes
+            graph, states, alpha, am_t, k, scratch_bytes,
+            beam, min_active,
         )
         active = (t < lengths)[:, None]  # [B, 1]
         out_states = jnp.where(active, new_states, states)
@@ -334,13 +358,15 @@ def viterbi_topk_cached(
     acoustic_scale: float = 1.0,
     lengths: Optional[jnp.ndarray] = None,
     scratch_bytes: int = DEFAULT_DEDUP_SCRATCH_BYTES,
+    beam: Optional[float] = None,
+    min_active: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """viterbi_topk through a compiled function cached on the graph object.
 
     The raw function rebuilds its scan closures per call, which recompiles
     on every decode — ruinous through a remote-compile tunnel. The cache
-    key is (k, acoustic_scale, scratch_bytes); jit re-specializes per
-    input shape."""
+    key is (k, acoustic_scale, scratch_bytes, beam, min_active); jit
+    re-specializes per input shape."""
     B, T, _P = log_probs.shape
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -349,12 +375,17 @@ def viterbi_topk_cached(
     if cache is None:
         cache = {}
         object.__setattr__(graph, "_topk_fns", cache)
-    key = (int(k), float(acoustic_scale), int(scratch_bytes))
+    beam_key = None if beam is None or not np.isfinite(beam) else float(beam)
+    key = (
+        int(k), float(acoustic_scale), int(scratch_bytes),
+        beam_key, int(min_active),
+    )
     fn = cache.get(key)
     if fn is None:
         fn = jax.jit(
             lambda lp, lens: viterbi_topk(
-                graph, lp, k, acoustic_scale, lens, scratch_bytes
+                graph, lp, k, acoustic_scale, lens, scratch_bytes,
+                beam, min_active,
             )
         )
         cache[key] = fn

@@ -93,6 +93,11 @@ class AcousticModel:
         model_dir = Path(model_dir)
         self.model_dir = model_dir
         self._dither_calls = 0
+        # A second serving process must not re-pay the flagship's 24-88 s
+        # XLA compiles: persist compiled programs across processes.
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         # AM forward precision: None/f32 (exact, the default) or
         # "bfloat16" — MXU-native matmuls with f32 accumulation, output
         # cast back to f32 for decode costs. Also via RSTPU_COMPUTE_DTYPE.
@@ -419,12 +424,15 @@ class Nnet3WavTranscriber:
 
     Decode-kernel selection follows the backpointer footprint
     (:func:`select_decoder`): template-scale graphs use the exact dense
-    decoder (every state active — beam pruning unnecessary, so ``beam`` is
-    inert there); graphs too large for [T, B, S] backpointers fall back to
-    sqrt-rematerialized backtraces, then to the top-K sparse frontier where
-    ``max_active`` bounds the active states per frame — the role it plays
-    in LatticeFasterDecoderConfig (lattice-faster-decoder.h:38-66).
-    ``lattice_beam`` prunes lattice generation (get_lattice)."""
+    decoder (every state active — the exact search subsumes any beam, so
+    ``beam`` has no effect there); graphs too large for [T, B, S]
+    backpointers fall back to sqrt-rematerialized backtraces, then to the
+    top-K sparse frontier where ``max_active`` caps the active states per
+    frame, ``beam`` prunes frontier slots costlier than best+beam, and
+    ``min_active`` floors the survivors — the GetCutoff roles of
+    LatticeFasterDecoderConfig (lattice-faster-decoder.h:38-66,
+    .cc:644-712). ``lattice_beam`` prunes lattice generation
+    (get_lattice)."""
 
     def __init__(
         self,
@@ -438,6 +446,7 @@ class Nnet3WavTranscriber:
         silence_weight: Optional[float] = None,
         decode_memory_budget: int = DEFAULT_DECODE_BUDGET,
         compute_dtype: Optional[str] = None,
+        min_active: int = 200,
     ):
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
@@ -445,6 +454,7 @@ class Nnet3WavTranscriber:
         self.max_active = max_active
         self.lattice_beam = lattice_beam
         self.beam = beam
+        self.min_active = min_active
         # OnlineSilenceWeighting equivalent (online2/online-ivector-feature):
         # with a weight set and an i-vector extractor present, a first-pass
         # decode alignment downweights silence frames in the i-vector stats
@@ -633,6 +643,8 @@ class Nnet3WavTranscriber:
                     acoustic_scale=self.acoustic_scale,
                     lengths=lengths,
                     scratch_bytes=self.decode_memory_budget,
+                    beam=self.beam,
+                    min_active=self.min_active,
                 )
                 states_t = np.asarray(states_t)
                 alphas_t = np.asarray(alphas_t)

@@ -1,0 +1,103 @@
+"""Flagship-size on-disk profile for serving benchmarks.
+
+Writes a complete model dir (Kaldi-format final.mdl with a TDNN-F chain
+net + transition model, i-vector extractor files, frontend config) at the
+sizes of the published zamia-style models, with random weights (honest
+FLOPs — no real model is downloadable in this environment). The streaming
+benchmark drives the REAL serving stack (AcousticModel / StreamScheduler)
+against this dir, so every file format and load path is exercised.
+
+Numerics mirror bench.py's in-memory build_ivector_params so the batch and
+streaming benches run the same acoustic front.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Union
+
+import numpy as np
+
+from ..io.kaldi_io import KaldiWriter
+from ..io.nnet3_file import write_nnet3
+from ..io.transition_model import KaldiTransitionModel
+from .tdnnf import build_tdnnf_spec
+
+
+def write_flagship_model_dir(
+    model_dir: Union[str, Path],
+    num_pdfs: int,
+    max_phone: int,
+    hidden_dim: int = 768,
+    num_tdnnf_layers: int = 9,
+    ivector_dim: int = 100,
+    ubm_gauss: int = 512,
+    num_ceps: int = 40,
+    seed: int = 7,
+) -> Path:
+    """Write model/final.mdl + extractor/ + frontend.json + config.json.
+
+    The transition model covers phones 1..max_phone (the decode graph's
+    inventory); the nnet emits ``num_pdfs`` posteriors (>= the tree's pdf
+    count, like a real chain model computing all pdfs every frame).
+    """
+    model_dir = Path(model_dir)
+    (model_dir / "model").mkdir(parents=True, exist_ok=True)
+
+    ktm = KaldiTransitionModel.from_monophone_chain(max_phone)
+    spec = build_tdnnf_spec(
+        num_pdfs=num_pdfs,
+        input_dim=num_ceps,
+        ivector_dim=ivector_dim,
+        hidden_dim=hidden_dim,
+        num_tdnnf_layers=num_tdnnf_layers,
+        seed=seed,
+    )
+    with open(model_dir / "model" / "final.mdl", "wb") as f:
+        write_nnet3(f, spec, transition_model=ktm)
+
+    with open(model_dir / "model" / "frontend.json", "w", encoding="utf-8") as f:
+        json.dump({"num_mel_bins": num_ceps, "num_ceps": num_ceps}, f)
+
+    # i-vector extractor at flagship sizes; same constructions (and seed)
+    # as bench.py build_ivector_params.
+    from ..io.ivector import DiagGmm, IvectorExtractor
+
+    rng = np.random.RandomState(seed)
+    splice = 3
+    lda_out = num_ceps
+    spliced_dim = num_ceps * (2 * splice + 1)
+    means = rng.randn(ubm_gauss, lda_out) * 2.0
+    variances = 0.5 + rng.rand(ubm_gauss, lda_out)
+    weights = rng.dirichlet(np.ones(ubm_gauss))
+    dubm = DiagGmm.from_means_vars(weights, means, variances)
+    M = (rng.randn(ubm_gauss, lda_out, ivector_dim) * 0.1).astype(np.float32)
+    sigma_inv = np.broadcast_to(
+        np.eye(lda_out, dtype=np.float32), (ubm_gauss, lda_out, lda_out)
+    ).copy()
+    extractor = IvectorExtractor(
+        w=np.zeros((0, 0), dtype=np.float32),
+        w_vec=weights.astype(np.float32),
+        M=M,
+        sigma_inv=sigma_inv,
+        prior_offset=4.0,
+    )
+    lda = (rng.randn(lda_out, spliced_dim + 1) * 0.05).astype(np.float32)
+
+    ext_dir = model_dir / "extractor"
+    ext_dir.mkdir(exist_ok=True)
+    with open(ext_dir / "final.dubm", "wb") as f:
+        dubm.write(KaldiWriter(f))
+    with open(ext_dir / "final.ie", "wb") as f:
+        extractor.write(KaldiWriter(f))
+    with open(ext_dir / "final.mat", "wb") as f:
+        KaldiWriter(f).write_matrix(lda)
+
+    with open(model_dir / "config.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {"type": "kaldi", "lexicon": {"casing": "lower"},
+             "sil_phone": "SIL", "spn_phone": "SPN"},
+            f,
+        )
+    return model_dir
