@@ -80,6 +80,140 @@ class KaldiCompactLattice:
         return fst
 
 
+def determinize_compact_lattice(
+    clat: KaldiCompactLattice,
+    max_states: int = 200_000,
+) -> KaldiCompactLattice:
+    """Weighted determinization of an ACYCLIC CompactLattice: one out-arc
+    per word per state, epsilon-free — every word sequence appears on at
+    most one path, carrying its best (min total cost) weight.
+
+    The role of Kaldi's DeterminizeLatticePruned over CompactLattices
+    (lat/determinize-lattice-pruned.cc; invoked by lattice-determinize and
+    GetLattice, online-nnet3-decoding.cc:66-77): Kaldi tools consuming
+    exported arks expect one occurrence per word sequence. Weights follow
+    the LatticeWeight order (total = graph + acoustic, ties by graph,
+    lattice-weight.h:84-87); transition-id strings concatenate along paths
+    and ride the subset residuals (decode exports carry empty strings, so
+    this is exercised degenerately but handled generally).
+
+    Classic subset construction with weight/string residuals — decode
+    lattices are frame-ordered DAGs, so the construction terminates;
+    ``max_states`` guards against pathological growth.
+    """
+
+    def order_key(w: Tuple[float, float]) -> Tuple[float, float]:
+        return (w[0] + w[1], w[0])
+
+    def eps_closure(
+        elems: Dict[int, Tuple[float, float, Tuple[int, ...]]]
+    ) -> Dict[int, Tuple[float, float, Tuple[int, ...]]]:
+        """Relax word-0 (epsilon) arcs to a fixpoint (input is acyclic)."""
+        out = dict(elems)
+        changed = True
+        guard = 0
+        while changed:
+            changed = False
+            guard += 1
+            if guard > clat.num_states + 2:
+                raise ValueError("epsilon cycle in compact lattice")
+            for s, (g, a, tids) in list(out.items()):
+                for word, ag, aa, atids, ns in clat.arcs[s]:
+                    if word != 0:
+                        continue
+                    cand = (g + ag, a + aa, tids + atids)
+                    cur = out.get(ns)
+                    if cur is None or order_key(cand[:2]) < order_key(cur[:2]):
+                        out[ns] = cand
+                        changed = True
+        return out
+
+    def normalize(elems):
+        """-> (base_weight (g, a, tids), residual dict, hashable key)."""
+        base_g, base_a, _ = min(
+            elems.values(), key=lambda w: order_key(w[:2])
+        )
+        tid_lists = [w[2] for w in elems.values()]
+        prefix = tid_lists[0]
+        for t in tid_lists[1:]:
+            n = 0
+            for x, y in zip(prefix, t):
+                if x != y:
+                    break
+                n += 1
+            prefix = prefix[:n]
+            if not prefix:
+                break
+        norm = {
+            s: (g - base_g, a - base_a, t[len(prefix):])
+            for s, (g, a, t) in elems.items()
+        }
+        key = tuple(
+            sorted(
+                (s, round(g, 5), round(a, 5), t)
+                for s, (g, a, t) in norm.items()
+            )
+        )
+        return (base_g, base_a, prefix), norm, key
+
+    out = KaldiCompactLattice()
+    if clat.start < 0:
+        return out
+
+    start_elems = eps_closure({clat.start: (0.0, 0.0, ())})
+    # The start subset keeps absolute residuals (an FST has no initial
+    # weight to carry a normalization base), so it never merges with a
+    # normalized subset: key it with a sentinel.
+    start_id = out.add_state()
+    out.start = start_id
+    subsets = {("__start__",): start_id}
+    # store the ACTUAL residuals per subset id (start: absolute)
+    todo = [(start_id, start_elems)]
+
+    while todo:
+        sid, elems = todo.pop()
+        # final weight: best completion over elements
+        best_final = None
+        for s, (g, a, tids) in elems.items():
+            f = clat.finals.get(s)
+            if f is None:
+                continue
+            cand = (g + f[0], a + f[1], tids + f[2])
+            if best_final is None or order_key(cand[:2]) < order_key(
+                best_final[:2]
+            ):
+                best_final = cand
+        if best_final is not None:
+            out.finals[sid] = best_final
+
+        # group non-eps transitions by word
+        by_word: Dict[int, Dict[int, Tuple[float, float, Tuple[int, ...]]]] = {}
+        for s, (g, a, tids) in elems.items():
+            for word, ag, aa, atids, ns in clat.arcs[s]:
+                if word == 0:
+                    continue
+                cand = (g + ag, a + aa, tids + atids)
+                bucket = by_word.setdefault(word, {})
+                cur = bucket.get(ns)
+                if cur is None or order_key(cand[:2]) < order_key(cur[:2]):
+                    bucket[ns] = cand
+        for word in sorted(by_word):
+            nxt = eps_closure(by_word[word])
+            (bg, ba, btids), norm, key = normalize(nxt)
+            nid = subsets.get(key)
+            if nid is None:
+                if len(subsets) >= max_states:
+                    raise ValueError(
+                        "determinization exceeded max_states="
+                        f"{max_states}"
+                    )
+                nid = out.add_state()
+                subsets[key] = nid
+                todo.append((nid, norm))
+            out.arcs[sid].append((word, bg, ba, btids, nid))
+    return out
+
+
 def _read_compact_weight(f: BinaryIO, fmt: str, size: int) -> CompactWeight:
     g, a = (
         struct.unpack(fmt, _read_exact(f, size))[0],

@@ -85,6 +85,13 @@ class StreamScheduler:
             LangArtifacts.load(lang_dir) if lang_dir is not None else self.artifacts
         )
 
+        if self.am.spec is None:
+            raise NotImplementedError(
+                "GMM acoustic models are not supported on the streaming "
+                "chunk path (the reference's GMM streaming is dead code, "
+                "transcribe_wav.py:238-484); use Nnet3WavTranscriber batch "
+                "decoding"
+            )
         self.pool = StreamPool(max_streams, pool_capacity_samples)
         self.slots: List[_SlotState] = [_SlotState() for _ in range(max_streams)]
         self._featurizer = StreamFeaturizer(self.am)

@@ -99,6 +99,13 @@ class Nnet3StreamTranscriber:
         self.silence_weight = silence_weight
 
         self.am = AcousticModel(self.model_dir)
+        if self.am.spec is None:
+            raise NotImplementedError(
+                "GMM acoustic models are not supported on the streaming "
+                "chunk path (the reference's GMM streaming is dead code, "
+                "transcribe_wav.py:238-484); use Nnet3WavTranscriber batch "
+                "decoding"
+            )
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None
         self.device_graph = make_decode_graph(self.artifacts.graph)

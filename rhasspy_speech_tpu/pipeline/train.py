@@ -111,13 +111,11 @@ def train_model_sync(
     sil_phone = model_config.get("sil_phone", SIL)
     spn_phone = model_config.get("spn_phone", SPN)
 
-    if model_type == "gmm":
-        # The reference's GMM decode path is dead code (transcribe_wav.py:
-        # 238-484 is commented out); fail loudly rather than half-working.
-        raise NotImplementedError(
-            "GMM acoustic models are not supported (the reference's GMM "
-            "path is disabled there too); use nnet3 chain models"
-        )
+    # ModelType.gmm trains through the same graph flow as nnet3: the HCLG
+    # build only consumes the transition model, which reads identically
+    # from an AmDiagGmm final.mdl (io/gmm_am.py). The reference invokes
+    # the same mkgraph.sh --self-loop-scale 1.0 for every model type
+    # (kaldi.py:409-425); decode-side GMM support lives in AcousticModel.
     if model_type == "coqui":
         # CTC backend (train.py:85-88): compile the grammar and build the
         # token->sentence decode cascade; no lexicon/lang step.

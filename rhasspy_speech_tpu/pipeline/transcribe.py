@@ -115,7 +115,24 @@ class AcousticModel:
             model_dir = model_dir / "model"
             mdl_path = model_dir / "model" / "final.mdl"
         self._resolved_model_dir = model_dir
-        self.transition_model, self.spec = read_am_nnet3(str(mdl_path))
+
+        # GMM models (ModelType.gmm): final.mdl carries an AmDiagGmm after
+        # the TransitionModel instead of <Nnet3>. Feature pipeline is MFCC
+        # + delta-deltas, no i-vectors, no frame subsampling.
+        from ..io.gmm_am import is_gmm_model
+
+        self.gmm = None
+        if is_gmm_model(str(mdl_path)):
+            from ..io.gmm_am import read_am_diag_gmm
+            from ..models.gmm import GmmAm
+
+            self.transition_model, gmms = read_am_diag_gmm(str(mdl_path))
+            self.gmm = GmmAm.from_diag_gmms(gmms)
+            self.spec = None
+            if subsampling is None:
+                subsampling = 1
+        else:
+            self.transition_model, self.spec = read_am_nnet3(str(mdl_path))
 
         if subsampling is None:
             # Kaldi chain model dirs ship a frame_subsampling_factor file
@@ -171,9 +188,12 @@ class AcousticModel:
                         frame_length_ms=frontend.frame_length_ms,
                     )
         self._buckets: Dict[int, _CompiledBucket] = {}
-        self._has_ivector = any(
+        self._has_ivector = self.spec is not None and any(
             n.kind == "input" and n.name == "ivector" for n in self.spec.nodes
         )
+        self._gmm_fwd = None
+        if self.gmm is not None:
+            self._gmm_fwd = jax.jit(self.gmm.log_likes)
 
         # Online i-vector extractor (model_dir/extractor/: final.ie,
         # final.dubm, final.mat — export_voice2json_profile layout)
@@ -211,6 +231,14 @@ class AcousticModel:
         return self.transition_model.num_pdfs
 
     def compiled(self, num_out_frames: int) -> _CompiledBucket:
+        if self.spec is None:
+            raise NotImplementedError(
+                "GMM acoustic models have no nnet3 computation graph; "
+                "batch decoding runs through log_probs directly, and the "
+                "streaming chunk path does not support GMM models (the "
+                "reference's GMM streaming is dead code too, "
+                "transcribe_wav.py:238-484)"
+            )
         bucket = self._buckets.get(num_out_frames)
         if bucket is None:
             model = compile_nnet3(
@@ -309,6 +337,15 @@ class AcousticModel:
         Nnet3WavTranscriber silence_weight); feat_lengths [B] masks each
         stream's padding frames out of the i-vector stats (mixed-length
         batches)."""
+        if self.gmm is not None:
+            from ..ops.deltas import add_deltas
+
+            T = feats.shape[1]
+            full = add_deltas(feats, order=2)  # [B, T, 3D]
+            idx = np.clip(
+                np.arange(num_out_frames), 0, max(T - 1, 0)
+            )
+            return self._gmm_fwd(full[:, idx])
         bucket = self.compiled(num_out_frames)
         model = bucket.model
         T = feats.shape[1]
@@ -874,17 +911,29 @@ class Nnet3WavTranscriber:
         self,
         wav_path: Union[str, Path],
         lattice_beam: Optional[float] = None,
+        determinize: bool = True,
     ):
         """Word-level Kaldi CompactLattice for one utterance — writable to
         lattice arks with io.lattice_io.write_lattice_ark for interchange
         with Kaldi's lattice-* tools (the ark format transcribe_wav.py pipes
-        between binaries)."""
-        from ..io.lattice_io import compact_lattice_from_decode
+        between binaries).
+
+        ``determinize`` (the default, matching GetLattice's
+        DeterminizeLatticePhonePrunedWrapper, online-nnet3-decoding.cc:66-77)
+        produces the canonical form Kaldi tools expect: epsilon-free, one
+        path per word sequence at its best cost."""
+        from ..io.lattice_io import (
+            compact_lattice_from_decode,
+            determinize_compact_lattice,
+        )
 
         lat = self.get_lattice(wav_path, lattice_beam=lattice_beam)
         if lat is None:
             return None
-        return compact_lattice_from_decode(lat, self.artifacts.graph)
+        clat = compact_lattice_from_decode(lat, self.artifacts.graph)
+        if determinize:
+            clat = determinize_compact_lattice(clat)
+        return clat
 
     def confidence_pcm(self, pcm: np.ndarray, n: int = 8) -> float:
         """Posterior of the 1-best transcript over the lattice's n-best

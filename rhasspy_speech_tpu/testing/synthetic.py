@@ -469,6 +469,146 @@ def build_synthetic_profile(
     )
 
 
+def build_synthetic_gmm_profile(
+    model_dir: Union[str, Path],
+    lexicon: Dict[str, List[str]],
+    frontend: Optional[FrontendConfig] = None,
+    tau: float = 50.0,
+    seed: int = 1234,
+) -> SyntheticProfile:
+    """Write a ModelType.gmm model dir: AmDiagGmm final.mdl whose per-pdf
+    single-Gaussian centroids match synthesize_sentence's phone signatures
+    over MFCC + delta-delta features (delta dims carry near-zero inverse
+    variances, so they contribute ~uniformly — classification matches the
+    nnet3 synthetic profile's Gaussian classifier).
+    """
+    from ..io.gmm_am import write_am_diag_gmm
+    from ..io.ivector import DiagGmm
+
+    model_dir = Path(model_dir)
+    (model_dir / "model").mkdir(parents=True, exist_ok=True)
+    if frontend is None:
+        frontend = FrontendConfig(num_mel_bins=20, num_ceps=20)
+
+    base_phones = sorted({p for phones in lexicon.values() for p in phones})
+    phone_freqs = _phone_freqs(base_phones)
+    rng = np.random.RandomState(seed)
+
+    entries = [(w, list(p)) for w, p in sorted(lexicon.items())]
+    entries.append((UNK, [SPN]))
+    lang = prepare_lang(entries, silence_phones=[SIL, SPN], optional_silence=SIL)
+    phones: SymbolTable = lang.phones
+
+    centroids: Dict[str, np.ndarray] = {}
+    for p in base_phones:
+        wave = _phone_wave(phone_freqs[p], SAMPLE_RATE, rng)
+        centroids[p] = mfcc_numpy(frontend, wave).mean(axis=0)
+    centroids[SIL] = mfcc_numpy(
+        frontend, _silence_wave(SAMPLE_RATE, rng)
+    ).mean(axis=0)
+    centroids[SPN] = mfcc_numpy(
+        frontend, (500.0 * rng.randn(SAMPLE_RATE)).astype(np.float32)
+    ).mean(axis=0)
+
+    emitting: List[Tuple[str, int]] = []
+    for name, pid in sorted(phones, key=lambda kv: kv[1]):
+        if pid == 0 or name.startswith("#"):
+            continue
+        emitting.append((name, pid))
+
+    phone_ids = [pid for _, pid in emitting]
+    max_phone = max(phone_ids)
+    phone2idx = np.full(max_phone + 1, -1, dtype=np.int64)
+    for pid in phone_ids:
+        phone2idx[pid] = 0
+    topo = KaldiHmmTopology(
+        phones=np.asarray(sorted(phone_ids), dtype=np.int64),
+        phone2idx=phone2idx,
+        entries=[
+            [
+                TopologyState(0, 0, [(0, 0.5), (1, 0.5)]),
+                TopologyState(K_NO_PDF, K_NO_PDF, []),
+            ]
+        ],
+    )
+    tuples = np.zeros((len(emitting), 4), dtype=np.int64)
+    for pdf, (_name, pid) in enumerate(emitting):
+        tuples[pdf] = (pid, 0, pdf, pdf)
+    num_tids = 2 * len(emitting)
+    log_probs = np.full(num_tids + 1, math.log(0.5), dtype=np.float32)
+    log_probs[0] = 0.0
+    ktm = KaldiTransitionModel(topology=topo, tuples=tuples, log_probs=log_probs)
+
+    # one single-component diagonal Gaussian per pdf over [mfcc, d, dd]:
+    # inv_var 2/tau on the static dims (log-like ~ -|x-c|^2/tau like the
+    # nnet3 profile), tiny on delta dims (uniform contribution)
+    D = frontend.num_ceps
+    gmms = []
+    for _pdf, (name, _pid) in enumerate(emitting):
+        c = centroids[_base_phone(name)]
+        mean = np.concatenate([c, np.zeros(2 * D)])
+        var = np.concatenate(
+            [np.full(D, tau / 2.0), np.full(2 * D, 1.0e6)]
+        )
+        gmms.append(
+            DiagGmm.from_means_vars(
+                np.ones(1), mean[None, :], var[None, :]
+            )
+        )
+
+    write_am_diag_gmm(str(model_dir / "model" / "final.mdl"), ktm, gmms)
+    with open(model_dir / "model" / "phones.txt", "w", encoding="utf-8") as f:
+        phones.write_text(f)
+    with open(model_dir / "model" / "frontend.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "num_mel_bins": frontend.num_mel_bins,
+                "num_ceps": frontend.num_ceps,
+                "low_freq": frontend.low_freq,
+                "high_freq": frontend.high_freq,
+                "dither": frontend.dither,
+            },
+            f,
+        )
+
+    import sqlite3
+
+    db_path = model_dir / "lexicon.db"
+    if db_path.exists():
+        db_path.unlink()
+    conn = sqlite3.Connection(str(db_path))
+    conn.execute(
+        "CREATE TABLE word_phonemes "
+        "(word TEXT, phonemes TEXT, pron_order INTEGER)"
+    )
+    conn.execute("CREATE TABLE g2p_alignments (word TEXT, alignment TEXT)")
+    for word, phone_seq in sorted(lexicon.items()):
+        conn.execute(
+            "INSERT INTO word_phonemes VALUES (?, ?, 0)",
+            (word, " ".join(phone_seq)),
+        )
+    conn.commit()
+    conn.close()
+
+    with open(model_dir / "config.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "type": "gmm",
+                "lexicon": {"casing": "lower"},
+                "sil_phone": SIL,
+                "spn_phone": SPN,
+            },
+            f,
+        )
+
+    return SyntheticProfile(
+        model_dir=model_dir,
+        frontend=frontend,
+        lexicon={w: list(p) for w, p in lexicon.items()},
+        phone_freqs=phone_freqs,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthetic CTC (Coqui-style) profiles
 # ---------------------------------------------------------------------------

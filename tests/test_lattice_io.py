@@ -9,11 +9,29 @@ import jax.numpy as jnp
 from rhasspy_speech_tpu.io.lattice_io import (
     KaldiCompactLattice,
     compact_lattice_from_decode,
+    determinize_compact_lattice,
     read_lattice,
     read_lattice_ark,
     write_compact_lattice,
     write_lattice_ark,
 )
+
+
+def _all_paths(clat, limit=100000):
+    """Enumerate (word tuple, total cost, tids) over every complete path."""
+    out = []
+    stack = [(clat.start, (), 0.0, ())]
+    while stack:
+        s, words, cost, tids = stack.pop()
+        if len(out) > limit:
+            raise RuntimeError("path explosion")
+        f = clat.finals.get(s)
+        if f is not None:
+            out.append((words, cost + f[0] + f[1], tids + f[2]))
+        for word, g, a, atids, ns in clat.arcs[s]:
+            nwords = words + ((word,) if word != 0 else ())
+            stack.append((ns, nwords, cost + g + a, tids + atids))
+    return out
 
 
 def _toy_lattice():
@@ -125,3 +143,77 @@ def test_export_decode_lattice(tmp_path):
     got_words = [w for w in ipath if w != EPS_ID]
     assert got_words == [w for w in want_words if w != 0]
     np.testing.assert_allclose(weight, want_cost, rtol=1e-4)
+
+
+def test_determinize_merges_duplicate_word_sequences():
+    """Two paths carrying the same word sequence collapse to one, keeping
+    the cheaper cost; distinct sequences survive; epsilons are removed."""
+    lat = KaldiCompactLattice()
+    for _ in range(5):
+        lat.add_state()
+    lat.start = 0
+    # "5 8" twice (costs 3.75 and 1.5 total), "7 8" once, via an eps arc
+    lat.arcs[0].append((5, 1.0, 2.5, (3,), 1))
+    lat.arcs[0].append((0, 0.0, 0.25, (), 2))  # epsilon
+    lat.arcs[2].append((5, 0.5, 0.25, (4,), 3))
+    lat.arcs[0].append((7, 0.5, 1.5, (9,), 2))
+    lat.arcs[1].append((8, 0.25, 0.0, (), 4))
+    lat.arcs[3].append((8, 0.25, 0.0, (), 4))
+    lat.arcs[2].append((8, 0.75, 0.25, (1,), 4))
+    lat.finals[4] = (0.0, 0.0, ())
+
+    pre = _all_paths(lat)
+    pre_best = {}
+    for words, cost, _t in pre:
+        pre_best[words] = min(pre_best.get(words, float("inf")), cost)
+    assert len(pre) > len(pre_best)  # genuinely ambiguous input
+
+    det = determinize_compact_lattice(lat)
+    post = _all_paths(det)
+    post_words = [w for w, _c, _t in post]
+    assert len(post_words) == len(set(post_words))  # unique sequences
+    assert not any(
+        word == 0 for arcs in det.arcs for (word, *_rest) in arcs
+    )  # epsilon-free
+    got = {w: c for w, c, _t in post}
+    assert got.keys() == pre_best.keys()
+    for w, c in pre_best.items():
+        np.testing.assert_allclose(got[w], c, rtol=1e-5)
+
+
+def test_determinize_exported_decode_lattice():
+    """End-to-end: an ambiguous decode exports determinized by default —
+    unique word sequences, best costs preserved, binary round-trip OK."""
+    from rhasspy_speech_tpu.ops.decoder import DeviceGraph
+    from rhasspy_speech_tpu.ops.lattice import build_lattice, forward_backward
+
+    from tests.test_decoder import _random_graph
+
+    rng = np.random.RandomState(78)
+    graph = _random_graph(rng)
+    dev = DeviceGraph.from_dense(graph)
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(1, 9))).astype(
+        np.float32
+    )
+    alphas, betas = (
+        np.asarray(v) for v in forward_backward(dev, jnp.asarray(lp))
+    )
+    lat = build_lattice(graph, alphas, betas, lp, 0, lattice_beam=3.0)
+    clat = compact_lattice_from_decode(lat, graph)
+    pre = _all_paths(clat)
+    pre_best = {}
+    for words, cost, _t in pre:
+        pre_best[words] = min(pre_best.get(words, float("inf")), cost)
+
+    det = determinize_compact_lattice(clat)
+    buf = io.BytesIO()
+    write_compact_lattice(buf, det)
+    buf.seek(0)
+    det2 = read_lattice(buf)
+    post = _all_paths(det2)
+    post_words = [w for w, _c, _t in post]
+    assert len(post_words) == len(set(post_words))
+    got = {w: c for w, c, _t in post}
+    assert got.keys() == pre_best.keys()
+    for w, c in pre_best.items():
+        np.testing.assert_allclose(got[w], c, rtol=1e-4, atol=1e-4)
