@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import List, Optional, Union
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -41,6 +41,42 @@ _LOGGER = logging.getLogger(__name__)
 CHUNK_OUT_FRAMES = 7
 
 
+class _TickBps:
+    """One tick's [7, N, S] backpointer tensor, transferred lazily.
+
+    The device→host copy is started asynchronously right after the chunk
+    program is dispatched; ``force()`` materializes the numpy array (a
+    no-op wait when the async copy already landed) and drops the device
+    reference. With endpointing/silence-weighting off, nothing forces the
+    copy until a stream finalizes — steady-state ticks never block on the
+    largest transfer of the serving path.
+
+    ``encoded`` marks uint16 ``bp + 3`` packing (0 = inactive lane frame,
+    1 = STAY, 2 = dead; arc ids ≤ 65532): half the transfer bytes of the
+    int32 form whenever the graph fits.
+    """
+
+    __slots__ = ("_dev", "_np", "encoded")
+
+    def __init__(self, dev, encoded: bool):
+        self._dev = dev
+        self._np = None
+        self.encoded = encoded
+        try:
+            dev.copy_to_host_async()
+        except Exception:  # pragma: no cover - non-jax arrays in tests
+            pass
+
+    def force(self) -> np.ndarray:
+        if self._np is None:
+            arr = np.asarray(self._dev)
+            if self.encoded:
+                arr = arr.astype(np.int32) - 3
+            self._np = arr
+            self._dev = None
+        return self._np
+
+
 @dataclass
 class _SlotState:
     active: bool = False
@@ -48,12 +84,16 @@ class _SlotState:
     feat_state: object = None  # StreamFeatState
     frames_consumed: int = 0
     out_frames: int = 0
-    bps: List[np.ndarray] = field(default_factory=list)
+    bps: List[Tuple[_TickBps, int]] = field(default_factory=list)
     done: bool = False
     result: Optional[List[str]] = None
     flushed_feats: bool = False
     iv_pending_win: Optional[np.ndarray] = None
     iv_pending_w: Optional[np.ndarray] = None
+
+    def bp_chunks(self, sid: int) -> List[np.ndarray]:
+        """Materialized per-chunk [k, S] backpointers for this stream."""
+        return [tick.force()[:k, sid] for tick, k in self.bps]
 
 
 class StreamScheduler:
@@ -71,8 +111,16 @@ class StreamScheduler:
         endpointing: Optional["EndpointConfig"] = None,
         silence_weight: Optional[float] = None,
         mesh=None,
+        chunk_out_frames: int = CHUNK_OUT_FRAMES,
+        compute_dtype: Optional[str] = None,
     ):
-        self.am = AcousticModel(Path(model_dir))
+        # Larger chunks amortize the TDNN context-overlap recompute (the
+        # AM re-evaluates ~±30 context frames per chunk) at the cost of
+        # per-chunk latency: 7 out-frames = 0.21 s (the reference's
+        # decodable chunking, decodable-simple-looped.h:46-59); 14 or 21
+        # roughly halves/thirds the overlap share.
+        self._chunk_out = int(chunk_out_frames)
+        self.am = AcousticModel(Path(model_dir), compute_dtype=compute_dtype)
         self.artifacts = LangArtifacts.load(graph_dir)
         assert self.artifacts.graph is not None
         self.graph = self.artifacts.graph
@@ -97,12 +145,12 @@ class StreamScheduler:
         self._featurizer = StreamFeaturizer(self.am)
 
         self._chunk_model = compile_nnet3(
-            self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
+            self.am.spec, self._chunk_out, subsampling=self.am.subsampling
         )
         self._recurrent = self._chunk_model.recurrent
         lo, hi = self._chunk_model.ranges["input"]
         self._win_lo, self._win_hi = lo, hi
-        self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling
+        self._chunk_in = self._chunk_out * self.am.subsampling
 
         graph = self.device_graph
         scale = acoustic_scale
@@ -112,15 +160,41 @@ class StreamScheduler:
         ivp = self.am.ivector_params if self._has_ivector else None
         self._ivp = ivp
         chunk_in = self._chunk_in
+        chunk_out = self._chunk_out
         has_ivector = self._has_ivector
 
-        def batch_chunk(alpha, windows, n_valid, gamma, X, iv_wins, iv_ws, am_state):
-            """alpha [N, S]; windows [N, W, D]; n_valid [N]; i-vector stats
-            gamma [N, I] / X [N, I, D] with the previous tick's pending
-            contribution (iv_wins [N, Wiv, Dc], iv_ws [N, chunk_in]) ->
-            (alpha' [N, S], bp [7, N, S], gamma', X', am_state'). Lanes
-            without work (n_valid == 0) keep alpha, recurrence state, and —
-            via zero iv_ws rows — their i-vector stats."""
+        # uint16 bp packing (bp + 3: 0 = inactive, 1 = STAY, 2 = dead)
+        # halves the largest per-tick transfer whenever the graph fits
+        self._bp_compact = self.graph.num_arcs <= 65532
+        init_row = jnp.asarray(self.graph.init_weight)
+        bp_compact = self._bp_compact
+
+        def batch_chunk(
+            alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws, am_state
+        ):
+            """alpha [N, S]; windows [N, W, D]; n_valid [N]; reset [N] bool
+            (lanes reopened since the last tick restart from the initial
+            alpha / zero stats — folding the reset in here replaces one
+            device dispatch per admission); i-vector stats gamma [N, I] /
+            X [N, I, D] with the previous tick's pending contribution
+            (iv_wins [N, Wiv, Dc], iv_ws [N, chunk_in]) ->
+            (alpha' [N, S], bp [7, N, S] (uint16-packed when the graph
+            fits), gamma', X', am_state'). Lanes without work
+            (n_valid == 0) keep alpha, recurrence state, and — via zero
+            iv_ws rows — their i-vector stats."""
+            alpha = jnp.where(reset[:, None], init_row[None, :], alpha)
+            gamma = jnp.where(
+                reset.reshape((-1,) + (1,) * (gamma.ndim - 1)), 0.0, gamma
+            )
+            X = jnp.where(
+                reset.reshape((-1,) + (1,) * (X.ndim - 1)), 0.0, X
+            )
+            am_state = {
+                k: jnp.where(
+                    reset.reshape((-1,) + (1,) * (v.ndim - 1)), 0.0, v
+                )
+                for k, v in am_state.items()
+            }
             from ..ops.ivector import (
                 apply_lda,
                 gmm_log_likes,
@@ -168,7 +242,7 @@ class StreamScheduler:
             else:
                 log_probs = self._chunk_model.forward(windows, ivec)
             am_costs = -scale * jnp.swapaxes(log_probs, 0, 1)  # [7, N, P]
-            ts = jnp.arange(CHUNK_OUT_FRAMES, dtype=jnp.int32)
+            ts = jnp.arange(chunk_out, dtype=jnp.int32)
 
             def step(a, xs):
                 am_t, t = xs
@@ -180,9 +254,13 @@ class StreamScheduler:
                 )
 
             new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
+            if bp_compact:
+                bps = (bps + 3).astype(jnp.uint16)
             return new_alpha, bps, new_gamma, new_X, new_state
 
         self._batch_chunk = jax.jit(batch_chunk)
+        self._pending_reset = np.zeros(max_streams, dtype=bool)
+        self._tick_ring: List[_TickBps] = []
         self._am_state = (
             self._chunk_model.init_state(max_streams) if recurrent else {}
         )
@@ -270,16 +348,10 @@ class StreamScheduler:
         state.flushed_feats = False
         state.iv_pending_win = np.zeros(self._iv_win_shape, np.float32)
         state.iv_pending_w = np.zeros(self._chunk_in, np.float32)
-        self._alpha = self._alpha.at[sid].set(
-            jnp.asarray(self.graph.init_weight)
-        )
-        if self._recurrent:
-            self._am_state = {
-                k: v.at[sid].set(0.0) for k, v in self._am_state.items()
-            }
-        if self._ivp is not None:
-            self._iv_gamma = self._iv_gamma.at[sid].set(0.0)
-            self._iv_X = self._iv_X.at[sid].set(0.0)
+        # device-state reset (alpha / i-vector stats / recurrence rows) is
+        # folded into the next chunk program via this mask — admission
+        # costs no device dispatch
+        self._pending_reset[sid] = True
         return sid
 
     def feed(self, sid: int, pcm: np.ndarray) -> int:
@@ -425,11 +497,11 @@ class StreamScheduler:
                           max(have - 1, 0))
             windows[sid] = state.feats[idx]
             real_out = min(
-                CHUNK_OUT_FRAMES,
+                self._chunk_out,
                 max(0, -(-(have - t0) // self.am.subsampling)),
             )
             if not finished:
-                real_out = CHUNK_OUT_FRAMES  # full chunk guaranteed by `ready`
+                real_out = self._chunk_out  # full chunk guaranteed by `ready`
             n_valid[sid] = real_out
             chunk_t0[sid] = t0
             chunk_have[sid] = have
@@ -454,28 +526,41 @@ class StreamScheduler:
                     for s in self.slots
                 ]
             )
+            reset = self._pending_reset.copy()
             with StageTimer("stream_chunk", metrics):
                 if self._lane_spec is not None:
                     # shard host->devices directly: no device-0 staging copy
                     win_dev = jax.device_put(windows, self._lane_spec(windows))
                     nv_dev = jax.device_put(n_valid, self._lane_spec(n_valid))
+                    rs_dev = jax.device_put(reset, self._lane_spec(reset))
                     ivw_dev = jax.device_put(iv_wins, self._lane_spec(iv_wins))
                     ivs_dev = jax.device_put(iv_ws, self._lane_spec(iv_ws))
                 else:
                     win_dev = jnp.asarray(windows)
                     nv_dev = jnp.asarray(n_valid)
+                    rs_dev = jnp.asarray(reset)
                     ivw_dev = jnp.asarray(iv_wins)
                     ivs_dev = jnp.asarray(iv_ws)
                 alpha, bps, gamma, X, am_state = self._batch_chunk(
-                    self._alpha, win_dev, nv_dev,
+                    self._alpha, win_dev, nv_dev, rs_dev,
                     self._iv_gamma, self._iv_X,
                     ivw_dev, ivs_dev,
                     self._am_state,
                 )
+                self._pending_reset[:] = False
                 self._alpha = alpha
                 self._am_state = am_state
                 self._iv_gamma, self._iv_X = gamma, X
-                bps_np = np.asarray(bps)  # [7, N, S]
+                # [7, N, S]: copied device->host asynchronously; nothing
+                # blocks on it unless endpointing / silence weighting (or
+                # a finalize) needs the frames this tick
+                tick_bps = _TickBps(bps, self._bp_compact)
+                # bound device residency: materialize ticks a few steps
+                # old (their async copy has landed) so long utterances
+                # don't pile [7, N, S] buffers up in HBM
+                self._tick_ring.append(tick_bps)
+                if len(self._tick_ring) > 4:
+                    self._tick_ring.pop(0).force()
             if self._ivp is not None:
                 # everything passed this tick was folded into gamma/X —
                 # clear so nothing is double-counted next tick
@@ -490,14 +575,15 @@ class StreamScheduler:
                 k = int(n_valid[sid])
                 if k <= 0:
                     continue
-                state.bps.append(bps_np[:k, sid])
+                state.bps.append((tick_bps, k))
                 state.out_frames += k
                 if self._ivp is not None:
                     self._stage_ivector_stats(
                         sid,
                         int(chunk_t0[sid]),
                         int(chunk_have[sid]),
-                        bps_np[:k, sid],
+                        tick_bps,
+                        k,
                         alpha_np[sid] if alpha_np is not None else None,
                     )
                 state.frames_consumed += self._chunk_in
@@ -526,7 +612,8 @@ class StreamScheduler:
         sid: int,
         t0: int,
         have: int,
-        bp_chunk: np.ndarray,
+        tick_bps: _TickBps,
+        k: int,
         alpha_row: Optional[np.ndarray],
     ) -> None:
         """Prepare this slot's chunk (window, weights) for the next tick's
@@ -555,7 +642,7 @@ class StreamScheduler:
             and self._silence_pdfs
         ):
             flags = silence_weights_from_chunk(
-                bp_chunk,
+                tick_bps.force()[:k, sid],
                 alpha_row,
                 self.graph.arc_pdf,
                 self.graph.arc_src,
@@ -587,7 +674,8 @@ class StreamScheduler:
             relative_cost = float("inf")
             best_state = int(np.argmin(alpha_row))
         trailing, nonsil = trailing_silence_frames(
-            state.bps, best_state, self.graph.arc_pdf, self.graph.arc_src,
+            state.bp_chunks(sid), best_state,
+            self.graph.arc_pdf, self.graph.arc_src,
             self._silence_pdfs,
         )
         out_frame_sec = self.am.subsampling * self._frame_shift / 16000.0
@@ -610,7 +698,7 @@ class StreamScheduler:
         if not state.bps:
             state.result = []
             return
-        bp = np.concatenate(state.bps, axis=0)[:, None, :]
+        bp = np.concatenate(state.bp_chunks(sid), axis=0)[:, None, :]
         alpha = np.asarray(self._alpha[sid])[None, :]
         words, _cost = backtrace_words(self.graph, alpha, bp, 0,
                                        num_frames=bp.shape[0])

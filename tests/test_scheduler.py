@@ -165,3 +165,52 @@ def test_scheduler_lstm_per_lane_carry(tmp_path):
             break
         sched.step()
     assert sched.poll(sid) is not None
+
+
+def test_scheduler_larger_chunks_same_transcripts(profile_and_train):  # noqa: F811
+    """chunk_out_frames=14 (half the ticks, less context-overlap recompute)
+    decodes the same transcripts as the default 7."""
+    profile, train_dir = profile_and_train
+    sched = StreamScheduler(
+        profile.model_dir,
+        train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        max_streams=4,
+        chunk_out_frames=14,
+    )
+    texts = ["turn on the light", "never mind", "turn off the fan"]
+    pcms = [synthesize_sentence(profile, t, seed=300 + i) for i, t in enumerate(texts)]
+    sids = [sched.open_stream() for _ in texts]
+    for i, sid in enumerate(sids):
+        sched.feed(sid, pcms[i])
+        sched.finish(sid)
+    for _ in range(200):
+        if all(sched.poll(sid) is not None for sid in sids):
+            break
+        sched.step()
+    assert [sched.poll(sid) for sid in sids] == [[t] for t in texts]
+
+
+def test_scheduler_reopen_resets_device_state(profile_and_train):  # noqa: F811
+    """A recycled slot (close -> open, reset folded into the next chunk
+    program) decodes exactly like a fresh scheduler — stale alpha from the
+    previous occupant must not leak."""
+    profile, train_dir = profile_and_train
+    lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    sched = StreamScheduler(profile.model_dir, lang, max_streams=1)
+
+    def run(text, seed):
+        sid = sched.open_stream()
+        assert sid == 0
+        sched.feed(sid, synthesize_sentence(profile, text, seed=seed))
+        sched.finish(sid)
+        for _ in range(100):
+            if sched.poll(sid) is not None:
+                break
+            sched.step()
+        out = sched.poll(sid)
+        sched.close(sid)
+        return out
+
+    assert run("turn on the light", 41) == ["turn on the light"]
+    assert run("never mind", 42) == ["never mind"]
+    assert run("turn off the fan", 43) == ["turn off the fan"]
