@@ -42,14 +42,16 @@ CHUNK_OUT_FRAMES = 7
 
 
 class _TickBps:
-    """One tick's [7, N, S] backpointer tensor, transferred lazily.
+    """A device tensor transferred to host lazily (bps or alpha).
 
     The device→host copy is started asynchronously right after the chunk
     program is dispatched; ``force()`` materializes the numpy array (a
     no-op wait when the async copy already landed) and drops the device
     reference. With endpointing/silence-weighting off, nothing forces the
-    copy until a stream finalizes — steady-state ticks never block on the
-    largest transfer of the serving path.
+    per-tick [chunk, N, S] backpointers until a stream finalizes —
+    steady-state ticks never block on the largest transfer of the serving
+    path, and finalizes read the tick-end alpha from one shared async
+    copy instead of a per-lane device slice dispatch.
 
     ``encoded`` marks uint16 ``bp + 3`` packing (0 = inactive lane frame,
     1 = STAY, 2 = dead; arc ids ≤ 65532): half the transfer bytes of the
@@ -58,7 +60,7 @@ class _TickBps:
 
     __slots__ = ("_dev", "_np", "encoded")
 
-    def __init__(self, dev, encoded: bool):
+    def __init__(self, dev, encoded: bool = False):
         self._dev = dev
         self._np = None
         self.encoded = encoded
@@ -261,6 +263,7 @@ class StreamScheduler:
         self._batch_chunk = jax.jit(batch_chunk)
         self._pending_reset = np.zeros(max_streams, dtype=bool)
         self._tick_ring: List[_TickBps] = []
+        self._alpha_host: Optional[_TickBps] = None
         self._am_state = (
             self._chunk_model.init_state(max_streams) if recurrent else {}
         )
@@ -549,6 +552,7 @@ class StreamScheduler:
                 )
                 self._pending_reset[:] = False
                 self._alpha = alpha
+                self._alpha_host = _TickBps(alpha)
                 self._am_state = am_state
                 self._iv_gamma, self._iv_X = gamma, X
                 # [7, N, S]: copied device->host asynchronously; nothing
@@ -570,7 +574,7 @@ class StreamScheduler:
             need_alpha = self.endpointing is not None or (
                 self.silence_weight is not None and self._ivp is not None
             )
-            alpha_np = np.asarray(alpha) if need_alpha else None
+            alpha_np = self._alpha_host.force() if need_alpha else None
             for sid, state in enumerate(self.slots):
                 k = int(n_valid[sid])
                 if k <= 0:
@@ -699,7 +703,10 @@ class StreamScheduler:
             state.result = []
             return
         bp = np.concatenate(state.bp_chunks(sid), axis=0)[:, None, :]
-        alpha = np.asarray(self._alpha[sid])[None, :]
+        if self._alpha_host is not None:
+            alpha = self._alpha_host.force()[sid][None, :]
+        else:  # finalize before any tick ran (shouldn't happen with bps)
+            alpha = np.asarray(self._alpha[sid])[None, :]
         words, _cost = backtrace_words(self.graph, alpha, bp, 0,
                                        num_frames=bp.shape[0])
         if words is None:
