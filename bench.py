@@ -194,7 +194,8 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
             words=lang.words, g_fuzzy=g_fuzzy, graph=graph, phones=lang.phones
         ).save(graph_dir)
 
-        CHUNK = 21 * 160  # one decode chunk of audio (0.21 s)
+        chunk_out = int(os.environ.get("BENCH_CHUNK_OUT", "7"))
+        CHUNK = chunk_out * 3 * 160  # one decode chunk of audio
         chunk_sec = CHUNK / 16000.0
         utt_ticks = max(2, int(round(SECONDS * 16000 / CHUNK)))
         rng = np.random.RandomState(1)
@@ -209,6 +210,8 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     model_dir, graph_dir, max_streams=lanes,
                     max_fuzzy_cost=1.0,
                     pool_capacity_samples=int(16000 * (SECONDS + 2)),
+                    chunk_out_frames=chunk_out,
+                    compute_dtype=DTYPE or None,
                 )
                 remaining = np.zeros(lanes, dtype=np.int64)
                 for sid_expect in range(lanes):
@@ -260,7 +263,8 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 points.append(
                     {"lanes": lanes, "tick_ms": round(tick_ms, 1),
                      "chunk_rtf": round(chunk_rtf, 4),
-                     "xrt_streams": round(xrt, 1)}
+                     "xrt_streams": round(xrt, 1),
+                     "chunk_out": chunk_out}
                 )
                 sys.stderr.write(
                     f"stream lanes {lanes}: tick {tick_ms:.1f} ms "

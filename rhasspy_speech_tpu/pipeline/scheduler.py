@@ -171,8 +171,29 @@ class StreamScheduler:
         init_row = jnp.asarray(self.graph.init_weight)
         bp_compact = self._bp_compact
 
+        # Device-resident backpointer ring: when neither endpointing nor
+        # silence weighting needs per-tick host backpointers, each lane's
+        # bps accumulate in a [N, F, S] uint16 ring ON DEVICE and the
+        # finalize backtrace runs on device too — steady-state ticks
+        # transfer kilobytes instead of the [chunk, N, S] tensor (the
+        # dominant cost over any remote-dispatch transport, and a big
+        # PCIe saving locally). F is sized from the pool capacity: the
+        # pool bounds a stream's un-consumed audio, so offsets stay in
+        # range.
+        self._device_bp = (
+            endpointing is None
+            and silence_weight is None
+            and self._bp_compact
+        )
+        self._ring_frames = (
+            -(-pool_capacity_samples // (160 * self.am.subsampling))
+            + self._chunk_out
+            + 32
+        )
+
         def batch_chunk(
-            alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws, am_state
+            alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws,
+            am_state, ring, offs
         ):
             """alpha [N, S]; windows [N, W, D]; n_valid [N]; reset [N] bool
             (lanes reopened since the last tick restart from the initial
@@ -181,10 +202,14 @@ class StreamScheduler:
             X [N, I, D] with the previous tick's pending contribution
             (iv_wins [N, Wiv, Dc], iv_ws [N, chunk_in]) ->
             (alpha' [N, S], bp [7, N, S] (uint16-packed when the graph
-            fits), gamma', X', am_state'). Lanes without work
-            (n_valid == 0) keep alpha, recurrence state, and — via zero
-            iv_ws rows — their i-vector stats."""
+            fits; None in device-ring mode), gamma', X', am_state',
+            ring', offs'). Lanes without work (n_valid == 0) keep alpha,
+            recurrence state, and — via zero iv_ws rows — their i-vector
+            stats. In device-ring mode the chunk's backpointers are
+            written into ``ring`` [N, F, S] at each lane's frame offset
+            (donated: updated in place) and never leave the device."""
             alpha = jnp.where(reset[:, None], init_row[None, :], alpha)
+            offs = jnp.where(reset, 0, offs)
             gamma = jnp.where(
                 reset.reshape((-1,) + (1,) * (gamma.ndim - 1)), 0.0, gamma
             )
@@ -256,11 +281,25 @@ class StreamScheduler:
                 )
 
             new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
+            if device_bp:
+                enc = (bps + 3).astype(jnp.uint16)  # [chunk, N, S]
+                rows = jnp.swapaxes(enc, 0, 1)  # [N, chunk, S]
+                ring = jax.vmap(
+                    lambda buf, chunk_rows, off: jax.lax.dynamic_update_slice(
+                        buf, chunk_rows, (off, 0)
+                    )
+                )(ring, rows, offs)
+                new_offs = offs + n_valid
+                return (
+                    new_alpha, None, new_gamma, new_X, new_state,
+                    ring, new_offs,
+                )
             if bp_compact:
                 bps = (bps + 3).astype(jnp.uint16)
-            return new_alpha, bps, new_gamma, new_X, new_state
+            return new_alpha, bps, new_gamma, new_X, new_state, ring, offs
 
-        self._batch_chunk = jax.jit(batch_chunk)
+        device_bp = self._device_bp
+        self._batch_chunk = jax.jit(batch_chunk, donate_argnums=(9,))
         self._pending_reset = np.zeros(max_streams, dtype=bool)
         self._tick_ring: List[_TickBps] = []
         self._alpha_host: Optional[_TickBps] = None
@@ -285,6 +324,13 @@ class StreamScheduler:
         self._alpha = jnp.broadcast_to(
             jnp.asarray(self.graph.init_weight)[None, :], (max_streams, S)
         ).copy()
+        if self._device_bp:
+            self._ring = jnp.zeros(
+                (max_streams, self._ring_frames, S), dtype=jnp.uint16
+            )
+        else:
+            self._ring = jnp.zeros((max_streams, 1, 1), dtype=jnp.uint16)
+        self._offs = jnp.zeros(max_streams, dtype=jnp.int32)
 
         # Multi-chip lane sharding: persistent per-lane state and per-tick
         # inputs placed P("streams", ...) so XLA partitions the chunk step
@@ -314,6 +360,43 @@ class StreamScheduler:
                 k: jax.device_put(v, _lane_spec(v))
                 for k, v in self._am_state.items()
             }
+            self._ring = jax.device_put(self._ring, _lane_spec(self._ring))
+            self._offs = jax.device_put(self._offs, _lane_spec(self._offs))
+        # On-device finalize backtrace (device-ring mode): one call per
+        # tick handles up to _FINALIZE_BATCH flushed lanes, transferring
+        # only [F_max, F] arc traces (kilobytes) instead of per-lane
+        # [T, S] backpointer history.
+        base = self.device_graph.base
+        final_w = base.final_weight
+        arc_src_dev = base.arc_src
+        ring_frames = self._ring_frames
+
+        def finalize_trace(ring, alpha, sids, frames):
+            """sids/frames [F_max] int32 -> (arcs [F_max, F] int32,
+            fstate [F_max], cost [F_max]). Entries with frames == 0 are
+            padding."""
+            totals = alpha[sids] + final_w[None, :]
+            fstate = jnp.argmin(totals, axis=-1).astype(jnp.int32)
+            cost = jnp.take_along_axis(totals, fstate[:, None], axis=1)[:, 0]
+
+            def back(state, t):
+                active = t < frames
+                # per-step point gather from the big ring — materializing
+                # ring[sids] ([Fm, F, S]) would stream hundreds of MB
+                enc = ring[sids, t, state].astype(jnp.int32) - 3
+                is_real = active & (enc >= 0)
+                src = jnp.where(
+                    is_real, arc_src_dev[jnp.maximum(enc, 0)], state
+                )
+                emit = jnp.where(active, enc, jnp.int32(-2))  # STAY pad
+                return src, emit
+
+            ts = jnp.arange(ring_frames - 1, -1, -1, dtype=jnp.int32)
+            _, arcs_rev = jax.lax.scan(back, fstate, ts)
+            return jnp.swapaxes(arcs_rev[::-1], 0, 1), fstate, cost
+
+        self._finalize_trace = jax.jit(finalize_trace)
+
         cfg = self.am.frontend_config
         self._frame_len = cfg.frame_length
         self._frame_shift = cfg.frame_shift
@@ -544,27 +627,33 @@ class StreamScheduler:
                     rs_dev = jnp.asarray(reset)
                     ivw_dev = jnp.asarray(iv_wins)
                     ivs_dev = jnp.asarray(iv_ws)
-                alpha, bps, gamma, X, am_state = self._batch_chunk(
-                    self._alpha, win_dev, nv_dev, rs_dev,
-                    self._iv_gamma, self._iv_X,
-                    ivw_dev, ivs_dev,
-                    self._am_state,
+                alpha, bps, gamma, X, am_state, ring, offs = (
+                    self._batch_chunk(
+                        self._alpha, win_dev, nv_dev, rs_dev,
+                        self._iv_gamma, self._iv_X,
+                        ivw_dev, ivs_dev,
+                        self._am_state,
+                        self._ring, self._offs,
+                    )
                 )
                 self._pending_reset[:] = False
                 self._alpha = alpha
-                self._alpha_host = _TickBps(alpha)
                 self._am_state = am_state
                 self._iv_gamma, self._iv_X = gamma, X
-                # [7, N, S]: copied device->host asynchronously; nothing
-                # blocks on it unless endpointing / silence weighting (or
-                # a finalize) needs the frames this tick
-                tick_bps = _TickBps(bps, self._bp_compact)
-                # bound device residency: materialize ticks a few steps
-                # old (their async copy has landed) so long utterances
-                # don't pile [7, N, S] buffers up in HBM
-                self._tick_ring.append(tick_bps)
-                if len(self._tick_ring) > 4:
-                    self._tick_ring.pop(0).force()
+                self._ring, self._offs = ring, offs
+                tick_bps = None
+                if not self._device_bp:
+                    self._alpha_host = _TickBps(alpha)
+                    # [7, N, S]: copied device->host asynchronously;
+                    # nothing blocks on it unless endpointing / silence
+                    # weighting (or a finalize) needs the frames this tick
+                    tick_bps = _TickBps(bps, self._bp_compact)
+                    # bound device residency: materialize ticks a few
+                    # steps old (their async copy has landed) so long
+                    # utterances don't pile [7, N, S] buffers up in HBM
+                    self._tick_ring.append(tick_bps)
+                    if len(self._tick_ring) > 4:
+                        self._tick_ring.pop(0).force()
             if self._ivp is not None:
                 # everything passed this tick was folded into gamma/X —
                 # clear so nothing is double-counted next tick
@@ -579,7 +668,8 @@ class StreamScheduler:
                 k = int(n_valid[sid])
                 if k <= 0:
                     continue
-                state.bps.append((tick_bps, k))
+                if tick_bps is not None:
+                    state.bps.append((tick_bps, k))
                 state.out_frames += k
                 if self._ivp is not None:
                     self._stage_ivector_stats(
@@ -599,8 +689,11 @@ class StreamScheduler:
                     _LOGGER.debug("endpoint fired for stream %d", sid)
                     flushed.append(sid)
 
-        for sid in flushed:
-            self._finalize(sid)
+        if self._device_bp:
+            self._finalize_device(flushed)
+        else:
+            for sid in flushed:
+                self._finalize(sid)
         return lanes
 
     def run_until_idle(self, max_steps: int = 10000) -> None:
@@ -690,6 +783,84 @@ class StreamScheduler:
             utterance_length=state.out_frames * out_frame_sec,
         )
 
+    _FINALIZE_BATCH = 8
+
+    def _finalize_device(self, flushed: List[int]) -> None:
+        """Device-ring finalize: one on-device backtrace call per (up to)
+        _FINALIZE_BATCH flushed lanes — only [F_max, ring_frames] arc
+        traces leave the chip."""
+        todo = []
+        for sid in flushed:
+            state = self.slots[sid]
+            if state.done:
+                continue
+            state.done = True
+            get_metrics().add_audio(
+                state.frames_consumed * self._frame_shift / 16000.0,
+                utterances=1,
+            )
+            if state.out_frames <= 0:
+                state.result = []
+                continue
+            todo.append(sid)
+
+        graph = self.graph
+        for start in range(0, len(todo), self._FINALIZE_BATCH):
+            group = todo[start : start + self._FINALIZE_BATCH]
+            pad = self._FINALIZE_BATCH - len(group)
+            sids = np.asarray(
+                group + [group[0]] * pad, dtype=np.int32
+            )
+            frames = np.asarray(
+                [self.slots[s].out_frames for s in group] + [0] * pad,
+                dtype=np.int32,
+            )
+            arcs, fstates, costs = self._finalize_trace(
+                self._ring, self._alpha, jnp.asarray(sids),
+                jnp.asarray(frames),
+            )
+            arcs = np.asarray(arcs)
+            fstates = np.asarray(fstates)
+            costs = np.asarray(costs)
+            for i, sid in enumerate(group):
+                state = self.slots[sid]
+                if costs[i] >= 1.0e29:
+                    state.result = []
+                    continue
+                trace = arcs[i, : frames[i]]
+                if (trace == -1).any():
+                    state.result = []
+                    continue
+                real = trace[trace >= 0]
+                if real.shape[0]:
+                    first_state = int(graph.arc_src[real[0]])
+                else:
+                    first_state = int(fstates[i])
+                words: List[int] = list(
+                    graph.words_of(int(graph.init_wseq[first_state]))
+                )
+                wseqs = graph.arc_wseq[real]
+                for wid in wseqs[wseqs != 0]:
+                    words.extend(graph.words_of(int(wid)))
+                words.extend(
+                    graph.words_of(int(graph.final_wseq[int(fstates[i])]))
+                )
+                state.result = self._words_to_result(words)
+
+    def _words_to_result(self, words: List[int]) -> List[str]:
+        """Fuzzy tail + decode_meta shared by both finalize paths."""
+        lang = self.fuzzy_lang
+        if lang.g_fuzzy is not None and self.max_fuzzy_cost is not None:
+            fuzzy = get_fuzzy_text([words], lang.g_fuzzy, lang.words)
+            if fuzzy is not None and fuzzy[1] <= self.max_fuzzy_cost:
+                return [decode_meta(fuzzy[0])]
+        text = []
+        for wid in words:
+            sym = self.artifacts.words.find_id(wid)
+            if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
+                text.append(sym)
+        return [decode_meta(" ".join(text))]
+
     def _finalize(self, sid: int) -> None:
         state = self.slots[sid]
         if state.done:
@@ -712,15 +883,4 @@ class StreamScheduler:
         if words is None:
             state.result = []
             return
-        lang = self.fuzzy_lang
-        if lang.g_fuzzy is not None and self.max_fuzzy_cost is not None:
-            fuzzy = get_fuzzy_text([words], lang.g_fuzzy, lang.words)
-            if fuzzy is not None and fuzzy[1] <= self.max_fuzzy_cost:
-                state.result = [decode_meta(fuzzy[0])]
-                return
-        text = []
-        for wid in words:
-            sym = self.artifacts.words.find_id(wid)
-            if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
-                text.append(sym)
-        state.result = [decode_meta(" ".join(text))]
+        state.result = self._words_to_result(words)
