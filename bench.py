@@ -252,10 +252,17 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     tick(i)
                 n_meas = 2 * utt_ticks
                 active_total = 0
+                from rhasspy_speech_tpu.utils.metrics import reset_metrics
+
+                stage_metrics = reset_metrics()
                 t0 = time.time()
                 for i in range(warm, warm + n_meas):
                     active_total += tick(i)
                 wall = time.time() - t0
+                stage_ms = {
+                    name: round(s.seconds / n_meas * 1000.0, 1)
+                    for name, s in sorted(stage_metrics.stages.items())
+                }
 
                 tick_ms = wall / n_meas * 1000.0
                 chunk_rtf = (wall / n_meas) / chunk_sec
@@ -264,12 +271,14 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     {"lanes": lanes, "tick_ms": round(tick_ms, 1),
                      "chunk_rtf": round(chunk_rtf, 4),
                      "xrt_streams": round(xrt, 1),
-                     "chunk_out": chunk_out}
+                     "chunk_out": chunk_out,
+                     "stage_ms": stage_ms}
                 )
                 sys.stderr.write(
                     f"stream lanes {lanes}: tick {tick_ms:.1f} ms "
                     f"chunk-RTF {chunk_rtf:.4f} {xrt:.0f} xRT streams "
-                    f"({completed} utts retired; compile {compile_s:.1f}s)\n"
+                    f"({completed} utts retired; compile {compile_s:.1f}s) "
+                    f"stages {stage_ms}\n"
                 )
                 del sched
             except Exception as exc:

@@ -303,6 +303,7 @@ class StreamScheduler:
         self._pending_reset = np.zeros(max_streams, dtype=bool)
         self._tick_ring: List[_TickBps] = []
         self._alpha_host: Optional[_TickBps] = None
+        self._fuzzy_cache: dict = {}
         self._am_state = (
             self._chunk_model.init_state(max_streams) if recurrent else {}
         )
@@ -689,11 +690,12 @@ class StreamScheduler:
                     _LOGGER.debug("endpoint fired for stream %d", sid)
                     flushed.append(sid)
 
-        if self._device_bp:
-            self._finalize_device(flushed)
-        else:
-            for sid in flushed:
-                self._finalize(sid)
+        with StageTimer("stream_finalize", metrics):
+            if self._device_bp:
+                self._finalize_device(flushed)
+            else:
+                for sid in flushed:
+                    self._finalize(sid)
         return lanes
 
     def run_until_idle(self, max_steps: int = 10000) -> None:
@@ -847,19 +849,35 @@ class StreamScheduler:
                 )
                 state.result = self._words_to_result(words)
 
+    _FUZZY_CACHE_MAX = 4096
+
     def _words_to_result(self, words: List[int]) -> List[str]:
-        """Fuzzy tail + decode_meta shared by both finalize paths."""
+        """Fuzzy tail + decode_meta shared by both finalize paths.
+
+        The fuzzy compose against G.fuzzy is the priciest host step per
+        retired utterance; results are memoized per word sequence (the
+        batch path dedups identical hypotheses per batch the same way)."""
+        key = tuple(words)
+        cached = self._fuzzy_cache.get(key)
+        if cached is not None:
+            return list(cached)
         lang = self.fuzzy_lang
+        result = None
         if lang.g_fuzzy is not None and self.max_fuzzy_cost is not None:
             fuzzy = get_fuzzy_text([words], lang.g_fuzzy, lang.words)
             if fuzzy is not None and fuzzy[1] <= self.max_fuzzy_cost:
-                return [decode_meta(fuzzy[0])]
-        text = []
-        for wid in words:
-            sym = self.artifacts.words.find_id(wid)
-            if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
-                text.append(sym)
-        return [decode_meta(" ".join(text))]
+                result = [decode_meta(fuzzy[0])]
+        if result is None:
+            text = []
+            for wid in words:
+                sym = self.artifacts.words.find_id(wid)
+                if sym and sym not in ("<eps>", "#0", "<s>", "</s>"):
+                    text.append(sym)
+            result = [decode_meta(" ".join(text))]
+        if len(self._fuzzy_cache) >= self._FUZZY_CACHE_MAX:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = result
+        return list(result)
 
     def _finalize(self, sid: int) -> None:
         state = self.slots[sid]
