@@ -164,12 +164,30 @@ class StreamScheduler:
         chunk_in = self._chunk_in
         chunk_out = self._chunk_out
         has_ivector = self._has_ivector
+        win_lo = self._win_lo
+        num_ceps = self.am.frontend_config.num_ceps
 
         # uint16 bp packing (bp + 3: 0 = inactive, 1 = STAY, 2 = dead)
         # halves the largest per-tick transfer whenever the graph fits
         self._bp_compact = self.graph.num_arcs <= 65532
         init_row = jnp.asarray(self.graph.init_weight)
         bp_compact = self._bp_compact
+
+        # Inline i-vector windows: the staged [t0-sl, t0+chunk+sr) base-MFCC
+        # window is a STATIC SLICE of the AM window whenever the nnet input
+        # range covers it (TDNN context >= the splice context) and no
+        # pitch/CMVN transforms the tap — so the previous tick's window is
+        # carried ON DEVICE and the per-lane host staging plus its H2D
+        # upload disappear. Weights still come from the host (they encode
+        # per-lane valid-frame counts; [N, chunk] — bytes).
+        self._iv_inline = (
+            ivp is not None
+            and not self._featurizer.has_pitch
+            and getattr(self.am, "ivector_cmvn_stats", None) is None
+            and silence_weight in (None, 1.0)  # weights stay binary
+            and self._win_lo <= -ivp.splice_left
+            and self._win_hi >= self._chunk_in + ivp.splice_right
+        )
 
         # Device-resident backpointer ring: when neither endpointing nor
         # silence weighting needs per-tick host backpointers, each lane's
@@ -232,6 +250,7 @@ class StreamScheduler:
 
             ivec = None
             new_gamma, new_X = gamma, X
+            new_iv_carry = iv_wins
             if has_ivector:
                 if ivp is not None:
                     sl, sr = ivp.splice_left, ivp.splice_right
@@ -245,6 +264,13 @@ class StreamScheduler:
                     new_gamma = gamma + jnp.sum(post, axis=1)
                     new_X = X + jnp.einsum("nti,ntd->nid", post, lda_feats)
                     ivec = solve_ivector(new_gamma, new_X, ivp)
+                    if iv_inline:
+                        # next tick's pending window: static slice of the
+                        # AM window (same edge clamping by construction)
+                        off = -sl - win_lo
+                        new_iv_carry = jax.lax.dynamic_slice_in_dim(
+                            windows, off, sl + chunk_in + sr, axis=1
+                        )[:, :, :num_ceps]
                 else:
                     ivec = jnp.zeros(
                         (windows.shape[0], self.am.spec.ivector_dim),
@@ -292,14 +318,29 @@ class StreamScheduler:
                 new_offs = offs + n_valid
                 return (
                     new_alpha, None, new_gamma, new_X, new_state,
-                    ring, new_offs,
+                    ring, new_offs, new_iv_carry,
                 )
             if bp_compact:
                 bps = (bps + 3).astype(jnp.uint16)
-            return new_alpha, bps, new_gamma, new_X, new_state, ring, offs
+            return (
+                new_alpha, bps, new_gamma, new_X, new_state,
+                ring, offs, new_iv_carry,
+            )
 
         device_bp = self._device_bp
+        iv_inline = self._iv_inline
         self._batch_chunk = jax.jit(batch_chunk, donate_argnums=(9,))
+        if self._iv_inline:
+            self._iv_carry = jnp.zeros(
+                (
+                    max_streams,
+                    ivp.splice_left + self._chunk_in + ivp.splice_right,
+                    num_ceps,
+                ),
+                jnp.float32,
+            )
+        else:
+            self._iv_carry = None
         self._pending_reset = np.zeros(max_streams, dtype=bool)
         self._tick_ring: List[_TickBps] = []
         self._alpha_host: Optional[_TickBps] = None
@@ -363,6 +404,10 @@ class StreamScheduler:
             }
             self._ring = jax.device_put(self._ring, _lane_spec(self._ring))
             self._offs = jax.device_put(self._offs, _lane_spec(self._offs))
+            if self._iv_carry is not None:
+                self._iv_carry = jax.device_put(
+                    self._iv_carry, _lane_spec(self._iv_carry)
+                )
         # On-device finalize backtrace (device-ring mode): one call per
         # tick handles up to _FINALIZE_BATCH flushed lanes, transferring
         # only [F_max, F] arc traces (kilobytes) instead of per-lane
@@ -482,9 +527,11 @@ class StreamScheduler:
         base_rows = {}
         with_buf = [(sid, buf, n) for sid, _p, buf, n in pushed if buf is not None]
         if with_buf:
-            # stable compiled shapes: fixed row count, 0.5 s length buckets
+            # stable compiled shapes: fixed row count, 0.1 s length buckets
+            # (steady streaming feeds chunk-sized pushes; coarse buckets
+            # would pad the H2D transfer several-fold)
             max_len = max(b.shape[0] for _, b, _ in with_buf)
-            max_len = -(-max_len // 8000) * 8000
+            max_len = -(-max_len // 1600) * 1600
             batch = np.zeros((self.max_streams, max_len), dtype=np.float32)
             for i, (_sid, buf, _n) in enumerate(with_buf):
                 batch[i, : buf.shape[0]] = buf
@@ -596,15 +643,18 @@ class StreamScheduler:
         lanes = int((n_valid > 0).sum())
         if lanes:
             win_shape = self._iv_win_shape
-            iv_wins = np.stack(
-                [
-                    s.iv_pending_win
-                    if s.iv_pending_win is not None
-                    and s.iv_pending_win.shape == win_shape
-                    else np.zeros(win_shape, np.float32)
-                    for s in self.slots
-                ]
-            )
+            if self._iv_inline:
+                iv_wins = None  # carried on device
+            else:
+                iv_wins = np.stack(
+                    [
+                        s.iv_pending_win
+                        if s.iv_pending_win is not None
+                        and s.iv_pending_win.shape == win_shape
+                        else np.zeros(win_shape, np.float32)
+                        for s in self.slots
+                    ]
+                )
             iv_ws = np.stack(
                 [
                     s.iv_pending_w
@@ -620,15 +670,23 @@ class StreamScheduler:
                     win_dev = jax.device_put(windows, self._lane_spec(windows))
                     nv_dev = jax.device_put(n_valid, self._lane_spec(n_valid))
                     rs_dev = jax.device_put(reset, self._lane_spec(reset))
-                    ivw_dev = jax.device_put(iv_wins, self._lane_spec(iv_wins))
                     ivs_dev = jax.device_put(iv_ws, self._lane_spec(iv_ws))
+                    ivw_dev = (
+                        self._iv_carry
+                        if self._iv_inline
+                        else jax.device_put(iv_wins, self._lane_spec(iv_wins))
+                    )
                 else:
                     win_dev = jnp.asarray(windows)
                     nv_dev = jnp.asarray(n_valid)
                     rs_dev = jnp.asarray(reset)
-                    ivw_dev = jnp.asarray(iv_wins)
                     ivs_dev = jnp.asarray(iv_ws)
-                alpha, bps, gamma, X, am_state, ring, offs = (
+                    ivw_dev = (
+                        self._iv_carry
+                        if self._iv_inline
+                        else jnp.asarray(iv_wins)
+                    )
+                alpha, bps, gamma, X, am_state, ring, offs, iv_carry = (
                     self._batch_chunk(
                         self._alpha, win_dev, nv_dev, rs_dev,
                         self._iv_gamma, self._iv_X,
@@ -642,6 +700,8 @@ class StreamScheduler:
                 self._am_state = am_state
                 self._iv_gamma, self._iv_X = gamma, X
                 self._ring, self._offs = ring, offs
+                if self._iv_inline:
+                    self._iv_carry = iv_carry
                 tick_bps = None
                 if not self._device_bp:
                     self._alpha_host = _TickBps(alpha)
@@ -673,14 +733,23 @@ class StreamScheduler:
                     state.bps.append((tick_bps, k))
                 state.out_frames += k
                 if self._ivp is not None:
-                    self._stage_ivector_stats(
-                        sid,
-                        int(chunk_t0[sid]),
-                        int(chunk_have[sid]),
-                        tick_bps,
-                        k,
-                        alpha_np[sid] if alpha_np is not None else None,
-                    )
+                    if self._iv_inline:
+                        # window carried on device; only the valid-frame
+                        # weights for the next tick's fold come from host
+                        t0 = int(chunk_t0[sid])
+                        t_end = min(t0 + self._chunk_in, int(chunk_have[sid]))
+                        state.iv_pending_w = (
+                            np.arange(t0, t0 + self._chunk_in) < t_end
+                        ).astype(np.float32)
+                    else:
+                        self._stage_ivector_stats(
+                            sid,
+                            int(chunk_t0[sid]),
+                            int(chunk_have[sid]),
+                            tick_bps,
+                            k,
+                            alpha_np[sid] if alpha_np is not None else None,
+                        )
                 state.frames_consumed += self._chunk_in
                 if self.pool.is_finished(sid) and state.frames_consumed >= state.feats.shape[0]:
                     flushed.append(sid)

@@ -119,6 +119,7 @@ def build_synthetic_profile(
     with_ivector: bool = False,
     with_pitch: bool = False,
     with_ivector_cmvn: bool = False,
+    with_context: bool = False,
 ) -> SyntheticProfile:
     """Write a model dir (config.json, model/final.mdl, model/phones.txt,
     model/frontend.json) whose AM recognizes audio from synthesize_sentence.
@@ -215,14 +216,25 @@ def build_synthetic_profile(
         aff_rows = np.concatenate(
             [aff_rows, np.zeros((rows.shape[0], 3), dtype=np.float32)], axis=1
         )
+    if with_context:
+        # genuine ±5-frame temporal context (zero weights on the offset
+        # copies, so transcripts are unchanged) — gives the AM a nnet
+        # input range wide enough to cover the i-vector splice window
+        # (chunk_in + splice_right frames), exercising streaming paths
+        # that slice it from the AM window
+        zeros_ctx = np.zeros_like(aff_rows)
+        aff_rows = np.concatenate([zeros_ctx, aff_rows, zeros_ctx], axis=1)
+        ctx_input = "Append(Offset(input, -5), input, Offset(input, 5))"
+    else:
+        ctx_input = "input"
     if with_ivector:
         aff_rows = np.concatenate(
             [aff_rows, np.zeros((rows.shape[0], IVEC_DIM), dtype=np.float32)],
             axis=1,
         )
-        aff_input = "Append(input, ReplaceIndex(ivector, t, 0))"
+        aff_input = f"Append({ctx_input}, ReplaceIndex(ivector, t, 0))"
     else:
-        aff_input = "input"
+        aff_input = ctx_input
     nodes = [
         NodeSpec(kind="input", name="input", dim=input_dim),
     ]

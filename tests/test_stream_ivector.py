@@ -199,3 +199,50 @@ def test_scheduler_mid_chunk_finish_race(tmp_path):
     sched.finish(sid_long)
     sched.run_until_idle()
     assert sched.poll(sid_long) == ["turn on light"]
+
+
+def test_scheduler_inline_ivector_window_matches_batch(tmp_path):
+    """A context-ful AM (nnet input range covering the splice window)
+    takes the inline i-vector path — the staged window is sliced from the
+    AM window ON DEVICE — and must transcribe identically to the batch
+    transcriber."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.pipeline.transcribe import Nnet3WavTranscriber
+
+    lexicon = {
+        "turn": ["t", "er", "n"],
+        "on": ["aa", "n"],
+        "off": ["ao", "f"],
+        "light": ["l", "ay", "t"],
+    }
+    profile = build_synthetic_profile(
+        tmp_path / "m", lexicon, with_ivector=True, with_context=True
+    )
+    train_model_sync(
+        "en",
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["turn (on|off) light"]}]}}},
+        tmp_path / "t", profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang = tmp_path / "t" / lang_dir_name(LangSuffix.GRAMMAR)
+
+    sched = StreamScheduler(profile.model_dir, lang, max_streams=2)
+    assert sched._iv_inline, "context AM must enable the inline iv path"
+    assert sched._device_bp
+
+    texts = ["turn on light", "turn off light"]
+    pcms = [synthesize_sentence(profile, t, seed=70 + i) for i, t in enumerate(texts)]
+    sids = [sched.open_stream() for _ in texts]
+    for sid, pcm in zip(sids, pcms):
+        sched.feed(sid, pcm)
+        sched.finish(sid)
+    for _ in range(100):
+        if all(sched.poll(s) is not None for s in sids):
+            break
+        sched.step()
+    got = [sched.poll(s) for s in sids]
+
+    batch = Nnet3WavTranscriber(profile.model_dir, lang)
+    want = batch.transcribe_pcm_batch(pcms)
+    assert got == want == [[t] for t in texts]
