@@ -424,12 +424,19 @@ class StreamScheduler:
             totals = alpha[sids] + final_w[None, :]
             fstate = jnp.argmin(totals, axis=-1).astype(jnp.int32)
             cost = jnp.take_along_axis(totals, fstate[:, None], axis=1)[:, 0]
+            lanes = jnp.arange(sids.shape[0])
 
-            def back(state, t):
+            # Gather the needed lanes once ([Fm, F, S] — bounded HBM
+            # traffic), then scan the TIME axis so each step indexes a
+            # small [Fm, S] slice — the same structure as the batch
+            # decoder's on-device backtrace, instead of a per-step point
+            # gather from the full ring (which lowers ~25x slower).
+            rows_rev = jnp.swapaxes(ring[sids], 0, 1)[::-1]  # [F, Fm, S]
+
+            def back(state, xs):
+                bp_t, t = xs
                 active = t < frames
-                # per-step point gather from the big ring — materializing
-                # ring[sids] ([Fm, F, S]) would stream hundreds of MB
-                enc = ring[sids, t, state].astype(jnp.int32) - 3
+                enc = bp_t[lanes, state].astype(jnp.int32) - 3
                 is_real = active & (enc >= 0)
                 src = jnp.where(
                     is_real, arc_src_dev[jnp.maximum(enc, 0)], state
@@ -438,7 +445,7 @@ class StreamScheduler:
                 return src, emit
 
             ts = jnp.arange(ring_frames - 1, -1, -1, dtype=jnp.int32)
-            _, arcs_rev = jax.lax.scan(back, fstate, ts)
+            _, arcs_rev = jax.lax.scan(back, fstate, (rows_rev, ts))
             return jnp.swapaxes(arcs_rev[::-1], 0, 1), fstate, cost
 
         self._finalize_trace = jax.jit(finalize_trace)
