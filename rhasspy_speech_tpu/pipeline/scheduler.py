@@ -92,6 +92,7 @@ class _SlotState:
     flushed_feats: bool = False
     iv_pending_win: Optional[np.ndarray] = None
     iv_pending_w: Optional[np.ndarray] = None
+    gen: int = 0  # bumped on open: stale async finalizes are dropped
 
     def bp_chunks(self, sid: int) -> List[np.ndarray]:
         """Materialized per-chunk [k, S] backpointers for this stream."""
@@ -165,6 +166,7 @@ class StreamScheduler:
         chunk_out = self._chunk_out
         has_ivector = self._has_ivector
         win_lo = self._win_lo
+        win_hi = self._win_hi
         num_ceps = self.am.frontend_config.num_ceps
 
         # uint16 bp packing (bp + 3: 0 = inactive, 1 = STAY, 2 = dead)
@@ -209,9 +211,24 @@ class StreamScheduler:
             + 32
         )
 
+        # Device-resident features: MFCC rows land in a [N, FT, D] ring on
+        # device (written by the drain program) and the AM window gathers
+        # from it INSIDE the chunk program — the per-tick feature D2H +
+        # window H2D round trip disappears along with the per-lane host
+        # window assembly. Falls back to the host path for pitch models
+        # (pitch merge is host logic) and non-inline i-vector taps.
+        self._device_feats = (
+            self._device_bp
+            and not self._featurizer.has_pitch
+            and (ivp is None or self._iv_inline)
+        )
+        self._feat_ring_frames = (
+            pool_capacity_samples // 160 + self._win_hi + 160
+        )
+
         def batch_chunk(
             alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws,
-            am_state, ring, offs
+            am_state, ring, offs, feats_ring, t0s, haves
         ):
             """alpha [N, S]; windows [N, W, D]; n_valid [N]; reset [N] bool
             (lanes reopened since the last tick restart from the initial
@@ -226,6 +243,18 @@ class StreamScheduler:
             stats. In device-ring mode the chunk's backpointers are
             written into ``ring`` [N, F, S] at each lane's frame offset
             (donated: updated in place) and never leave the device."""
+            if device_feats:
+                # assemble AM windows from the device feature ring (same
+                # edge-clamped indexing as the host path)
+                W = win_hi - win_lo
+                idx = jnp.clip(
+                    t0s[:, None] + win_lo + jnp.arange(W)[None, :],
+                    0,
+                    jnp.maximum(haves - 1, 0)[:, None],
+                )  # [N, W]
+                windows = jnp.take_along_axis(
+                    feats_ring, idx[:, :, None], axis=1
+                )
             alpha = jnp.where(reset[:, None], init_row[None, :], alpha)
             offs = jnp.where(reset, 0, offs)
             gamma = jnp.where(
@@ -329,7 +358,32 @@ class StreamScheduler:
 
         device_bp = self._device_bp
         iv_inline = self._iv_inline
+        device_feats = self._device_feats
         self._batch_chunk = jax.jit(batch_chunk, donate_argnums=(9,))
+
+        frontend_params = self.am.frontend_params
+
+        def feed_feats(feats_ring, pcm_buf, counts):
+            """Write each lane's new MFCC rows into the device feature
+            ring at its frame offset. Rows beyond a lane's real frame
+            count are scratch (overwritten by the next write; reads clamp
+            to the valid count)."""
+            rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
+            return jax.vmap(
+                lambda buf, lane_rows, cnt: jax.lax.dynamic_update_slice(
+                    buf, lane_rows, (cnt, 0)
+                )
+            )(feats_ring, rows, counts)
+
+        self._feed_feats = jax.jit(feed_feats, donate_argnums=(0,))
+        if self._device_feats:
+            self._feats_ring = jnp.zeros(
+                (max_streams, self._feat_ring_frames, num_ceps), jnp.float32
+            )
+        else:
+            # lane-dim dummy so mesh sharding stays divisible
+            self._feats_ring = jnp.zeros((max_streams, 1, 1), jnp.float32)
+        self._feat_counts = np.zeros(max_streams, dtype=np.int32)
         if self._iv_inline:
             self._iv_carry = jnp.zeros(
                 (
@@ -345,6 +399,7 @@ class StreamScheduler:
         self._tick_ring: List[_TickBps] = []
         self._alpha_host: Optional[_TickBps] = None
         self._fuzzy_cache: dict = {}
+        self._pending_finalize: list = []
         self._am_state = (
             self._chunk_model.init_state(max_streams) if recurrent else {}
         )
@@ -408,6 +463,9 @@ class StreamScheduler:
                 self._iv_carry = jax.device_put(
                     self._iv_carry, _lane_spec(self._iv_carry)
                 )
+            self._feats_ring = jax.device_put(
+                self._feats_ring, _lane_spec(self._feats_ring)
+            )
         # On-device finalize backtrace (device-ring mode): one call per
         # tick handles up to _FINALIZE_BATCH flushed lanes, transferring
         # only [F_max, F] arc traces (kilobytes) instead of per-lane
@@ -417,21 +475,24 @@ class StreamScheduler:
         arc_src_dev = base.arc_src
         ring_frames = self._ring_frames
 
-        def finalize_trace(ring, alpha, sids, frames):
-            """sids/frames [F_max] int32 -> (arcs [F_max, F] int32,
+        def finalize_trace(ring, alpha, sids, frames, steps):
+            """sids/frames [F_max] int32 -> (arcs [F_max, steps] int32,
             fstate [F_max], cost [F_max]). Entries with frames == 0 are
-            padding."""
+            padding; ``steps`` (static) is the bucketed scan length
+            (>= max frames in the group), so short utterances don't pay a
+            full-ring-depth walk."""
             totals = alpha[sids] + final_w[None, :]
             fstate = jnp.argmin(totals, axis=-1).astype(jnp.int32)
             cost = jnp.take_along_axis(totals, fstate[:, None], axis=1)[:, 0]
             lanes = jnp.arange(sids.shape[0])
 
-            # Gather the needed lanes once ([Fm, F, S] — bounded HBM
+            # Gather the needed lanes once ([Fm, steps, S] — bounded HBM
             # traffic), then scan the TIME axis so each step indexes a
             # small [Fm, S] slice — the same structure as the batch
             # decoder's on-device backtrace, instead of a per-step point
             # gather from the full ring (which lowers ~25x slower).
-            rows_rev = jnp.swapaxes(ring[sids], 0, 1)[::-1]  # [F, Fm, S]
+            rows = ring[sids, :steps]  # [Fm, steps, S]
+            rows_rev = jnp.swapaxes(rows, 0, 1)[::-1]  # [steps, Fm, S]
 
             def back(state, xs):
                 bp_t, t = xs
@@ -444,11 +505,11 @@ class StreamScheduler:
                 emit = jnp.where(active, enc, jnp.int32(-2))  # STAY pad
                 return src, emit
 
-            ts = jnp.arange(ring_frames - 1, -1, -1, dtype=jnp.int32)
+            ts = jnp.arange(steps - 1, -1, -1, dtype=jnp.int32)
             _, arcs_rev = jax.lax.scan(back, fstate, (rows_rev, ts))
             return jnp.swapaxes(arcs_rev[::-1], 0, 1), fstate, cost
 
-        self._finalize_trace = jax.jit(finalize_trace)
+        self._finalize_trace = jax.jit(finalize_trace, static_argnums=(4,))
 
         cfg = self.am.frontend_config
         self._frame_len = cfg.frame_length
@@ -479,6 +540,7 @@ class StreamScheduler:
         state.active = True
         state.feats = np.zeros((0, self._featurizer.feat_dim), np.float32)
         state.feat_state = self._featurizer.new_state()
+        self._feat_counts[sid] = 0
         state.frames_consumed = 0
         state.out_frames = 0
         state.bps = []
@@ -487,6 +549,7 @@ class StreamScheduler:
         state.flushed_feats = False
         state.iv_pending_win = np.zeros(self._iv_win_shape, np.float32)
         state.iv_pending_w = np.zeros(self._chunk_in, np.float32)
+        state.gen += 1
         # device-state reset (alpha / i-vector stats / recurrence rows) is
         # folded into the next chunk program via this mask — admission
         # costs no device dispatch
@@ -503,6 +566,8 @@ class StreamScheduler:
         """Result once the stream is fully decoded; None while in flight."""
         state = self.slots[sid]
         if state.done:
+            if state.result is None and self._pending_finalize:
+                self._harvest_finalizes()
             return state.result
         return None
 
@@ -516,10 +581,68 @@ class StreamScheduler:
 
     # -- scheduling -------------------------------------------------------------
 
+    def _drain_features_device(self) -> None:
+        """Device-resident drain: pool PCM -> one padded batch -> MFCC ->
+        rows written into the device feature ring at per-lane offsets.
+        No feature bytes return to host; only frame counts are tracked."""
+        fz = self._featurizer
+        with_buf = []  # (sid, buf, n)
+        for sid, state in enumerate(self.slots):
+            if not state.active or state.done:
+                continue
+            avail = self.pool.available(sid)
+            if avail <= 0:
+                continue
+            pcm = self.pool.read(sid, avail)
+            r = fz.prepare_mfcc_buf(state.feat_state, pcm)
+            if r is not None:
+                with_buf.append((sid, *r))
+        if with_buf:
+            max_len = max(b.shape[0] for _, b, _ in with_buf)
+            max_len = -(-max_len // 1600) * 1600
+            batch = np.zeros((self.max_streams, max_len), dtype=np.float32)
+            for sid, buf, _n in with_buf:
+                batch[sid, : buf.shape[0]] = buf
+            n_rows = 1 + (max_len - fz.frame_len) // fz.frame_shift
+            limit = self._feat_ring_frames - n_rows
+            for sid, buf, n in with_buf:
+                if self._feat_counts[sid] + n > limit:
+                    raise RuntimeError(
+                        f"stream {sid} exceeds the device feature ring "
+                        f"({self._feat_ring_frames} frames); raise "
+                        "pool_capacity_samples to the longest expected "
+                        "utterance"
+                    )
+            if self._lane_spec is not None:
+                batch_dev = jax.device_put(batch, self._lane_spec(batch))
+                counts_dev = jax.device_put(
+                    self._feat_counts, self._lane_spec(self._feat_counts)
+                )
+            else:
+                batch_dev = jnp.asarray(batch)
+                counts_dev = jnp.asarray(self._feat_counts)
+            self._feats_ring = self._feed_feats(
+                self._feats_ring, batch_dev, counts_dev
+            )
+            for sid, buf, n in with_buf:
+                self._feat_counts[sid] += n
+                fz.commit_mfcc(self.slots[sid].feat_state, buf, n)
+        for sid, state in enumerate(self.slots):
+            if (
+                state.active
+                and not state.done
+                and not state.flushed_feats
+                and self.pool.is_finished(sid)
+                and self.pool.available(sid) <= 0
+            ):
+                state.flushed_feats = True
+
     def _drain_features_all(self) -> None:
         """Move pool PCM into per-slot feature buffers — ONE padded batched
         base-MFCC call per tick for every slot with new audio, plus (for
         pitch models) ONE batched fixed-window pitch call."""
+        if self._device_feats:
+            return self._drain_features_device()
         fz = self._featurizer
         pushed = []  # (sid, pcm, buf_or_None, n_frames)
         for sid, state in enumerate(self.slots):
@@ -615,28 +738,43 @@ class StreamScheduler:
         N = self.max_streams
         W = self._win_hi - self._win_lo
         D = self._featurizer.feat_dim
-        windows = np.zeros((N, W, D), dtype=np.float32)
+        device_feats = self._device_feats
+        windows = (
+            np.zeros((N, 1, 1), dtype=np.float32)  # lane-dim dummy (mesh)
+            if device_feats
+            else np.zeros((N, W, D), dtype=np.float32)
+        )
         n_valid = np.zeros(N, dtype=np.int32)
         chunk_t0 = np.zeros(N, dtype=np.int64)
         chunk_have = np.zeros(N, dtype=np.int64)
         flushed: List[int] = []
 
+        if self._pending_finalize:
+            with StageTimer("stream_finalize", metrics):
+                self._harvest_finalizes()
         with StageTimer("stream_features", metrics):
             self._drain_features_all()
         for sid, state in enumerate(self.slots):
             if not state.active or state.done:
                 continue
             t0 = state.frames_consumed
-            have = state.feats.shape[0]
+            have = (
+                int(self._feat_counts[sid])
+                if device_feats
+                else state.feats.shape[0]
+            )
             finished = self.pool.is_finished(sid)
             ready = have >= t0 + self._chunk_in + max(self._win_hi - self._chunk_in, 0)
-            if not ready and not (finished and t0 < have):
-                if finished and t0 >= have:
+            if not ready and not (finished and state.flushed_feats and t0 < have):
+                if finished and state.flushed_feats and t0 >= have:
                     flushed.append(sid)
                 continue
-            idx = np.clip(np.arange(t0 + self._win_lo, t0 + self._win_hi), 0,
-                          max(have - 1, 0))
-            windows[sid] = state.feats[idx]
+            if not device_feats:
+                idx = np.clip(
+                    np.arange(t0 + self._win_lo, t0 + self._win_hi), 0,
+                    max(have - 1, 0),
+                )
+                windows[sid] = state.feats[idx]
             real_out = min(
                 self._chunk_out,
                 max(0, -(-(have - t0) // self.am.subsampling)),
@@ -693,6 +831,14 @@ class StreamScheduler:
                         if self._iv_inline
                         else jnp.asarray(iv_wins)
                     )
+                t0s = chunk_t0.astype(np.int32)
+                haves = chunk_have.astype(np.int32)
+                if self._lane_spec is not None:
+                    t0_dev = jax.device_put(t0s, self._lane_spec(t0s))
+                    hv_dev = jax.device_put(haves, self._lane_spec(haves))
+                else:
+                    t0_dev = jnp.asarray(t0s)
+                    hv_dev = jnp.asarray(haves)
                 alpha, bps, gamma, X, am_state, ring, offs, iv_carry = (
                     self._batch_chunk(
                         self._alpha, win_dev, nv_dev, rs_dev,
@@ -700,6 +846,7 @@ class StreamScheduler:
                         ivw_dev, ivs_dev,
                         self._am_state,
                         self._ring, self._offs,
+                        self._feats_ring, t0_dev, hv_dev,
                     )
                 )
                 self._pending_reset[:] = False
@@ -758,7 +905,16 @@ class StreamScheduler:
                             alpha_np[sid] if alpha_np is not None else None,
                         )
                 state.frames_consumed += self._chunk_in
-                if self.pool.is_finished(sid) and state.frames_consumed >= state.feats.shape[0]:
+                have_now = (
+                    int(self._feat_counts[sid])
+                    if device_feats
+                    else state.feats.shape[0]
+                )
+                if (
+                    self.pool.is_finished(sid)
+                    and state.flushed_feats
+                    and state.frames_consumed >= have_now
+                ):
                     flushed.append(sid)
                 elif self.endpointing is not None and self._check_endpoint(
                     sid, alpha_np[sid]
@@ -861,12 +1017,14 @@ class StreamScheduler:
             utterance_length=state.out_frames * out_frame_sec,
         )
 
-    _FINALIZE_BATCH = 8
+    _FINALIZE_BATCH = 16
 
     def _finalize_device(self, flushed: List[int]) -> None:
-        """Device-ring finalize: one on-device backtrace call per (up to)
-        _FINALIZE_BATCH flushed lanes — only [F_max, ring_frames] arc
-        traces leave the chip."""
+        """Device-ring finalize: dispatch one bucketed on-device backtrace
+        per (up to) _FINALIZE_BATCH flushed lanes; results are harvested
+        ASYNCHRONOUSLY (next tick, or on poll) so steady-state ticks don't
+        block on the trace — only [F_max, steps] arc traces leave the
+        chip."""
         todo = []
         for sid in flushed:
             state = self.slots[sid]
@@ -882,26 +1040,46 @@ class StreamScheduler:
                 continue
             todo.append(sid)
 
-        graph = self.graph
         for start in range(0, len(todo), self._FINALIZE_BATCH):
             group = todo[start : start + self._FINALIZE_BATCH]
             pad = self._FINALIZE_BATCH - len(group)
-            sids = np.asarray(
-                group + [group[0]] * pad, dtype=np.int32
-            )
+            sids = np.asarray(group + [group[0]] * pad, dtype=np.int32)
             frames = np.asarray(
                 [self.slots[s].out_frames for s in group] + [0] * pad,
                 dtype=np.int32,
             )
+            # bucketed static scan length: short utterances don't pay a
+            # full-ring-depth walk; one compiled program per bucket
+            steps = 32
+            top = int(frames.max())
+            while steps < top:
+                steps *= 2
+            steps = min(steps, self._ring_frames)
             arcs, fstates, costs = self._finalize_trace(
                 self._ring, self._alpha, jnp.asarray(sids),
-                jnp.asarray(frames),
+                jnp.asarray(frames), steps,
             )
-            arcs = np.asarray(arcs)
-            fstates = np.asarray(fstates)
-            costs = np.asarray(costs)
+            try:
+                arcs.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                pass
+            gens = [self.slots[s_].gen for s_ in group]
+            self._pending_finalize.append(
+                (group, gens, frames, arcs, fstates, costs)
+            )
+
+    def _harvest_finalizes(self) -> None:
+        """Assemble words for all dispatched finalize traces."""
+        graph = self.graph
+        pending, self._pending_finalize = self._pending_finalize, []
+        for group, gens, frames, arcs_d, fstates_d, costs_d in pending:
+            arcs = np.asarray(arcs_d)
+            fstates = np.asarray(fstates_d)
+            costs = np.asarray(costs_d)
             for i, sid in enumerate(group):
                 state = self.slots[sid]
+                if state.gen != gens[i]:
+                    continue  # slot was recycled; result is obsolete
                 if costs[i] >= 1.0e29:
                     state.result = []
                     continue

@@ -26,12 +26,34 @@ _LOGGER = logging.getLogger(__name__)
 _enabled_dir: Optional[str] = None
 
 
+def _host_fingerprint() -> str:
+    """CPU-feature fingerprint: XLA:CPU AOT results are machine-specific
+    (loading an executable compiled with other CPU features logs SIGILL
+    warnings and can misexecute), so each distinct host gets its own cache
+    subdirectory. TPU executables key on the accelerator, which JAX's own
+    cache key covers."""
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo", "r", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
 def default_cache_dir() -> Path:
     env = os.environ.get("RSTPU_COMPILE_CACHE_DIR")
     if env:
         return Path(env)
     base = os.environ.get("XDG_CACHE_HOME") or str(Path.home() / ".cache")
-    return Path(base) / "rhasspy_speech_tpu" / "xla_cache"
+    return Path(base) / "rhasspy_speech_tpu" / "xla_cache" / _host_fingerprint()
 
 
 def enable_compilation_cache(
