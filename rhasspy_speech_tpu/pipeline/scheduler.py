@@ -1059,10 +1059,14 @@ class StreamScheduler:
                 self._ring, self._alpha, jnp.asarray(sids),
                 jnp.asarray(frames), steps,
             )
-            try:
-                arcs.copy_to_host_async()
-            except Exception:  # pragma: no cover
-                pass
+            for dev in (arcs, fstates, costs):
+                try:
+                    # start all three D2H copies now: the next tick's
+                    # harvest then waits on landed data instead of paying
+                    # one dispatch round trip per np.asarray
+                    dev.copy_to_host_async()
+                except Exception:  # pragma: no cover
+                    pass
             gens = [self.slots[s_].gen for s_ in group]
             self._pending_finalize.append(
                 (group, gens, frames, arcs, fstates, costs)
