@@ -199,8 +199,11 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
         chunk_sec = CHUNK / 16000.0
         utt_ticks = max(2, int(round(SECONDS * 16000 / CHUNK)))
         rng = np.random.RandomState(1)
+        # integral samples, like real 16-bit PCM (enables the scheduler's
+        # half-width int16 upload path)
         pcm_pool = [
-            (1000.0 * rng.randn(CHUNK)).astype(np.float32) for _ in range(16)
+            np.round(1000.0 * rng.randn(CHUNK)).astype(np.float32)
+            for _ in range(16)
         ]
 
         points = []

@@ -367,7 +367,10 @@ class StreamScheduler:
             """Write each lane's new MFCC rows into the device feature
             ring at its frame offset. Rows beyond a lane's real frame
             count are scratch (overwritten by the next write; reads clamp
-            to the valid count)."""
+            to the valid count). ``pcm_buf`` arrives int16 when exact
+            (PCM is 16-bit at the wire; halves the per-tick H2D bytes)."""
+            if pcm_buf.dtype != jnp.float32:
+                pcm_buf = pcm_buf.astype(jnp.float32)
             rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
             return jax.vmap(
                 lambda buf, lane_rows, cnt: jax.lax.dynamic_update_slice(
@@ -600,9 +603,19 @@ class StreamScheduler:
         if with_buf:
             max_len = max(b.shape[0] for _, b, _ in with_buf)
             max_len = -(-max_len // 1600) * 1600
-            batch = np.zeros((self.max_streams, max_len), dtype=np.float32)
+            # PCM is int16 at the wire; when every sample round-trips
+            # exactly, upload half the bytes and widen on device
+            exact_i16 = all(
+                np.all(buf == np.round(buf))
+                and np.all(np.abs(buf) <= 32767)
+                for _sid, buf, _n in with_buf
+            )
+            dtype = np.int16 if exact_i16 else np.float32
+            batch = np.zeros((self.max_streams, max_len), dtype=dtype)
             for sid, buf, _n in with_buf:
-                batch[sid, : buf.shape[0]] = buf
+                batch[sid, : buf.shape[0]] = (
+                    buf.astype(np.int16) if exact_i16 else buf
+                )
             n_rows = 1 + (max_len - fz.frame_len) // fz.frame_shift
             limit = self._feat_ring_frames - n_rows
             for sid, buf, n in with_buf:
