@@ -299,6 +299,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the serving entry points enable this themselves; the batch path
+    # builds raw jits, so opt in explicitly — across bench runs the
+    # flagship programs then load from the persistent cache in seconds
+    # instead of re-paying 1-10 min tunnel compiles
+    from rhasspy_speech_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from rhasspy_speech_tpu.models import compile_nnet3
     from rhasspy_speech_tpu.ops.decoder import (
         make_decode_graph,
@@ -503,6 +511,7 @@ def main():
     # (VERDICT r2 item 1). BENCH_STREAMING=0 skips it.
     stream_points = []
     stream_north = None
+    stream_realtime = None
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         lanes_list = [
             int(x)
@@ -516,6 +525,13 @@ def main():
             if p["chunk_rtf"] is not None and p["chunk_rtf"] < 0.1
         ]
         stream_north = max(rt, key=lambda p: p["lanes"]) if rt else None
+        # keeping-up point: the most lanes the scheduler sustains in real
+        # time (tick <= one chunk of audio per lane)
+        keep = [
+            p for p in stream_points
+            if p["chunk_rtf"] is not None and p["chunk_rtf"] < 1.0
+        ]
+        stream_realtime = max(keep, key=lambda p: p["lanes"]) if keep else None
 
     sys.stderr.write(
         f"graph: {graph.num_states} states / {graph.num_arcs} arcs / "
@@ -540,6 +556,7 @@ def main():
                 "north_star_point": north,
                 "peak_throughput_point": peak,
                 "streaming_point": stream_north,
+                "streaming_realtime_point": stream_realtime,
                 "streaming_sweep": stream_points,
                 "sweep": results,
                 "graph": {
