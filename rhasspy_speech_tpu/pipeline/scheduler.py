@@ -1068,10 +1068,11 @@ class StreamScheduler:
             while steps < top:
                 steps *= 2
             steps = min(steps, self._ring_frames)
-            arcs, fstates, costs = self._finalize_trace(
-                self._ring, self._alpha, jnp.asarray(sids),
-                jnp.asarray(frames), steps,
-            )
+            with StageTimer("stream_fin_trace", get_metrics()):
+                arcs, fstates, costs = self._finalize_trace(
+                    self._ring, self._alpha, jnp.asarray(sids),
+                    jnp.asarray(frames), steps,
+                )
             for dev in (arcs, fstates, costs):
                 try:
                     # start all three D2H copies now: the next tick's
@@ -1090,9 +1091,10 @@ class StreamScheduler:
         graph = self.graph
         pending, self._pending_finalize = self._pending_finalize, []
         for group, gens, frames, arcs_d, fstates_d, costs_d in pending:
-            arcs = np.asarray(arcs_d)
-            fstates = np.asarray(fstates_d)
-            costs = np.asarray(costs_d)
+            with StageTimer("stream_fin_wait", get_metrics()):
+                arcs = np.asarray(arcs_d)
+                fstates = np.asarray(fstates_d)
+                costs = np.asarray(costs_d)
             for i, sid in enumerate(group):
                 state = self.slots[sid]
                 if state.gen != gens[i]:
@@ -1118,7 +1120,8 @@ class StreamScheduler:
                 words.extend(
                     graph.words_of(int(graph.final_wseq[int(fstates[i])]))
                 )
-                state.result = self._words_to_result(words)
+                with StageTimer("stream_fin_words", get_metrics()):
+                    state.result = self._words_to_result(words)
 
     _FUZZY_CACHE_MAX = 4096
 
