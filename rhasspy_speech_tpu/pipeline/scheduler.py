@@ -494,13 +494,13 @@ class StreamScheduler:
             # small [Fm, S] slice — the same structure as the batch
             # decoder's on-device backtrace, instead of a per-step point
             # gather from the full ring (which lowers ~25x slower).
-            rows = ring[sids, :steps].astype(jnp.int32) - 3  # [Fm, steps, S]
+            rows = ring[sids, :steps]  # [Fm, steps, S] u16
             rows_rev = jnp.swapaxes(rows, 0, 1)[::-1]  # [steps, Fm, S]
 
             def back(state, xs):
                 bp_t, t = xs
                 active = t < frames
-                enc = bp_t[lanes, state]
+                enc = bp_t[lanes, state].astype(jnp.int32) - 3
                 is_real = active & (enc >= 0)
                 src = jnp.where(
                     is_real, arc_src_dev[jnp.maximum(enc, 0)], state
@@ -509,9 +509,7 @@ class StreamScheduler:
                 return src, emit
 
             ts = jnp.arange(steps - 1, -1, -1, dtype=jnp.int32)
-            _, arcs_rev = jax.lax.scan(
-                back, fstate, (rows_rev, ts), unroll=4
-            )
+            _, arcs_rev = jax.lax.scan(back, fstate, (rows_rev, ts))
             return jnp.swapaxes(arcs_rev[::-1], 0, 1), fstate, cost
 
         self._finalize_trace = jax.jit(finalize_trace, static_argnums=(4,))
@@ -1032,7 +1030,7 @@ class StreamScheduler:
             utterance_length=state.out_frames * out_frame_sec,
         )
 
-    _FINALIZE_BATCH = 32
+    _FINALIZE_BATCH = 16
 
     def _finalize_device(self, flushed: List[int]) -> None:
         """Device-ring finalize: dispatch one bucketed on-device backtrace
