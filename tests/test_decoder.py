@@ -508,3 +508,57 @@ def test_compact_backpointers_reject_big_graphs():
     ):
         with pytest.raises(ValueError):
             viterbi(dev, jnp.asarray(lp), compact_bp=True)
+
+
+def test_selfloop_layout_matches_scatter_exactly():
+    """The production self-loop-lane layout reproduces the scatter kernel
+    bit-exact (arc traces, not just costs), including states without
+    self-loops, duplicate self-loops, and a crafted equal-cost tie whose
+    winner must be the min arc id."""
+    from rhasspy_speech_tpu.ops.decoder import (
+        SelfLoopHybridGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+
+    rng = np.random.RandomState(61)
+    graph = _random_graph(rng, num_states=18, extra_arcs=60)
+    # state 3: strip its self-loop (exercise the no-self-loop lane)
+    keep = ~((graph.arc_src == 3) & (graph.arc_dst == 3))
+    for f in ("arc_src", "arc_dst", "arc_pdf", "arc_weight", "arc_wseq"):
+        setattr(graph, f, getattr(graph, f)[keep])
+    # state 5: duplicate self-loop (the extra one must spill)
+    # and a crafted exact tie into state 6: two arcs with identical
+    # weight+pdf from the same src
+    add = dict(
+        arc_src=[5, 4, 4],
+        arc_dst=[5, 6, 6],
+        arc_pdf=[1, 2, 2],
+        arc_weight=[0.25, 0.5, 0.5],
+        arc_wseq=[0, 0, 0],
+    )
+    for f, vals in add.items():
+        dt = getattr(graph, f).dtype
+        setattr(
+            graph, f, np.concatenate([getattr(graph, f), np.asarray(vals, dt)])
+        )
+
+    dev = DeviceGraph.from_dense(graph)
+    slh = SelfLoopHybridGraph.from_dense(graph)
+    assert int(np.asarray(slh.self_arc[3])) == -1
+    assert slh.spill_src.shape[0] > 0
+
+    B, T = 3, 11
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+    lengths = jnp.asarray([T, T - 4, T])
+    r1 = [np.asarray(x) for x in viterbi_decode(dev, jnp.asarray(lp), lengths=lengths)]
+    r2 = [np.asarray(x) for x in viterbi_decode(slh, jnp.asarray(lp), lengths=lengths)]
+    np.testing.assert_array_equal(r1[0], r2[0])
+    np.testing.assert_array_equal(r1[1], r2[1])
+    np.testing.assert_allclose(r1[2], r2[2], rtol=1e-5)
+    for b in range(B):
+        assert (
+            trace_to_words(graph, *r1, b)[0] == trace_to_words(graph, *r2, b)[0]
+        ), b
