@@ -236,22 +236,99 @@ def dense_from_hclg(hclg: Fst, num_pdfs: int, transitions=None) -> DenseGraph:
                 tcosts.append(tcost)
                 selfs.append(is_self)
 
+    return chain_reorder(
+        DenseGraph(
+            num_states=n,
+            arc_src=np.asarray(srcs, dtype=np.int32),
+            arc_dst=np.asarray(dsts, dtype=np.int32),
+            arc_pdf=np.asarray(pdfs, dtype=np.int32),
+            arc_wseq=np.asarray(wseqs, dtype=np.int32),
+            arc_weight=np.asarray(weights, dtype=np.float32),
+            final_weight=final_weight,
+            final_wseq=final_wseq,
+            init_weight=init_weight,
+            init_wseq=init_wseq,
+            word_seqs=word_seqs,
+            num_pdfs=num_pdfs,
+            arc_phone=np.asarray(phones, dtype=np.int32),
+            arc_tcost=np.asarray(tcosts, dtype=np.float32),
+            arc_self=np.asarray(selfs, dtype=np.int8),
+        )
+    )
+
+
+def chain_reorder(g: DenseGraph) -> DenseGraph:
+    """Renumber states so each state's forward-lane source sits at id-1
+    wherever possible (an equivalent FST, states permuted).
+
+    HCLG phone-internal sequences are linear chains; after this reorder,
+    the decode kernel's forward-arc relaxation for chained states is a
+    SHIFT of the alpha row instead of a gather (ops/decoder.py
+    SelfLoopHybridGraph detects ``fwd_src == state - 1`` structurally, so
+    graphs saved before this pass still decode — they just take the
+    gather path). Arc order (and therefore min-arc-id tie-breaks) is
+    unchanged; only state ids are relabeled.
+    """
+    S = g.num_states
+    A = g.arc_src.shape[0]
+    if S == 0:
+        return g
+    # each state's forward-lane arc = its lowest-id non-self in-arc
+    # (exactly SelfLoopHybridGraph's choice)
+    nonself = g.arc_src != g.arc_dst
+    parent = np.full(S, -1, dtype=np.int64)
+    order_desc = np.arange(A - 1, -1, -1)
+    sel = order_desc[nonself[order_desc]]
+    parent[g.arc_dst[sel]] = g.arc_src[sel]
+
+    # at most one child per parent (lowest state id claims it)
+    child = np.full(S, -1, dtype=np.int64)
+    claimed = np.zeros(S, dtype=bool)
+    for d in range(S):
+        p = parent[d]
+        if p >= 0 and p != d and child[p] < 0:
+            child[p] = d
+            claimed[d] = True
+
+    # walk chains from heads (unclaimed states); break any residual cycle
+    perm = np.full(S, -1, dtype=np.int64)  # old id -> new id
+    nxt = 0
+    for s in range(S):
+        if claimed[s] or perm[s] >= 0:
+            continue
+        cur = s
+        while cur >= 0 and perm[cur] < 0:
+            perm[cur] = nxt
+            nxt += 1
+            cur = child[cur]
+    for s in range(S):  # pure cycles (no head)
+        if perm[s] < 0:
+            cur = s
+            while cur >= 0 and perm[cur] < 0:
+                perm[cur] = nxt
+                nxt += 1
+                cur = child[cur]
+    assert nxt == S
+
+    inv = np.empty(S, dtype=np.int64)
+    inv[perm] = np.arange(S)
+    p32 = perm.astype(np.int32)
     return DenseGraph(
-        num_states=n,
-        arc_src=np.asarray(srcs, dtype=np.int32),
-        arc_dst=np.asarray(dsts, dtype=np.int32),
-        arc_pdf=np.asarray(pdfs, dtype=np.int32),
-        arc_wseq=np.asarray(wseqs, dtype=np.int32),
-        arc_weight=np.asarray(weights, dtype=np.float32),
-        final_weight=final_weight,
-        final_wseq=final_wseq,
-        init_weight=init_weight,
-        init_wseq=init_wseq,
-        word_seqs=word_seqs,
-        num_pdfs=num_pdfs,
-        arc_phone=np.asarray(phones, dtype=np.int32),
-        arc_tcost=np.asarray(tcosts, dtype=np.float32),
-        arc_self=np.asarray(selfs, dtype=np.int8),
+        num_states=S,
+        arc_src=p32[g.arc_src],
+        arc_dst=p32[g.arc_dst],
+        arc_pdf=g.arc_pdf,
+        arc_wseq=g.arc_wseq,
+        arc_weight=g.arc_weight,
+        final_weight=g.final_weight[inv],
+        final_wseq=g.final_wseq[inv],
+        init_weight=g.init_weight[inv],
+        init_wseq=g.init_wseq[inv],
+        word_seqs=g.word_seqs,
+        num_pdfs=g.num_pdfs,
+        arc_phone=g.arc_phone,
+        arc_tcost=g.arc_tcost,
+        arc_self=g.arc_self,
     )
 
 

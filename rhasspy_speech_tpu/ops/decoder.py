@@ -271,27 +271,39 @@ class HybridDeviceGraph:
 
 @dataclass(frozen=True)
 class SelfLoopHybridGraph:
-    """Self-loop lane + forward slot + scatter-min spill.
+    """Gather-free lanes + width-2 gathered slots + scatter-min spill.
 
-    After add-self-loops, nearly every emitting HCLG state carries a
-    self-loop (src == dst): its alpha term needs NO gather at all — the
-    lane is ``alpha + w_self + am[pdf_self]`` elementwise. The remaining
-    lowest-id non-self in-arc rides a single gathered slot, and everything
-    else spills to scatter-min. Versus the width-2 slot layout this
-    removes one of the two [B, S]-sized alpha gathers per frame — measured
-    27% faster per decode frame at flagship sizes on TPU v5e (the gather
-    lowering, not HBM bandwidth, is the bottleneck)."""
+    Three tiers, cheapest first:
+    - **self lane**: states with a self-loop (src == dst) relax it
+      elementwise — no alpha gather;
+    - **chain lane**: states whose lowest-id non-self in-arc comes from
+      exactly ``state - 1`` (graph/dense.chain_reorder numbers HCLG
+      phone chains that way) relax it against a SHIFT of the alpha row —
+      no gather either;
+    - **slots**: up to ``width`` of each state's remaining in-arcs ride
+      the gathered width-W relaxation (the round-2 hybrid form);
+    - **spill**: everything else scatter-mins.
+
+    Correct for any state numbering — graphs saved before chain_reorder
+    simply use the chain lane less. Numerically identical to the scatter
+    kernel including the global min-arc-id tie-break (all tier winners
+    compare (cost, arc id))."""
 
     base: DeviceGraph
     # self-loop lane (arc < 0 where the state has none; weight INF there)
     self_pdf: jnp.ndarray  # int32 [S]
     self_weight: jnp.ndarray  # f32 [S]
     self_arc: jnp.ndarray  # int32 [S]
-    # forward slot: lowest-id non-self in-arc per state
-    fwd_src: jnp.ndarray  # int32 [S]
+    # chain lane: lowest-id non-self in-arc when its src == state-1
     fwd_pdf: jnp.ndarray  # int32 [S]
     fwd_weight: jnp.ndarray  # f32 [S]
     fwd_arc: jnp.ndarray  # int32 [S]
+    # width-W gathered slots over remaining in-arcs
+    width: int
+    slot_src: jnp.ndarray  # int32 [S * W]
+    slot_pdf: jnp.ndarray  # int32 [S * W]
+    slot_weight: jnp.ndarray  # f32 [S * W] (INF padding)
+    slot_arc: jnp.ndarray  # int32 [S * W] (-1 padding)
     # spill: all remaining in-arcs
     spill_src: jnp.ndarray
     spill_dst: jnp.ndarray
@@ -300,7 +312,7 @@ class SelfLoopHybridGraph:
     spill_arc: jnp.ndarray
 
     @staticmethod
-    def from_dense(g: DenseGraph) -> "SelfLoopHybridGraph":
+    def from_dense(g: DenseGraph, width: int = 2) -> "SelfLoopHybridGraph":
         S = g.num_states
         A = g.arc_src.shape[0]
         is_self = g.arc_src == g.arc_dst
@@ -313,35 +325,58 @@ class SelfLoopHybridGraph:
         self_pdf[g.arc_dst[sel]] = g.arc_pdf[sel]
         self_w[g.arc_dst[sel]] = g.arc_weight[sel]
         self_arc[g.arc_dst[sel]] = sel
-        # duplicate self arcs (rare): all but the kept one spill
-        taken_self = np.zeros(A, dtype=bool)
-        keep = self_arc[self_arc >= 0]
-        taken_self[keep] = True
+        taken = np.zeros(A, dtype=bool)
+        taken[self_arc[self_arc >= 0]] = True
 
-        fwd_src = np.zeros(S, dtype=np.int32)
+        fwd_src = np.full(S, -1, dtype=np.int64)
         fwd_pdf = np.zeros(S, dtype=np.int32)
         fwd_w = np.full(S, NEG_INF_F32, dtype=np.float32)
         fwd_arc = np.full(S, -1, dtype=np.int32)
-        nonself = ~is_self
-        sel2 = order_desc[nonself[order_desc]]
+        sel2 = order_desc[(~is_self)[order_desc]]
         fwd_src[g.arc_dst[sel2]] = g.arc_src[sel2]
         fwd_pdf[g.arc_dst[sel2]] = g.arc_pdf[sel2]
         fwd_w[g.arc_dst[sel2]] = g.arc_weight[sel2]
         fwd_arc[g.arc_dst[sel2]] = sel2
-        taken_fwd = np.zeros(A, dtype=bool)
-        keep2 = fwd_arc[fwd_arc >= 0]
-        taken_fwd[keep2] = True
+        chained = (fwd_arc >= 0) & (fwd_src == np.arange(S) - 1)
+        fwd_w = np.where(chained, fwd_w, NEG_INF_F32).astype(np.float32)
+        fwd_pdf = np.where(chained, fwd_pdf, 0).astype(np.int32)
+        fwd_arc = np.where(chained, fwd_arc, -1).astype(np.int32)
+        taken[fwd_arc[fwd_arc >= 0]] = True
 
-        spill = np.sort(np.where(~(taken_self | taken_fwd))[0])
+        # width-W slots over the remaining arcs (stable dst-sorted rank,
+        # exactly the round-2 hybrid's assignment but on the residue)
+        rem = np.where(~taken)[0]
+        order = rem[np.argsort(g.arc_dst[rem], kind="stable")]
+        dst_sorted = g.arc_dst[order].astype(np.int64)
+        indeg = np.bincount(dst_sorted, minlength=S)
+        group_start = np.concatenate([[0], np.cumsum(indeg)[:-1]])
+        rank = np.arange(order.size, dtype=np.int64) - group_start[dst_sorted]
+        in_slot = rank < width
+        slot_arcs = order[in_slot]
+        slot_idx = dst_sorted[in_slot] * width + rank[in_slot]
+        src = np.zeros(S * width, dtype=np.int32)
+        pdf = np.zeros(S * width, dtype=np.int32)
+        wt = np.full(S * width, NEG_INF_F32, dtype=np.float32)
+        arc = np.full(S * width, -1, dtype=np.int32)
+        src[slot_idx] = g.arc_src[slot_arcs]
+        pdf[slot_idx] = g.arc_pdf[slot_arcs]
+        wt[slot_idx] = g.arc_weight[slot_arcs]
+        arc[slot_idx] = slot_arcs
+
+        spill = np.sort(order[~in_slot])
         return SelfLoopHybridGraph(
             base=DeviceGraph.from_dense(g),
             self_pdf=jnp.asarray(self_pdf),
             self_weight=jnp.asarray(self_w),
             self_arc=jnp.asarray(self_arc),
-            fwd_src=jnp.asarray(fwd_src),
             fwd_pdf=jnp.asarray(fwd_pdf),
             fwd_weight=jnp.asarray(fwd_w),
             fwd_arc=jnp.asarray(fwd_arc),
+            width=width,
+            slot_src=jnp.asarray(src),
+            slot_pdf=jnp.asarray(pdf),
+            slot_weight=jnp.asarray(wt),
+            slot_arc=jnp.asarray(arc),
             spill_src=jnp.asarray(g.arc_src[spill]),
             spill_dst=jnp.asarray(g.arc_dst[spill]),
             spill_pdf=jnp.asarray(g.arc_pdf[spill]),
@@ -353,78 +388,103 @@ class SelfLoopHybridGraph:
 def viterbi_step_selfloop(
     graph: SelfLoopHybridGraph, alpha: jnp.ndarray, am_cost: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One decode frame over the self-loop-lane layout. Numerically
-    identical to the other layouts including the min-arc-id tie-break."""
+    """One decode frame over the lanes+slots+spill layout. Numerically
+    identical to the other layouts including the min-arc-id tie-break
+    (every tier's winner carries its arc id; ties resolve to the global
+    minimum id)."""
     base = graph.base
     B = alpha.shape[0]
     S = base.num_states
+    W = graph.width
     A = base.num_arcs
 
+    def merge(cost_a, id_a, cost_b, id_b):
+        """(cost, id) lexicographic min, broadcasting ids as needed."""
+        take_a = (cost_a < cost_b) | ((cost_a == cost_b) & (id_a <= id_b))
+        return (
+            jnp.where(take_a, cost_a, cost_b),
+            jnp.where(take_a, id_a, id_b),
+        )
+
+    # self-loop lane: elementwise
     s_self = jnp.minimum(
         alpha + graph.self_weight[None, :] + am_cost[:, graph.self_pdf],
         INF_COST,
     )
+    self_id = jnp.broadcast_to(
+        jnp.where(graph.self_arc < 0, A, graph.self_arc)[None, :], (B, S)
+    )
+    # chain lane: shifted alpha (fwd_weight is INF for non-chain states;
+    # state 0 sees the INF pad column)
+    alpha_prev = jnp.pad(
+        alpha[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF_F32
+    )
     s_fwd = jnp.minimum(
-        alpha[:, graph.fwd_src]
-        + graph.fwd_weight[None, :]
-        + am_cost[:, graph.fwd_pdf],
+        alpha_prev + graph.fwd_weight[None, :] + am_cost[:, graph.fwd_pdf],
         INF_COST,
     )
-    # min-arc-id tie-break between the two lanes (self/fwd arc order is
-    # not fixed, so compare ids explicitly; missing lanes carry INF cost)
-    self_id = jnp.where(graph.self_arc < 0, A, graph.self_arc)
-    fwd_id = jnp.where(graph.fwd_arc < 0, A, graph.fwd_arc)
-    use_self = (s_self < s_fwd) | (
-        (s_self == s_fwd) & (self_id <= fwd_id)[None, :]
+    fwd_id = jnp.broadcast_to(
+        jnp.where(graph.fwd_arc < 0, A, graph.fwd_arc)[None, :], (B, S)
     )
-    slot_alpha = jnp.minimum(s_self, s_fwd)
-    slot_bp = jnp.where(use_self, graph.self_arc[None, :], graph.fwd_arc[None, :])
-    slot_id = jnp.where(use_self, self_id[None, :], fwd_id[None, :])
+    best_cost, best_id = merge(s_self, self_id, s_fwd, fwd_id)
+
+    # gathered width-W slots over the remaining in-arcs
+    pad_scores = (
+        alpha[:, graph.slot_src]
+        + graph.slot_weight[None, :]
+        + am_cost[:, graph.slot_pdf]
+    ).reshape(B, S, W)
+    pad_scores = jnp.minimum(pad_scores, INF_COST)
+    slot_ids = jnp.where(graph.slot_arc < 0, A, graph.slot_arc).reshape(S, W)
+    for w in range(W):
+        best_cost, best_id = merge(
+            best_cost,
+            best_id,
+            pad_scores[:, :, w],
+            jnp.broadcast_to(slot_ids[None, :, w], (B, S)),
+        )
 
     n_spill = graph.spill_src.shape[0]
-    if not n_spill:
-        best_arc = jnp.where(slot_alpha >= INF_COST, -1, slot_bp)
-        return slot_alpha, best_arc
+    if n_spill:
+        s_scores = jnp.minimum(
+            alpha[:, graph.spill_src]
+            + graph.spill_weight[None, :]
+            + am_cost[:, graph.spill_pdf],
+            INF_COST,
+        )
+        spill_alpha = (
+            jnp.full((B, S), INF_COST).at[:, graph.spill_dst].min(s_scores)
+        )
+        s_cand = jnp.where(
+            s_scores <= spill_alpha[:, graph.spill_dst],
+            graph.spill_arc[None, :],
+            A,
+        )
+        spill_bp = (
+            jnp.full((B, S), A, dtype=jnp.int32)
+            .at[:, graph.spill_dst]
+            .min(s_cand)
+        )
+        best_cost, best_id = merge(best_cost, best_id, spill_alpha, spill_bp)
 
-    s_scores = jnp.minimum(
-        alpha[:, graph.spill_src]
-        + graph.spill_weight[None, :]
-        + am_cost[:, graph.spill_pdf],
-        INF_COST,
-    )
-    spill_alpha = (
-        jnp.full((B, S), INF_COST).at[:, graph.spill_dst].min(s_scores)
-    )
-    s_cand = jnp.where(
-        s_scores <= spill_alpha[:, graph.spill_dst],
-        graph.spill_arc[None, :],
-        A,
-    )
-    spill_bp = (
-        jnp.full((B, S), A, dtype=jnp.int32)
-        .at[:, graph.spill_dst]
-        .min(s_cand)
-    )
-    # global min-arc-id on ties: spill ids are NOT guaranteed larger than
-    # lane ids here (a no-self-loop state's 2nd-lowest arc spills), so
-    # compare ids when costs tie
-    use_spill = (spill_alpha < slot_alpha) | (
-        (spill_alpha == slot_alpha) & (spill_bp < slot_id)
-    )
-    new_alpha = jnp.minimum(slot_alpha, spill_alpha)
-    best_arc = jnp.where(use_spill, spill_bp, slot_bp)
-    best_arc = jnp.where(new_alpha >= INF_COST, -1, best_arc)
-    return new_alpha, best_arc
+    best_arc = jnp.where((best_cost >= INF_COST) | (best_id >= A), -1, best_id)
+    return best_cost, best_arc
 
 
 def make_decode_graph(g: DenseGraph, width: int = 2):
-    """Production decode layout for a dense graph: the self-loop-lane
-    hybrid (one elementwise lane for self-loops + one gathered forward
-    slot + scatter-min spill; 27% faster per frame than the width-2 slot
-    layout on the flagship graph on TPU, identical outputs). All decode
-    entry points (viterbi_decode, viterbi_decode_checkpointed,
-    viterbi_kbest_decode, streaming decode_step) accept it."""
-    return SelfLoopHybridGraph.from_dense(g)
+    """Production decode layout for a dense graph: the hybrid width-2
+    slot/spill layout. All decode entry points (viterbi_decode,
+    viterbi_decode_checkpointed, viterbi_kbest_decode, streaming
+    decode_step) accept it.
+
+    Measured on the flagship graph (14k states, 42% self-loops) the
+    gather-free-lane alternative (:class:`SelfLoopHybridGraph`) is 5-35%
+    SLOWER — its two extra am-cost gathers outweigh the alpha gathers it
+    saves at that self-loop density (212.9 vs 224.6-286.3 ms per B=512
+    decode, same-process A/B). It stays available (bit-exact, tested)
+    for graphs with denser self-loop/chain structure, where the balance
+    flips."""
+    return HybridDeviceGraph.from_dense(g, width=width)
 
 
 def viterbi_step_hybrid(
