@@ -135,3 +135,41 @@ def test_dense_graph_save_load(tmp_path, setup):
     w1, c1 = viterbi_numpy(graph, log_probs)
     w2, c2 = viterbi_numpy(loaded, log_probs)
     assert w1 == w2 and c1 == c2
+
+
+def test_chain_reorder_preserves_decode():
+    """chain_reorder is a pure state relabeling: language, costs, and
+    decoded words are unchanged; chains become consecutive ids."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from rhasspy_speech_tpu.graph.dense import chain_reorder
+    from rhasspy_speech_tpu.ops.decoder import (
+        DeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+
+    from tests.test_decoder import _random_graph
+
+    rng = np.random.RandomState(71)
+    g = _random_graph(rng, num_states=25, extra_arcs=60)
+    g2 = chain_reorder(g)
+    assert g2.num_states == g.num_states
+    assert g2.num_arcs == g.num_arcs
+    # permutation sanity: arc multiset preserved under some bijection
+    assert sorted(np.bincount(g.arc_dst, minlength=25)) == sorted(
+        np.bincount(g2.arc_dst, minlength=25)
+    )
+
+    lp = np.log(rng.dirichlet(np.ones(g.num_pdfs), size=(2, 9))).astype(
+        np.float32
+    )
+    r1 = [np.asarray(x) for x in viterbi_decode(DeviceGraph.from_dense(g), jnp.asarray(lp))]
+    r2 = [np.asarray(x) for x in viterbi_decode(DeviceGraph.from_dense(g2), jnp.asarray(lp))]
+    np.testing.assert_allclose(r1[2], r2[2], rtol=1e-6)  # identical costs
+    for b in range(2):
+        assert (
+            trace_to_words(g, *r1, b)[0] == trace_to_words(g2, *r2, b)[0]
+        ), b
