@@ -151,6 +151,18 @@ class StreamScheduler:
             self.am.spec, self._chunk_out, subsampling=self.am.subsampling
         )
         self._recurrent = self._chunk_model.recurrent
+        # bf16 operating point: cast the chunk AM (MXU-native matmuls,
+        # f32 accumulation); decode costs stay f32. Recurrent models keep
+        # f32 (the carried state dtype is part of the compiled contract).
+        self._bf16 = (
+            self.am.compute_dtype in ("bfloat16", "bf16")
+            and not self._recurrent
+        )
+        self._fwd_model = (
+            self._chunk_model.cast(jnp.bfloat16)
+            if self._bf16
+            else self._chunk_model
+        )
         lo, hi = self._chunk_model.ranges["input"]
         self._win_lo, self._win_hi = lo, hi
         self._chunk_in = self._chunk_out * self.am.subsampling
@@ -306,6 +318,12 @@ class StreamScheduler:
                         dtype=jnp.float32,
                     )
             new_state = am_state
+            am_in = windows
+            am_ivec = ivec
+            if bf16:
+                am_in = windows.astype(jnp.bfloat16)
+                if am_ivec is not None:
+                    am_ivec = am_ivec.astype(jnp.bfloat16)
             if recurrent:
                 log_probs, new_state = self._chunk_model.forward_with_state(
                     windows, am_state, ivec
@@ -319,10 +337,12 @@ class StreamScheduler:
                     )
                     for k, v in new_state.items()
                 }
-            elif ivec is None:
-                log_probs = self._chunk_model.forward(windows)  # [N, 7, P]
+            elif am_ivec is None:
+                log_probs = self._fwd_model.forward(am_in)  # [N, 7, P]
             else:
-                log_probs = self._chunk_model.forward(windows, ivec)
+                log_probs = self._fwd_model.forward(am_in, am_ivec)
+            if bf16:
+                log_probs = log_probs.astype(jnp.float32)
             am_costs = -scale * jnp.swapaxes(log_probs, 0, 1)  # [7, N, P]
             ts = jnp.arange(chunk_out, dtype=jnp.int32)
 
@@ -359,6 +379,7 @@ class StreamScheduler:
         device_bp = self._device_bp
         iv_inline = self._iv_inline
         device_feats = self._device_feats
+        bf16 = self._bf16
         self._batch_chunk = jax.jit(batch_chunk, donate_argnums=(9,))
 
         frontend_params = self.am.frontend_params

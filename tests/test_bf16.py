@@ -123,3 +123,33 @@ def test_bf16_logit_delta_bounded_on_tdnnf():
         picked = np.take_along_axis(out32, top16[..., None], -1)[..., 0]
         gap = (best - picked)[flipped]
         assert gap.max() <= 0.05 * spread, gap.max()
+
+
+def test_bf16_scheduler_matches_f32(trained):
+    """Streaming bf16: the StreamScheduler's chunk AM in bfloat16 yields
+    the same transcripts as f32 lanes."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.testing import synthesize_sentence as synth
+
+    profile, lang_dir = trained
+
+    def run(dtype):
+        sched = StreamScheduler(
+            profile.model_dir, lang_dir, max_streams=2, compute_dtype=dtype
+        )
+        if dtype:
+            assert sched._bf16
+        texts = ["turn on the light", "turn off the fan"]
+        sids = [sched.open_stream() for _ in texts]
+        for sid, t in zip(sids, texts):
+            sched.feed(sid, synth(profile, t, seed=500 + sid))
+            sched.finish(sid)
+        for _ in range(100):
+            if all(sched.poll(s) is not None for s in sids):
+                break
+            sched.step()
+        return [sched.poll(s) for s in sids]
+
+    assert run("bfloat16") == run(None) == [
+        ["turn on the light"], ["turn off the fan"]
+    ]
