@@ -226,12 +226,20 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     sched.feed(sid, pcm_pool[(sid + 1) % len(pcm_pool)])
 
                 completed = 0
+                harvested = 0
 
                 def tick(i):
-                    nonlocal completed
+                    nonlocal completed, harvested
                     for sid in range(lanes):
                         st = sched.slots[sid]
                         if st.done:
+                            # Harvest the result BEFORE recycling the slot:
+                            # closing+reopening bumps the slot generation
+                            # and would drop the pending device finalize,
+                            # silently skipping the per-utterance word
+                            # assembly + fuzzy tail this bench must charge.
+                            if sched.poll(sid) is not None:
+                                harvested += 1
                             sched.close(sid)
                             nsid = sched.open_stream()
                             remaining[nsid] = utt_ticks
@@ -275,12 +283,15 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                      "chunk_rtf": round(chunk_rtf, 4),
                      "xrt_streams": round(xrt, 1),
                      "chunk_out": chunk_out,
+                     "utts_retired": completed,
+                     "results_harvested": harvested,
                      "stage_ms": stage_ms}
                 )
                 sys.stderr.write(
                     f"stream lanes {lanes}: tick {tick_ms:.1f} ms "
                     f"chunk-RTF {chunk_rtf:.4f} {xrt:.0f} xRT streams "
-                    f"({completed} utts retired; compile {compile_s:.1f}s) "
+                    f"({completed} utts retired, {harvested} results "
+                    f"harvested; compile {compile_s:.1f}s) "
                     f"stages {stage_ms}\n"
                 )
                 del sched

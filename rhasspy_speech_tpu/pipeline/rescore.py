@@ -42,7 +42,7 @@ def remap_symbols(
     assign identical ids. Arcs whose symbol is absent from ``new_table``
     are REMOVED (with a warning): eliding the phone would let a hypothesis
     match a wrong word with that phone silently deleted, so the path must
-    die instead."""
+    die instead. Pure: the input FST is never mutated."""
     if old_table is None or new_table is None:
         return fst
 
@@ -65,12 +65,22 @@ def remap_symbols(
             missing_names[:8],
         )
         check = (0,) if side == "input" else (1,) if side == "output" else (0, 1)
-        for state_arcs in fst.arcs:
-            state_arcs[:] = [
-                arc
-                for arc in state_arcs
-                if not any(arc[idx] in missing_ids for idx in check)
-            ]
+        from ..fst.core import Fst
+
+        fst = Fst(
+            arcs=[
+                [
+                    arc
+                    for arc in state_arcs
+                    if not any(arc[idx] in missing_ids for idx in check)
+                ]
+                for state_arcs in fst.arcs
+            ],
+            finals=list(fst.finals),
+            start=fst.start,
+            isymbols=fst.isymbols,
+            osymbols=fst.osymbols,
+        )
     if not mapping:
         return fst
     return fst.relabel(

@@ -86,7 +86,14 @@ class _SlotState:
     feat_state: object = None  # StreamFeatState
     frames_consumed: int = 0
     out_frames: int = 0
-    bps: List[Tuple[_TickBps, int]] = field(default_factory=list)
+    # Each entry is either a materialized per-lane [k, S] np array (ticks
+    # older than the tick ring — holding whole [chunk, N, S] tensors per
+    # slot would pin up to N times the round-2 host footprint on long
+    # streams) or a live (_TickBps, k) pair for the last few ticks whose
+    # async D2H copy may still be in flight.
+    bps: List[Union[np.ndarray, Tuple[_TickBps, int]]] = field(
+        default_factory=list
+    )
     done: bool = False
     result: Optional[List[str]] = None
     flushed_feats: bool = False
@@ -96,7 +103,10 @@ class _SlotState:
 
     def bp_chunks(self, sid: int) -> List[np.ndarray]:
         """Materialized per-chunk [k, S] backpointers for this stream."""
-        return [tick.force()[:k, sid] for tick, k in self.bps]
+        return [
+            e if isinstance(e, np.ndarray) else e[0].force()[: e[1], sid]
+            for e in self.bps
+        ]
 
 
 class StreamScheduler:
@@ -384,20 +394,24 @@ class StreamScheduler:
 
         frontend_params = self.am.frontend_params
 
-        def feed_feats(feats_ring, pcm_buf, counts):
+        def feed_feats(feats_ring, pcm_buf, counts, has_new):
             """Write each lane's new MFCC rows into the device feature
             ring at its frame offset. Rows beyond a lane's real frame
             count are scratch (overwritten by the next write; reads clamp
-            to the valid count). ``pcm_buf`` arrives int16 when exact
-            (PCM is 16-bit at the wire; halves the per-tick H2D bytes)."""
+            to the valid count). Lanes without new audio this tick keep
+            their ring untouched (``has_new`` mask): an idle lane whose
+            count sits near the ring end must not have this tick's larger
+            padded row block clamp-written over its newest valid rows.
+            ``pcm_buf`` arrives int16 when exact (PCM is 16-bit at the
+            wire; halves the per-tick H2D bytes)."""
             if pcm_buf.dtype != jnp.float32:
                 pcm_buf = pcm_buf.astype(jnp.float32)
             rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
             return jax.vmap(
-                lambda buf, lane_rows, cnt: jax.lax.dynamic_update_slice(
-                    buf, lane_rows, (cnt, 0)
+                lambda buf, lane_rows, cnt, w: jnp.where(
+                    w, jax.lax.dynamic_update_slice(buf, lane_rows, (cnt, 0)), buf
                 )
-            )(feats_ring, rows, counts)
+            )(feats_ring, rows, counts, has_new)
 
         self._feed_feats = jax.jit(feed_feats, donate_argnums=(0,))
         if self._device_feats:
@@ -647,16 +661,21 @@ class StreamScheduler:
                         "pool_capacity_samples to the longest expected "
                         "utterance"
                     )
+            has_new = np.zeros(self.max_streams, dtype=bool)
+            for sid, _buf, _n in with_buf:
+                has_new[sid] = True
             if self._lane_spec is not None:
                 batch_dev = jax.device_put(batch, self._lane_spec(batch))
                 counts_dev = jax.device_put(
                     self._feat_counts, self._lane_spec(self._feat_counts)
                 )
+                has_new_dev = jax.device_put(has_new, self._lane_spec(has_new))
             else:
                 batch_dev = jnp.asarray(batch)
                 counts_dev = jnp.asarray(self._feat_counts)
+                has_new_dev = jnp.asarray(has_new)
             self._feats_ring = self._feed_feats(
-                self._feats_ring, batch_dev, counts_dev
+                self._feats_ring, batch_dev, counts_dev, has_new_dev
             )
             for sid, buf, n in with_buf:
                 self._feat_counts[sid] += n
@@ -815,6 +834,21 @@ class StreamScheduler:
             )
             if not finished:
                 real_out = self._chunk_out  # full chunk guaranteed by `ready`
+            if (
+                self._device_bp
+                and state.out_frames + real_out > self._ring_frames
+            ):
+                # The device bp ring is sized from the pool capacity (it
+                # bounds un-consumed audio, not stream length); a stream
+                # decoded past it would clamp-overwrite its newest trace
+                # rows and finalize to a silently wrong transcript. Fail
+                # loudly instead — mirrors the feature-ring guard.
+                raise RuntimeError(
+                    f"stream {sid} exceeds the device backpointer ring "
+                    f"({self._ring_frames} decode frames); raise "
+                    "pool_capacity_samples to the longest expected "
+                    "utterance"
+                )
             n_valid[sid] = real_out
             chunk_t0[sid] = t0
             chunk_have[sid] = have
@@ -899,10 +933,27 @@ class StreamScheduler:
                     tick_bps = _TickBps(bps, self._bp_compact)
                     # bound device residency: materialize ticks a few
                     # steps old (their async copy has landed) so long
-                    # utterances don't pile [7, N, S] buffers up in HBM
+                    # utterances don't pile [7, N, S] buffers up in HBM;
+                    # then demote every slot's reference to its own [k, S]
+                    # slice so the full [chunk, N, S] host tensor is freed
+                    # (a slot's entry for the popped tick is among its last
+                    # few — one append per global tick at most)
                     self._tick_ring.append(tick_bps)
                     if len(self._tick_ring) > 4:
-                        self._tick_ring.pop(0).force()
+                        old = self._tick_ring.pop(0)
+                        arr = old.force()
+                        for sid2, st2 in enumerate(self.slots):
+                            for j in range(
+                                len(st2.bps) - 1,
+                                max(len(st2.bps) - 7, -1),
+                                -1,
+                            ):
+                                e = st2.bps[j]
+                                if isinstance(e, tuple) and e[0] is old:
+                                    st2.bps[j] = np.ascontiguousarray(
+                                        arr[: e[1], sid2]
+                                    )
+                                    break
             if self._ivp is not None:
                 # everything passed this tick was folded into gamma/X —
                 # clear so nothing is double-counted next tick

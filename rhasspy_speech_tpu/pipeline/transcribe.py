@@ -932,7 +932,18 @@ class Nnet3WavTranscriber:
             return None
         clat = compact_lattice_from_decode(lat, self.artifacts.graph)
         if determinize:
-            clat = determinize_compact_lattice(clat)
+            try:
+                clat = determinize_compact_lattice(clat)
+            except ValueError as exc:
+                # Kaldi's DeterminizeLatticePhonePrunedWrapper likewise
+                # degrades to the input lattice when determinization blows
+                # up (determinize-lattice-pruned.cc wrapper) rather than
+                # failing the utterance.
+                _LOGGER.warning(
+                    "lattice determinization gave up (%s); exporting the "
+                    "undeterminized lattice",
+                    exc,
+                )
         return clat
 
     def confidence_pcm(self, pcm: np.ndarray, n: int = 8) -> float:

@@ -70,23 +70,97 @@ def enable_compilation_cache(
     global _enabled_dir
     if os.environ.get("RSTPU_NO_COMPILE_CACHE"):
         return None
+
+    import jax
+
+    # XLA:CPU AOT deserialization is not trustworthy: entries recorded on
+    # this very host reload with "machine feature +prefer-no-scatter /
+    # +prefer-no-gather not supported" (cpu_aot_loader.cc) — XLA-internal
+    # pseudo-features the loader's host check doesn't model — and the
+    # resulting executables have misexecuted (observed: wrong streaming
+    # transcripts under tests' JAX_PLATFORMS=cpu). The cache exists to
+    # kill the TPU cold start; skip it entirely when compute lands on the
+    # CPU backend unless explicitly forced. The effective platform is the
+    # pinned default device's when one is set (a TPU plugin can register
+    # itself even under JAX_PLATFORMS=cpu, so default_backend() alone
+    # misreports where programs actually compile).
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is None:
+        platform = jax.default_backend()
+    elif isinstance(dev, str):
+        platform = dev
+    else:
+        platform = getattr(dev, "platform", jax.default_backend())
+    if platform == "cpu" and not os.environ.get("RSTPU_COMPILE_CACHE_CPU"):
+        _LOGGER.debug(
+            "persistent compilation cache skipped on the CPU backend "
+            "(XLA:CPU AOT reload is unreliable; set RSTPU_COMPILE_CACHE_CPU=1 "
+            "to force)"
+        )
+        return None
+
+    # Respect an embedding application's own cache configuration: if the
+    # process already points jax_compilation_cache_dir somewhere (and it
+    # wasn't us), leave every cache knob alone.
+    existing = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if existing and existing != _enabled_dir:
+        _LOGGER.debug(
+            "persistent compilation cache already configured at %s; "
+            "leaving it untouched",
+            existing,
+        )
+        return existing
+
     path = str(Path(cache_dir) if cache_dir is not None else default_cache_dir())
     if _enabled_dir == path:
         return path
 
-    import jax
-
     try:
         Path(path).mkdir(parents=True, exist_ok=True)
+        _trim_cache_dir(Path(path))
         jax.config.update("jax_compilation_cache_dir", path)
-        # Persist everything: the serving programs worth caching range from
-        # sub-second chunk steps to minute-long flagship compiles, and a
-        # cache miss on any of them stalls the first transcript.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # Persist any program whose compile took noticeable time (the
+        # serving programs range from ~1 s chunk steps to minute-long
+        # flagship compiles); the 0.2 s floor keeps throwaway
+        # sub-millisecond programs from unrelated JAX code in the same
+        # process out of the cache.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as exc:  # pragma: no cover - best-effort on odd backends
         _LOGGER.warning("persistent compilation cache unavailable: %s", exc)
         return None
     _enabled_dir = path
     _LOGGER.debug("persistent compilation cache at %s", path)
     return path
+
+
+def _trim_cache_dir(path: Path) -> None:
+    """Bound the on-disk cache: JAX never evicts, so a long-lived host
+    would otherwise grow the directory without limit. Oldest-first (mtime)
+    removal down to RSTPU_COMPILE_CACHE_MAX_GB (default 10); best-effort."""
+    try:
+        limit = float(os.environ.get("RSTPU_COMPILE_CACHE_MAX_GB", "10"))
+        entries = [
+            (f.stat().st_mtime, f.stat().st_size, f)
+            for f in path.iterdir()
+            if f.is_file()
+        ]
+        total = sum(size for _m, size, _f in entries)
+        budget = limit * (1 << 30)
+        if total <= budget:
+            return
+        for _mtime, size, f in sorted(entries):
+            try:
+                f.unlink()
+                total -= size
+            except OSError:
+                continue
+            if total <= budget:
+                break
+        _LOGGER.info(
+            "trimmed persistent compilation cache at %s to %.1f GiB",
+            path,
+            total / (1 << 30),
+        )
+    except OSError:  # pragma: no cover
+        pass

@@ -53,6 +53,11 @@ def _run(tmp_path, cache_dir):
     env.update(
         JAX_PLATFORMS="cpu",
         RSTPU_COMPILE_CACHE_DIR=str(cache_dir),
+        # The cache self-disables on a CPU backend (XLA:CPU AOT reload is
+        # unreliable); force it here — a private tmp dir written and read
+        # by two identically-configured processes — purely to exercise the
+        # persistence machinery without a TPU.
+        RSTPU_COMPILE_CACHE_CPU="1",
     )
     env.pop("RSTPU_NO_COMPILE_CACHE", None)
     script = DRIVE.format(repo=str(REPO), root=str(tmp_path))
