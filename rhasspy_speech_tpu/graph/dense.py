@@ -257,44 +257,76 @@ def dense_from_hclg(hclg: Fst, num_pdfs: int, transitions=None) -> DenseGraph:
     )
 
 
+def _path_cover_child(g: DenseGraph) -> np.ndarray:
+    """child[s] = the state to number directly after s, or -1.
+
+    Chooses a maximum-cardinality set of non-self arcs such that every
+    state has at most one chosen in-arc and one chosen out-arc (a path/
+    cycle cover via maximum bipartite matching, Hopcroft–Karp through
+    scipy); numbering along those paths maximizes how many states get the
+    decode kernel's gather-free ``src == state-1`` chain lane. Falls back
+    to the round-3 greedy (lowest-arc-id parent claims) when scipy is
+    unavailable."""
+    S = g.num_states
+    A = g.arc_src.shape[0]
+    nonself = g.arc_src != g.arc_dst
+    child = np.full(S, -1, dtype=np.int64)
+    try:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import maximum_bipartite_matching
+
+        src = g.arc_src[nonself].astype(np.int64)
+        dst = g.arc_dst[nonself].astype(np.int64)
+        if src.size == 0:
+            return child
+        m = csr_matrix(
+            (np.ones(src.size, dtype=np.int8), (src, dst)), shape=(S, S)
+        )
+        match = maximum_bipartite_matching(m, perm_type="column")
+        child = np.asarray(match, dtype=np.int64)  # per src row: dst or -1
+    except Exception:  # pragma: no cover - scipy always present in env
+        parent = np.full(S, -1, dtype=np.int64)
+        order_desc = np.arange(A - 1, -1, -1)
+        sel = order_desc[nonself[order_desc]]
+        parent[g.arc_dst[sel]] = g.arc_src[sel]
+        for d in range(S):
+            p = parent[d]
+            if p >= 0 and p != d and child[p] < 0:
+                child[p] = d
+    return child
+
+
 def chain_reorder(g: DenseGraph) -> DenseGraph:
     """Renumber states so each state's forward-lane source sits at id-1
     wherever possible (an equivalent FST, states permuted).
 
-    HCLG phone-internal sequences are linear chains; after this reorder,
-    the decode kernel's forward-arc relaxation for chained states is a
-    SHIFT of the alpha row instead of a gather (ops/decoder.py
-    SelfLoopHybridGraph detects ``fwd_src == state - 1`` structurally, so
-    graphs saved before this pass still decode — they just take the
-    gather path). Arc order (and therefore min-arc-id tie-breaks) is
-    unchanged; only state ids are relabeled.
+    HCLG phone-internal sequences are linear chains; a maximum path cover
+    (see _path_cover_child) picks one in-arc per state to chain, and this
+    reorder numbers the cover's paths consecutively. The decode kernel's
+    forward-arc relaxation for chained states is then a SHIFT of the alpha
+    row instead of a gather (ops/decoder.py SelfLoopHybridGraph detects
+    ``src == state - 1`` in-arcs structurally, so graphs saved before this
+    pass still decode — they just use the chain lane less). Arc order
+    (and therefore min-arc-id tie-breaks) is unchanged; only state ids are
+    relabeled.
     """
     S = g.num_states
-    A = g.arc_src.shape[0]
     if S == 0:
         return g
-    # each state's forward-lane arc = its lowest-id non-self in-arc
-    # (exactly SelfLoopHybridGraph's choice)
-    nonself = g.arc_src != g.arc_dst
-    parent = np.full(S, -1, dtype=np.int64)
-    order_desc = np.arange(A - 1, -1, -1)
-    sel = order_desc[nonself[order_desc]]
-    parent[g.arc_dst[sel]] = g.arc_src[sel]
+    child = _path_cover_child(g)
 
-    # at most one child per parent (lowest state id claims it)
-    child = np.full(S, -1, dtype=np.int64)
-    claimed = np.zeros(S, dtype=bool)
-    for d in range(S):
-        p = parent[d]
-        if p >= 0 and p != d and child[p] < 0:
-            child[p] = d
-            claimed[d] = True
-
-    # walk chains from heads (unclaimed states); break any residual cycle
+    # Walk paths from heads (states with no chosen in-arc); a matching's
+    # chosen-edge graph is disjoint simple paths + simple cycles, so any
+    # state not reached from a head sits on a cycle — start there and the
+    # walk severs the cycle's final edge naturally (its target is already
+    # numbered).
+    has_parent = np.zeros(S, dtype=bool)
+    valid = child >= 0
+    has_parent[child[valid]] = True
     perm = np.full(S, -1, dtype=np.int64)  # old id -> new id
     nxt = 0
     for s in range(S):
-        if claimed[s] or perm[s] >= 0:
+        if has_parent[s] or perm[s] >= 0:
             continue
         cur = s
         while cur >= 0 and perm[cur] < 0:

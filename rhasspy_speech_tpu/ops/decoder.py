@@ -37,6 +37,30 @@ INF_COST = jnp.float32(NEG_INF_F32)
 STAY = -2
 
 
+def _state_pdf(g: DenseGraph):
+    """Per-SOURCE-state pdf table, or None when out-arcs disagree.
+
+    Kaldi HMM semantics make the pdf a function of the source HMM state:
+    every transition out of an HMM state (self-loop and forward alike)
+    carries that state's pdf (kaldi/src/hmm/transition-model.h tuples are
+    (phone, hmm-state, forward-pdf, self-loop-pdf) and the standard
+    topologies use one pdf per state), and graph/dense.py's epsilon
+    folding keeps the emitting arc's source. Verified to hold on the
+    flagship test_en HCLG (8k source states, zero conflicts). When it
+    holds, every decode step can fold the acoustic cost into alpha ONCE
+    per frame (alpha_e = alpha + am[state_pdf], a single [B, S] gather)
+    instead of gathering am per arc slot — removing the largest gather of
+    the decode step. States with no out-arcs map to pdf 0 (never read)."""
+    S = g.num_states
+    if g.arc_src.size == 0:
+        return np.zeros(S, np.int32)
+    sp = np.full(S, -1, dtype=np.int64)
+    sp[g.arc_src] = g.arc_pdf
+    if not (sp[g.arc_src] == g.arc_pdf).all():
+        return None
+    return np.where(sp < 0, 0, sp).astype(np.int32)
+
+
 @dataclass(frozen=True)
 class DeviceGraph:
     """DenseGraph tensors resident on device (jnp arrays)."""
@@ -49,9 +73,13 @@ class DeviceGraph:
     arc_weight: jnp.ndarray  # f32 [A]
     init_weight: jnp.ndarray  # f32 [S]
     final_weight: jnp.ndarray  # f32 [S]
+    # pdf-per-source-state fold (see _state_pdf); None when the graph's
+    # arc pdfs are not a function of the source state.
+    src_pdf: Optional[jnp.ndarray] = None  # int32 [S]
 
     @staticmethod
     def from_dense(g: DenseGraph) -> "DeviceGraph":
+        sp = _state_pdf(g)
         return DeviceGraph(
             num_states=g.num_states,
             num_pdfs=g.num_pdfs,
@@ -61,6 +89,7 @@ class DeviceGraph:
             arc_weight=jnp.asarray(g.arc_weight),
             init_weight=jnp.asarray(g.init_weight),
             final_weight=jnp.asarray(g.final_weight),
+            src_pdf=None if sp is None else jnp.asarray(sp),
         )
 
     @property
@@ -174,11 +203,18 @@ def viterbi_step_padded(
     B = alpha.shape[0]
     S = graph.base.num_states
     D = graph.width
-    scores = (
-        alpha[:, graph.slot_src]
-        + graph.slot_weight[None, :]
-        + am_cost[:, graph.slot_pdf]
-    ).reshape(B, S, D)
+    folded = graph.base.src_pdf is not None
+    if folded:
+        alpha = alpha + am_cost[:, graph.base.src_pdf]
+        scores = (
+            alpha[:, graph.slot_src] + graph.slot_weight[None, :]
+        ).reshape(B, S, D)
+    else:
+        scores = (
+            alpha[:, graph.slot_src]
+            + graph.slot_weight[None, :]
+            + am_cost[:, graph.slot_pdf]
+        ).reshape(B, S, D)
     scores = jnp.minimum(scores, INF_COST)
     new_alpha = jnp.min(scores, axis=-1)
     kmin = jnp.argmin(scores, axis=-1)  # [B, S]
@@ -189,11 +225,16 @@ def viterbi_step_padded(
     H = graph.hub_states.shape[0]
     if H:
         DH = graph.hub_width
-        hscores = (
-            alpha[:, graph.hub_src]
-            + graph.hub_weight[None, :]
-            + am_cost[:, graph.hub_pdf]
-        ).reshape(B, H, DH)
+        if folded:
+            hscores = (
+                alpha[:, graph.hub_src] + graph.hub_weight[None, :]
+            ).reshape(B, H, DH)
+        else:
+            hscores = (
+                alpha[:, graph.hub_src]
+                + graph.hub_weight[None, :]
+                + am_cost[:, graph.hub_pdf]
+            ).reshape(B, H, DH)
         hscores = jnp.minimum(hscores, INF_COST)
         h_alpha = jnp.min(hscores, axis=-1)
         h_k = jnp.argmin(hscores, axis=-1)
@@ -276,10 +317,10 @@ class SelfLoopHybridGraph:
     Three tiers, cheapest first:
     - **self lane**: states with a self-loop (src == dst) relax it
       elementwise — no alpha gather;
-    - **chain lane**: states whose lowest-id non-self in-arc comes from
-      exactly ``state - 1`` (graph/dense.chain_reorder numbers HCLG
-      phone chains that way) relax it against a SHIFT of the alpha row —
-      no gather either;
+    - **chain lane**: states with an in-arc from exactly ``state - 1``
+      (graph/dense.chain_reorder's maximum path cover numbers states to
+      maximize these) relax it against a SHIFT of the alpha row — no
+      gather either;
     - **slots**: up to ``width`` of each state's remaining in-arcs ride
       the gathered width-W relaxation (the round-2 hybrid form);
     - **spill**: everything else scatter-mins.
@@ -328,19 +369,19 @@ class SelfLoopHybridGraph:
         taken = np.zeros(A, dtype=bool)
         taken[self_arc[self_arc >= 0]] = True
 
-        fwd_src = np.full(S, -1, dtype=np.int64)
+        # chain lane: lowest-id in-arc whose src == dst-1 (ANY such arc
+        # qualifies — the tier merge's (cost, arc id) tie-break is global,
+        # so the lane needn't hold the state's lowest-id in-arc overall;
+        # graph/dense.chain_reorder's max path cover numbers states to
+        # maximize how many have one)
         fwd_pdf = np.zeros(S, dtype=np.int32)
         fwd_w = np.full(S, NEG_INF_F32, dtype=np.float32)
         fwd_arc = np.full(S, -1, dtype=np.int32)
-        sel2 = order_desc[(~is_self)[order_desc]]
-        fwd_src[g.arc_dst[sel2]] = g.arc_src[sel2]
+        chained_arcs = (~is_self) & (g.arc_src == g.arc_dst - 1)
+        sel2 = order_desc[chained_arcs[order_desc]]
         fwd_pdf[g.arc_dst[sel2]] = g.arc_pdf[sel2]
         fwd_w[g.arc_dst[sel2]] = g.arc_weight[sel2]
         fwd_arc[g.arc_dst[sel2]] = sel2
-        chained = (fwd_arc >= 0) & (fwd_src == np.arange(S) - 1)
-        fwd_w = np.where(chained, fwd_w, NEG_INF_F32).astype(np.float32)
-        fwd_pdf = np.where(chained, fwd_pdf, 0).astype(np.int32)
-        fwd_arc = np.where(chained, fwd_arc, -1).astype(np.int32)
         taken[fwd_arc[fwd_arc >= 0]] = True
 
         # width-W slots over the remaining arcs (stable dst-sorted rank,
@@ -406,11 +447,18 @@ def viterbi_step_selfloop(
             jnp.where(take_a, id_a, id_b),
         )
 
+    folded = base.src_pdf is not None
+    if folded:
+        # pdf-per-source fold: after this, BOTH lanes are entirely
+        # gather-free (the am terms below vanish) — the layout's original
+        # weakness (two extra [B, S] am gathers) disappears.
+        alpha = alpha + am_cost[:, base.src_pdf]
+
     # self-loop lane: elementwise
-    s_self = jnp.minimum(
-        alpha + graph.self_weight[None, :] + am_cost[:, graph.self_pdf],
-        INF_COST,
-    )
+    s_self = alpha + graph.self_weight[None, :]
+    if not folded:
+        s_self = s_self + am_cost[:, graph.self_pdf]
+    s_self = jnp.minimum(s_self, INF_COST)
     self_id = jnp.broadcast_to(
         jnp.where(graph.self_arc < 0, A, graph.self_arc)[None, :], (B, S)
     )
@@ -419,22 +467,20 @@ def viterbi_step_selfloop(
     alpha_prev = jnp.pad(
         alpha[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF_F32
     )
-    s_fwd = jnp.minimum(
-        alpha_prev + graph.fwd_weight[None, :] + am_cost[:, graph.fwd_pdf],
-        INF_COST,
-    )
+    s_fwd = alpha_prev + graph.fwd_weight[None, :]
+    if not folded:
+        s_fwd = s_fwd + am_cost[:, graph.fwd_pdf]
+    s_fwd = jnp.minimum(s_fwd, INF_COST)
     fwd_id = jnp.broadcast_to(
         jnp.where(graph.fwd_arc < 0, A, graph.fwd_arc)[None, :], (B, S)
     )
     best_cost, best_id = merge(s_self, self_id, s_fwd, fwd_id)
 
     # gathered width-W slots over the remaining in-arcs
-    pad_scores = (
-        alpha[:, graph.slot_src]
-        + graph.slot_weight[None, :]
-        + am_cost[:, graph.slot_pdf]
-    ).reshape(B, S, W)
-    pad_scores = jnp.minimum(pad_scores, INF_COST)
+    pad_scores = alpha[:, graph.slot_src] + graph.slot_weight[None, :]
+    if not folded:
+        pad_scores = pad_scores + am_cost[:, graph.slot_pdf]
+    pad_scores = jnp.minimum(pad_scores.reshape(B, S, W), INF_COST)
     slot_ids = jnp.where(graph.slot_arc < 0, A, graph.slot_arc).reshape(S, W)
     for w in range(W):
         best_cost, best_id = merge(
@@ -446,12 +492,10 @@ def viterbi_step_selfloop(
 
     n_spill = graph.spill_src.shape[0]
     if n_spill:
-        s_scores = jnp.minimum(
-            alpha[:, graph.spill_src]
-            + graph.spill_weight[None, :]
-            + am_cost[:, graph.spill_pdf],
-            INF_COST,
-        )
+        s_scores = alpha[:, graph.spill_src] + graph.spill_weight[None, :]
+        if not folded:
+            s_scores = s_scores + am_cost[:, graph.spill_pdf]
+        s_scores = jnp.minimum(s_scores, INF_COST)
         spill_alpha = (
             jnp.full((B, S), INF_COST).at[:, graph.spill_dst].min(s_scores)
         )
@@ -471,20 +515,29 @@ def viterbi_step_selfloop(
     return best_cost, best_arc
 
 
-def make_decode_graph(g: DenseGraph, width: int = 2):
-    """Production decode layout for a dense graph: the hybrid width-2
-    slot/spill layout. All decode entry points (viterbi_decode,
-    viterbi_decode_checkpointed, viterbi_kbest_decode, streaming
-    decode_step) accept it.
+def make_decode_graph(g: DenseGraph, width: Optional[int] = None):
+    """Production decode layout for a dense graph. All decode entry
+    points (viterbi_decode, viterbi_decode_checkpointed,
+    viterbi_kbest_decode, streaming decode_step) accept any layout.
 
-    Measured on the flagship graph (14k states, 42% self-loops) the
-    gather-free-lane alternative (:class:`SelfLoopHybridGraph`) is 5-35%
-    SLOWER — its two extra am-cost gathers outweigh the alpha gathers it
-    saves at that self-loop density (212.9 vs 224.6-286.3 ms per B=512
-    decode, same-process A/B). It stays available (bit-exact, tested)
-    for graphs with denser self-loop/chain structure, where the balance
-    flips."""
-    return HybridDeviceGraph.from_dense(g, width=width)
+    Selection is driven by the pdf-per-source fold (_state_pdf):
+
+    - fold available (Kaldi HMM graphs — pdf is a function of the source
+      state): the gather-free lane layout at slot width 1. With the
+      per-arc am gathers folded away its lanes are pure elementwise/shift
+      work, chain_reorder's max path cover feeds the chain lane, and the
+      narrow slot tier halves the one remaining big gather. Real flagship
+      TPU A/B (B=512x101): unfolded hybrid 261.4 -> folded selfloop w=2
+      191.6 -> w=1 unroll=1 124.5 ms per decode (2.1x; ~2.4x in device
+      time net of the ~25 ms tunnel dispatch both pay).
+    - no fold (arc pdfs not a function of src): the width-2 hybrid. The
+      lane layout's extra per-lane am gathers make it 5-35% slower there
+      (round-3 A/B: 212.9 vs 224.6-286.3 ms)."""
+    if _state_pdf(g) is not None:
+        return SelfLoopHybridGraph.from_dense(
+            g, width=1 if width is None else width
+        )
+    return HybridDeviceGraph.from_dense(g, width=2 if width is None else width)
 
 
 def viterbi_step_hybrid(
@@ -497,11 +550,21 @@ def viterbi_step_hybrid(
     W = graph.width
     A = base.num_arcs
 
-    pad_scores = (
-        alpha[:, graph.slot_src]
-        + graph.slot_weight[None, :]
-        + am_cost[:, graph.slot_pdf]
-    ).reshape(B, S, W)
+    folded = base.src_pdf is not None
+    if folded:
+        # pdf-per-source fold: ONE [B, S] am gather replaces the [B, S*W]
+        # slot-pdf gather AND the [B, Nspill] spill-pdf gather below — the
+        # largest HBM streams of the decode frame.
+        alpha = alpha + am_cost[:, base.src_pdf]
+        pad_scores = (
+            alpha[:, graph.slot_src] + graph.slot_weight[None, :]
+        ).reshape(B, S, W)
+    else:
+        pad_scores = (
+            alpha[:, graph.slot_src]
+            + graph.slot_weight[None, :]
+            + am_cost[:, graph.slot_pdf]
+        ).reshape(B, S, W)
     pad_scores = jnp.minimum(pad_scores, INF_COST)
     slot_alpha = jnp.min(pad_scores, axis=-1)  # [B, S]
 
@@ -527,11 +590,14 @@ def viterbi_step_hybrid(
         best_arc = jnp.where(slot_alpha >= INF_COST, -1, slot_bp)
         return slot_alpha, best_arc
 
-    s_scores = (
-        alpha[:, graph.spill_src]
-        + graph.spill_weight[None, :]
-        + am_cost[:, graph.spill_pdf]
-    )  # [B, Nspill]
+    if folded:
+        s_scores = alpha[:, graph.spill_src] + graph.spill_weight[None, :]
+    else:
+        s_scores = (
+            alpha[:, graph.spill_src]
+            + graph.spill_weight[None, :]
+            + am_cost[:, graph.spill_pdf]
+        )  # [B, Nspill]
     s_scores = jnp.minimum(s_scores, INF_COST)
     spill_alpha = (
         jnp.full((B, S), INF_COST).at[:, graph.spill_dst].min(s_scores)
@@ -572,10 +638,15 @@ def viterbi_step(
     B = alpha.shape[0]
     S = graph.num_states
     A = graph.num_arcs
-    scores = (
-        alpha[:, graph.arc_src] + graph.arc_weight[None, :]
-        + am_cost[:, graph.arc_pdf]
-    )  # [B, A]
+    if graph.src_pdf is not None:
+        # pdf-per-source fold: one [B, S] am gather instead of [B, A]
+        alpha_e = alpha + am_cost[:, graph.src_pdf]
+        scores = alpha_e[:, graph.arc_src] + graph.arc_weight[None, :]
+    else:
+        scores = (
+            alpha[:, graph.arc_src] + graph.arc_weight[None, :]
+            + am_cost[:, graph.arc_pdf]
+        )  # [B, A]
     scores = jnp.minimum(scores, INF_COST)
     new_alpha = jnp.full((B, S), INF_COST).at[:, graph.arc_dst].min(scores)
     # winning arc = min arc index among score == new_alpha[dst]
@@ -638,6 +709,10 @@ def viterbi(
     am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
     B = log_probs.shape[0]
     alpha0 = jnp.broadcast_to(base.init_weight[None, :], (B, base.num_states))
+    # unroll=1 measured fastest for the folded lane layout on TPU (147.1
+    # vs 192.4 ms at unroll=2, flagship B=512x101); the unfolded hybrid
+    # keeps the round-2 unroll=2 (its measured best).
+    unroll = 1 if isinstance(graph, SelfLoopHybridGraph) else 2
 
     def encode(bp):
         return (bp + 2).astype(jnp.uint16) if compact_bp else bp
@@ -647,7 +722,7 @@ def viterbi(
             new_alpha, bp = decode_step(graph, alpha, am_t)
             return new_alpha, encode(bp)
 
-        alpha_final, bps = jax.lax.scan(step, alpha0, am_costs, unroll=2)
+        alpha_final, bps = jax.lax.scan(step, alpha0, am_costs, unroll=unroll)
         return alpha_final, bps
 
     ts = jnp.arange(am_costs.shape[0], dtype=jnp.int32)
@@ -661,7 +736,7 @@ def viterbi(
         return out_alpha, out_bp
 
     alpha_final, bps = jax.lax.scan(
-        step_masked, alpha0, (am_costs, ts), unroll=2
+        step_masked, alpha0, (am_costs, ts), unroll=unroll
     )
     return alpha_final, bps
 
@@ -964,11 +1039,15 @@ def kbest_step(
     B, S, K = alpha.shape
     A = graph.num_arcs
     # candidate costs for (arc a, prev-rank k): [B, A, K]
-    cand = (
-        alpha[:, graph.arc_src, :]
-        + graph.arc_weight[None, :, None]
-        + am_cost[:, graph.arc_pdf, None]
-    )
+    if graph.src_pdf is not None:
+        alpha = alpha + am_cost[:, graph.src_pdf, None]
+        cand = alpha[:, graph.arc_src, :] + graph.arc_weight[None, :, None]
+    else:
+        cand = (
+            alpha[:, graph.arc_src, :]
+            + graph.arc_weight[None, :, None]
+            + am_cost[:, graph.arc_pdf, None]
+        )
     cand = jnp.minimum(cand, INF_COST).reshape(B, A * K)
     dst_flat = jnp.repeat(graph.arc_dst, K)  # [A*K]
     flat_ids = jnp.arange(A * K, dtype=jnp.int32)

@@ -239,13 +239,20 @@ def _forward_backward_fn(graph: DeviceGraph):
         B = am_costs.shape[1]
         S = graph.num_states
         alpha0 = jnp.broadcast_to(graph.init_weight[None, :], (B, S))
+        folded = graph.src_pdf is not None
 
         def fwd(alpha, am_t):
-            scores = (
-                alpha[:, graph.arc_src]
-                + graph.arc_weight[None, :]
-                + am_t[:, graph.arc_pdf]
-            )
+            if folded:
+                # pdf-per-source fold (ops/decoder._state_pdf): one [B, S]
+                # am gather replaces the [B, A] per-arc one
+                alpha = alpha + am_t[:, graph.src_pdf]
+                scores = alpha[:, graph.arc_src] + graph.arc_weight[None, :]
+            else:
+                scores = (
+                    alpha[:, graph.arc_src]
+                    + graph.arc_weight[None, :]
+                    + am_t[:, graph.arc_pdf]
+                )
             scores = jnp.minimum(scores, INF_COST)
             new_alpha = (
                 jnp.full((B, S), INF_COST).at[:, graph.arc_dst].min(scores)
@@ -258,15 +265,27 @@ def _forward_backward_fn(graph: DeviceGraph):
         betaT = jnp.broadcast_to(graph.final_weight[None, :], (B, S))
 
         def bwd(beta, am_t):
-            scores = (
-                beta[:, graph.arc_dst]
-                + graph.arc_weight[None, :]
-                + am_t[:, graph.arc_pdf]
-            )
-            scores = jnp.minimum(scores, INF_COST)
-            new_beta = (
-                jnp.full((B, S), INF_COST).at[:, graph.arc_src].min(scores)
-            )
+            if folded:
+                # every arc OUT of a state shares its am term, so it adds
+                # elementwise after the scatter-min — no per-arc gather
+                scores = beta[:, graph.arc_dst] + graph.arc_weight[None, :]
+                scores = jnp.minimum(scores, INF_COST)
+                new_beta = (
+                    jnp.full((B, S), INF_COST).at[:, graph.arc_src].min(scores)
+                )
+                new_beta = jnp.minimum(
+                    new_beta + am_t[:, graph.src_pdf], INF_COST
+                )
+            else:
+                scores = (
+                    beta[:, graph.arc_dst]
+                    + graph.arc_weight[None, :]
+                    + am_t[:, graph.arc_pdf]
+                )
+                scores = jnp.minimum(scores, INF_COST)
+                new_beta = (
+                    jnp.full((B, S), INF_COST).at[:, graph.arc_src].min(scores)
+                )
             return new_beta, new_beta
 
         _, betas_rev = jax.lax.scan(bwd, betaT, am_costs[::-1])

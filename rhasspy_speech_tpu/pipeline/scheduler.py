@@ -664,15 +664,21 @@ class StreamScheduler:
             has_new = np.zeros(self.max_streams, dtype=bool)
             for sid, _buf, _n in with_buf:
                 has_new[sid] = True
+            # Upload a COPY of the persistent counts: device_put of a host
+            # array can be zero-copy (the program reads the numpy memory
+            # when it executes, asynchronously), and _feat_counts is
+            # mutated right below (+= n) and by close()'s reset — a
+            # dispatch that lags under load would read post-mutation
+            # offsets and write feature rows to the wrong ring positions
+            # (observed: rare wrong transcripts under CPU contention).
+            counts = self._feat_counts.copy()
             if self._lane_spec is not None:
                 batch_dev = jax.device_put(batch, self._lane_spec(batch))
-                counts_dev = jax.device_put(
-                    self._feat_counts, self._lane_spec(self._feat_counts)
-                )
+                counts_dev = jax.device_put(counts, self._lane_spec(counts))
                 has_new_dev = jax.device_put(has_new, self._lane_spec(has_new))
             else:
                 batch_dev = jnp.asarray(batch)
-                counts_dev = jnp.asarray(self._feat_counts)
+                counts_dev = jnp.asarray(counts)
                 has_new_dev = jnp.asarray(has_new)
             self._feats_ring = self._feed_feats(
                 self._feats_ring, batch_dev, counts_dev, has_new_dev

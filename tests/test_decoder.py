@@ -562,3 +562,107 @@ def test_selfloop_layout_matches_scatter_exactly():
         assert (
             trace_to_words(graph, *r1, b)[0] == trace_to_words(graph, *r2, b)[0]
         ), b
+
+
+def _make_src_pdf_graph(rng, num_states=16, extra_arcs=50) -> DenseGraph:
+    """Random graph whose arc pdfs are a function of the SOURCE state —
+    the Kaldi HMM property (transition-model.h: every transition out of an
+    HMM state carries the state's pdf) that enables the decode step's
+    pdf-per-source am fold."""
+    graph = _random_graph(rng, num_states=num_states, extra_arcs=extra_arcs)
+    state_pdf = rng.randint(graph.num_pdfs, size=num_states).astype(np.int32)
+    graph.arc_pdf = state_pdf[graph.arc_src]
+    return graph
+
+
+def test_src_pdf_fold_detection():
+    from rhasspy_speech_tpu.ops.decoder import _state_pdf
+
+    rng = np.random.RandomState(70)
+    folded = _make_src_pdf_graph(rng)
+    sp = _state_pdf(folded)
+    assert sp is not None
+    np.testing.assert_array_equal(sp[folded.arc_src], folded.arc_pdf)
+    dev = DeviceGraph.from_dense(folded)
+    assert dev.src_pdf is not None
+
+    # conflicting pdfs out of one state -> fold disabled
+    conflicted = _make_src_pdf_graph(rng)
+    conflicted.arc_pdf = conflicted.arc_pdf.copy()
+    conflicted.arc_pdf[0] = (conflicted.arc_pdf[0] + 1) % conflicted.num_pdfs
+    conflicted.arc_pdf[1] = (conflicted.arc_pdf[0] + 1) % conflicted.num_pdfs
+    # ensure arcs 0 and 1 share a src so the conflict is real
+    conflicted.arc_src[1] = conflicted.arc_src[0]
+    assert _state_pdf(conflicted) is None
+    assert DeviceGraph.from_dense(conflicted).src_pdf is None
+
+
+def test_src_pdf_fold_all_layouts_match():
+    """With the pdf-per-source fold active, every decode layout matches the
+    scatter kernel bit-exact AND the NumPy reference DP's transcripts; the
+    folded scatter matches an unfolded decode within f32 reassociation
+    tolerance (the fold computes (alpha+am)+w instead of (alpha+w)+am)."""
+    from dataclasses import replace
+
+    from rhasspy_speech_tpu.graph.dense import viterbi_numpy
+    from rhasspy_speech_tpu.ops.decoder import (
+        HybridDeviceGraph,
+        PaddedDeviceGraph,
+        SelfLoopHybridGraph,
+        trace_to_words,
+        viterbi_decode,
+        viterbi_kbest,
+        backtrace_nbest,
+    )
+
+    rng = np.random.RandomState(71)
+    graph = _make_src_pdf_graph(rng, num_states=20, extra_arcs=70)
+    dev = DeviceGraph.from_dense(graph)
+    assert dev.src_pdf is not None
+    layouts = [
+        HybridDeviceGraph.from_dense(graph),
+        SelfLoopHybridGraph.from_dense(graph),
+        PaddedDeviceGraph.from_dense(graph, width=4),
+    ]
+    for lay in layouts:
+        assert lay.base.src_pdf is not None
+
+    B, T = 3, 13
+    lp = np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(B, T))).astype(
+        np.float32
+    )
+    lengths = jnp.asarray([T, T - 5, T])
+    ref = [
+        np.asarray(x)
+        for x in viterbi_decode(dev, jnp.asarray(lp), lengths=lengths)
+    ]
+    for lay in layouts:
+        got = [
+            np.asarray(x)
+            for x in viterbi_decode(lay, jnp.asarray(lp), lengths=lengths)
+        ]
+        np.testing.assert_array_equal(ref[0], got[0])  # arc traces
+        np.testing.assert_array_equal(ref[1], got[1])
+        np.testing.assert_allclose(ref[2], got[2], rtol=1e-5)
+
+    # unfolded scatter (src_pdf stripped) agrees up to reassociation
+    unfolded = replace(dev, src_pdf=None)
+    base = [
+        np.asarray(x)
+        for x in viterbi_decode(unfolded, jnp.asarray(lp), lengths=lengths)
+    ]
+    np.testing.assert_allclose(ref[2], base[2], rtol=1e-5)
+    for b in range(B):
+        words = trace_to_words(graph, *ref, b)[0]
+        assert words == trace_to_words(graph, *base, b)[0], b
+        # and the NumPy reference DP agrees on the transcript
+        np_words, _np_cost = viterbi_numpy(graph, lp[b][: int(lengths[b])])
+        assert words == np_words, b
+
+    # k-best path: folded kbest_step matches the unfolded one
+    a1, bp1 = viterbi_kbest(dev, jnp.asarray(lp), k=3)
+    a2, bp2 = viterbi_kbest(unfolded, jnp.asarray(lp), k=3)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5)
+    n1 = backtrace_nbest(graph, np.asarray(a1), np.asarray(bp1), 0, 3)
+    n2 = backtrace_nbest(graph, np.asarray(a2), np.asarray(bp2), 0, 3)
+    assert [w for w, _ in n1] == [w for w, _ in n2]
