@@ -98,13 +98,22 @@ def frontier_step(
         alpha < INF_COST
     )[:, :, None]
     safe_arcs = jnp.maximum(arcs, 0)
-    cost = (
-        alpha[:, :, None]
-        + base.arc_weight[safe_arcs]
-        + jnp.take_along_axis(
-            am_cost, base.arc_pdf[safe_arcs].reshape(B, -1), axis=1
-        ).reshape(B, states.shape[1], D)
-    )
+    if base.src_pdf is not None:
+        # pdf-per-source fold (decoder._state_pdf): every out-arc of a
+        # frontier state shares that state's am term, so gather it once
+        # per slot ([B, K]) instead of per expanded arc ([B, K*D]).
+        am_state = jnp.take_along_axis(
+            am_cost, base.src_pdf[safe_states], axis=1
+        )  # [B, K]
+        cost = (alpha + am_state)[:, :, None] + base.arc_weight[safe_arcs]
+    else:
+        cost = (
+            alpha[:, :, None]
+            + base.arc_weight[safe_arcs]
+            + jnp.take_along_axis(
+                am_cost, base.arc_pdf[safe_arcs].reshape(B, -1), axis=1
+            ).reshape(B, states.shape[1], D)
+        )
     cost = jnp.where(valid, jnp.minimum(cost, INF_COST), INF_COST)
     dst = jnp.where(valid, base.arc_dst[safe_arcs], jnp.int32(2**30))
 

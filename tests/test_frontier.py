@@ -135,3 +135,44 @@ def test_dedup_strategies_agree(monkeypatch):
             assert set(m1) == set(m2), (t, b)
             for st in m1:
                 assert abs(m1[st] - m2[st]) < 1e-4, (t, b, st)
+
+
+def test_frontier_src_pdf_fold_matches_dense():
+    """With the pdf-per-source fold active (Kaldi HMM property), the
+    frontier decode in the exact regime matches the dense decoder's
+    transcript and cost, and matches an unfolded frontier decode."""
+    from dataclasses import replace
+
+    import rhasspy_speech_tpu.ops.frontier as fr
+    from rhasspy_speech_tpu.ops.decoder import DeviceGraph, viterbi_decode
+    from rhasspy_speech_tpu.ops.decoder import trace_to_words
+
+    rng = np.random.RandomState(29)
+    graph = _random_graph(rng, num_states=24, extra_arcs=90)
+    state_pdf = rng.randint(graph.num_pdfs, size=graph.num_states).astype(
+        np.int32
+    )
+    graph.arc_pdf = state_pdf[graph.arc_src]
+
+    fg = fr.FrontierGraph.from_dense(graph)
+    assert fg.base.src_pdf is not None
+    lp = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(graph.num_pdfs), size=(2, 9))).astype(
+            np.float32
+        )
+    )
+    K = graph.num_states
+    s, a, r = [np.asarray(x) for x in fr.viterbi_topk(fg, lp, K)]
+    words, cost = fr.topk_backtrace(graph, s, a, r, 0)
+
+    dev = DeviceGraph.from_dense(graph)
+    dres = [np.asarray(x) for x in viterbi_decode(dev, lp)]
+    dwords, dcost = trace_to_words(graph, *dres, 0)
+    assert words == dwords
+    assert abs(cost - dcost) < 1e-3
+
+    fg_unfolded = replace(fg, base=replace(fg.base, src_pdf=None))
+    s2, a2, r2 = [np.asarray(x) for x in fr.viterbi_topk(fg_unfolded, lp, K)]
+    words2, cost2 = fr.topk_backtrace(graph, s2, a2, r2, 0)
+    assert words == words2
+    assert abs(cost - cost2) < 1e-3
