@@ -227,19 +227,30 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
 
                 completed = 0
                 harvested = 0
+                harvest_due = set()
 
                 def tick(i):
                     nonlocal completed, harvested
                     for sid in range(lanes):
                         st = sched.slots[sid]
                         if st.done:
-                            # Harvest the result BEFORE recycling the slot:
-                            # closing+reopening bumps the slot generation
-                            # and would drop the pending device finalize,
-                            # silently skipping the per-utterance word
-                            # assembly + fuzzy tail this bench must charge.
+                            # Harvest the result BEFORE recycling the slot
+                            # (closing bumps the slot generation and would
+                            # drop the pending device finalize — its word
+                            # assembly + fuzzy tail must stay in the
+                            # measured loop). A slot whose device trace is
+                            # still in flight (result None) waits one more
+                            # tick: the next step()'s harvest assembles it
+                            # from the landed async copy, so poll never
+                            # blocks on the device (a real server polls
+                            # the same way).
+                            key = (sid, st.gen)
+                            if st.result is None and key not in harvest_due:
+                                harvest_due.add(key)
+                                continue
                             if sched.poll(sid) is not None:
                                 harvested += 1
+                            harvest_due.discard(key)
                             sched.close(sid)
                             nsid = sched.open_stream()
                             remaining[nsid] = utt_ticks
@@ -258,7 +269,11 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 tc = time.time()
                 tick(0)  # compile
                 compile_s = time.time() - tc
-                warm = max(4, utt_ticks // 2)
+                # warm through a FULL utterance lifecycle + retirement so
+                # every finalize steps-bucket (32/64/128...) compiles
+                # before the measured window — a bucket compile landing
+                # mid-measurement dominated earlier streaming numbers
+                warm = utt_ticks + 4
                 for i in range(1, warm):
                     tick(i)
                 n_meas = 2 * utt_ticks
