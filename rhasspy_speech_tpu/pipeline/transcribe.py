@@ -280,24 +280,34 @@ class AcousticModel:
         # over the batch dim for free.
         platform = next(iter(pcm.devices())).platform
         multi_device = len(pcm.sharding.device_set) > 1
-        if (
-            platform == "tpu"
-            and not multi_device
-            and self.frontend_config.dither == 0.0
-        ):
+        if self.frontend_config.dither > 0.0:
+            self._dither_calls += 1
+            dither_key = jax.random.fold_in(
+                jax.random.PRNGKey(42), self._dither_calls
+            )
+            mfcc = mfcc_batch(self.frontend_params, pcm, dither_key=dither_key)
+            if self.pitch_config is not None:
+                mfcc = self._append_pitch(mfcc, pcm_batch)
+            return mfcc
+        return self.features_traceable(
+            pcm, use_pallas=platform == "tpu" and not multi_device
+        )
+
+    def features_traceable(
+        self, pcm: jnp.ndarray, use_pallas: bool
+    ) -> jnp.ndarray:
+        """Pure dither-free frontend over [B, samples] — the branch is a
+        static argument, so this traces under jit/jax.export (features()
+        resolves it from runtime placement; AOT callers resolve it from
+        the effective platform)."""
+        if use_pallas:
             from ..ops.pallas_mfcc import mfcc_pallas
 
             mfcc = mfcc_pallas(self.frontend_config, pcm, interpret=False)
         else:
-            dither_key = None
-            if self.frontend_config.dither > 0.0:
-                self._dither_calls += 1
-                dither_key = jax.random.fold_in(
-                    jax.random.PRNGKey(42), self._dither_calls
-                )
-            mfcc = mfcc_batch(self.frontend_params, pcm, dither_key=dither_key)
+            mfcc = mfcc_batch(self.frontend_params, pcm)
         if self.pitch_config is not None:
-            mfcc = self._append_pitch(mfcc, pcm_batch)
+            mfcc = self._append_pitch(mfcc, pcm)
         return mfcc
 
     def _append_pitch(
@@ -484,6 +494,7 @@ class Nnet3WavTranscriber:
         decode_memory_budget: int = DEFAULT_DECODE_BUDGET,
         compute_dtype: Optional[str] = None,
         min_active: int = 200,
+        aot_dir: Optional[Union[str, Path]] = None,
     ):
         self.model_dir = Path(model_dir)
         self.graph_dir = Path(graph_dir)
@@ -516,6 +527,60 @@ class Nnet3WavTranscriber:
         self._out_degree: Optional[int] = None
         self._lang_cache: Dict[str, LangArtifacts] = {}
         self._silence_pdfs: Optional[frozenset] = None
+
+        # AOT program store (utils/aot.py): serialized StableHLO for the
+        # frontend/AM/decode programs at the serving shapes, so a fresh
+        # process skips tracing+lowering (save_aot() writes them; the
+        # default dir rides with the graph artifacts).
+        from ..utils.aot import AotStore
+
+        self._aot = AotStore(
+            Path(aot_dir) if aot_dir is not None else self.graph_dir / "aot"
+        )
+        self._aot_export = False
+
+    def _aot_call(self, name: str, fn, args, fallback=None):
+        """Run ``fn(*args)`` through a serialized AOT program when one
+        exists for these shapes (or export one during save_aot()).
+
+        ``fn`` must be pure and traceable over ``args``; ``fallback``
+        (defaults to ``fn``) runs when AOT is bypassed — e.g. features'
+        runtime-placement dispatch, whose device probe cannot trace.
+        Gated off under a stream mesh (exported programs pin shardings)
+        and when the frontend dithers (the dither key folds a Python
+        counter — not a pure function of the arrays)."""
+        fallback = fallback or fn
+        if (
+            self._aot is None
+            or self.input_sharding is not None
+            or self.am.frontend_config.dither > 0.0
+        ):
+            return fallback(*args)
+        loaded = self._aot.load(name, args)
+        if loaded is not None:
+            return loaded(*args)
+        if self._aot_export:
+            self._aot.save(name, fn, args)
+            return self._aot.load(name, args)(*args)
+        return fallback(*args)
+
+    def save_aot(
+        self, pcm_batch: List[np.ndarray], nbest: int = 1
+    ) -> Path:
+        """Export the serving programs (frontend, AM forward, decode) for
+        THIS batch shape into the AOT store (default ``<graph_dir>/aot``).
+
+        Run once at deploy time with a batch shaped like production
+        traffic (same batch size and max utterance length); a later
+        process then skips all tracing/lowering — time-to-first-transcript
+        drops to artifact load + cached XLA compile. Kaldi analogue:
+        binaries are AOT-compiled C++, a restart never recompiles."""
+        self._aot_export = True
+        try:
+            self._decode_batch(pcm_batch, nbest)
+        finally:
+            self._aot_export = False
+        return self._aot.dir
 
     def _get_silence_pdfs(self) -> frozenset:
         if self._silence_pdfs is None:
@@ -617,12 +682,26 @@ class Nnet3WavTranscriber:
             utterances=len(pcm_batch),
         )
         with StageTimer("frontend", metrics):
-            feats = self.am.features(pcm)
+            from ..utils.aot import effective_platform
+
+            feats = self._aot_call(
+                "features",
+                lambda p: self.am.features_traceable(
+                    jnp.asarray(p),
+                    use_pallas=effective_platform() == "tpu",
+                ),
+                (pcm,),
+                fallback=self.am.features,
+            )
             feats.block_until_ready()
         feat_lengths = jnp.asarray(n_frames, dtype=jnp.int32)
         with StageTimer("acoustic", metrics):
-            log_probs = self.am.log_probs(
-                feats, bucket_out, feat_lengths=feat_lengths
+            log_probs = self._aot_call(
+                f"logprobs_b{bucket_out}",
+                lambda f, l: self.am.log_probs(
+                    f, bucket_out, feat_lengths=l
+                ),
+                (feats, feat_lengths),
             )
             log_probs.block_until_ready()
         k = max(nbest, 1)
@@ -727,16 +806,21 @@ class Nnet3WavTranscriber:
             lens_dev = jnp.asarray(lens)
 
             if k != 1:
-                res = viterbi_kbest_decode(
-                    self.device_graph,
-                    lp,
-                    k=k,
-                    acoustic_scale=self.acoustic_scale,
-                    lengths=lens_dev,
+                res = self._aot_call(
+                    f"decode_k{k}",
+                    lambda lp_, l_: viterbi_kbest_decode(
+                        self.device_graph,
+                        lp_,
+                        k=k,
+                        acoustic_scale=self.acoustic_scale,
+                        lengths=l_,
+                    ),
+                    (lp, lens_dev),
                 )
             elif mode == "checkpointed":
                 # sqrt-remat: no [T, B, S] backpointers resident (its
-                # segment loop already blocks on host inside)
+                # segment loop already blocks on host inside; not a single
+                # device program, so no AOT form)
                 res = viterbi_decode_checkpointed(
                     self.device_graph,
                     lp,
@@ -745,11 +829,15 @@ class Nnet3WavTranscriber:
                 )
             else:
                 # 1-best fast path: on-device backtrace
-                res = viterbi_decode(
-                    self.device_graph,
-                    lp,
-                    acoustic_scale=self.acoustic_scale,
-                    lengths=lens_dev,
+                res = self._aot_call(
+                    "decode1",
+                    lambda lp_, l_: viterbi_decode(
+                        self.device_graph,
+                        lp_,
+                        acoustic_scale=self.acoustic_scale,
+                        lengths=l_,
+                    ),
+                    (lp, lens_dev),
                 )
             return start, stop, res
 
