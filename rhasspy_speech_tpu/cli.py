@@ -59,6 +59,23 @@ def _cmd_transcribe(args) -> int:
     return 0
 
 
+def _cmd_warmup(args) -> int:
+    """Export the serving programs AOT for a batch shape (utils/aot.py):
+    a later serving process skips all tracing/lowering — warm start is
+    artifact load + cached XLA compile, like restarting an AOT-compiled
+    Kaldi binary."""
+    import numpy as np
+
+    from .pipeline import Nnet3WavTranscriber
+
+    t = Nnet3WavTranscriber(args.model_dir, args.graph_dir)
+    samples = int(args.seconds * 16000)
+    pcm = [np.zeros(samples, dtype=np.float32) for _ in range(args.batch)]
+    out = t.save_aot(pcm, nbest=args.nbest)
+    print(f"AOT programs for batch={args.batch} x {args.seconds}s -> {out}")
+    return 0
+
+
 def _cmd_metrics(args) -> int:
     from .utils.metrics import get_metrics
 
@@ -97,6 +114,18 @@ def main(argv=None) -> int:
     p_tr.add_argument("--confidence", action="store_true",
                       help="also report a decoder-native confidence score")
     p_tr.set_defaults(func=_cmd_transcribe)
+
+    p_w = sub.add_parser(
+        "warmup",
+        help="export AOT serving programs for a batch shape "
+             "(fast second-process start)",
+    )
+    p_w.add_argument("--model-dir", required=True)
+    p_w.add_argument("--graph-dir", required=True)
+    p_w.add_argument("--batch", type=int, default=8)
+    p_w.add_argument("--seconds", type=float, default=3.0)
+    p_w.add_argument("--nbest", type=int, default=1)
+    p_w.set_defaults(func=_cmd_warmup)
 
     p_m = sub.add_parser("metrics", help="dump process decode metrics")
     p_m.set_defaults(func=_cmd_metrics)

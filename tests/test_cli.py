@@ -48,3 +48,30 @@ def test_cli_train_and_transcribe(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     record = json.loads(out)
     assert record["text"] == "open door"
+
+
+def test_cli_warmup(tmp_path, capsys):
+    lexicon = {"open": ["ow", "p"], "door": ["d", "ao", "r"]}
+    build_synthetic_profile(tmp_path / "model", lexicon)
+    sentences = tmp_path / "sentences.yaml"
+    sentences.write_text(yaml.safe_dump({
+        "language": "en",
+        "intents": {"M": {"data": [{"sentences": ["open door"]}]}},
+    }))
+    assert main([
+        "train", "--language", "en", "--sentences", str(sentences),
+        "--model-dir", str(tmp_path / "model"),
+        "--train-dir", str(tmp_path / "train"),
+        "--lang-suffixes", "grammar",
+    ]) == 0
+    rc = main([
+        "warmup",
+        "--model-dir", str(tmp_path / "model"),
+        "--graph-dir", str(tmp_path / "train" / "lang_grammar"),
+        "--batch", "2", "--seconds", "1.0",
+    ])
+    assert rc == 0
+    blobs = list((tmp_path / "train" / "lang_grammar" / "aot").glob(
+        "*.jaxexport"
+    ))
+    assert len(blobs) >= 3, blobs
