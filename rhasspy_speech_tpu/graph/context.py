@@ -14,16 +14,20 @@ transition costs from the HmmTopology) is emitted, and p becomes pending.
 Word labels/weights ride the arc that introduces the phone, as graph-only
 epsilon arcs; the dense builder folds them (graph/dense.py).
 
-Supports N=3/P=1 (triphone), N=2/P=1 (left biphone, common for chain
-models), N=2/P=0 (right biphone), and N=1 (monophone). Windows with right
-context use one phone of lookahead (the pending mechanism); left-only
-windows expand arcs immediately. Output convention matches graph/hclg.py:
-ilabel = pdf + 1, olabel = word id.
+Supports arbitrary (N, P): the expansion state carries the last P emitted
+phones (left history, 0-padded) and a FIFO of up to R = N-1-P phones still
+awaiting right context. A phone's HMM is emitted when the R-th phone after
+it arrives (or at finality, with 0/eps right padding) — the general form of
+fstcomposecontext's delayed-context construction
+(kaldi/src/fstext/context-fst.cc). N=3/P=1 triphone, N=2 biphones, and N=1
+monophone are the common special cases; wider windows (e.g. N=5
+quinphone) traverse the same way with longer tuples. Output convention
+matches graph/hclg.py: ilabel = pdf + 1, olabel = word id.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Set, Tuple
+from typing import Dict, Set, Tuple
 
 import math
 
@@ -46,19 +50,10 @@ def make_hclg_from_tree(
 ) -> Tuple[Fst, int]:
     """Expand LG (lang-phone ilabels -> words) into HCLG (pdf+1 -> words)
     using a real decision tree. Returns (hclg, num_pdfs)."""
-    # Windows needing at most one phone of lookahead (right context <= 1)
-    # and one phone of memory (left context <= 1).
-    if (tree.N, tree.P) not in {(1, 0), (2, 0), (2, 1), (3, 1)}:
-        raise NotImplementedError(f"tree N={tree.N} P={tree.P}")
-    lookahead = tree.N - 1 - tree.P > 0  # right context present
-    track_left = tree.P > 0
-
-    def context_window(left: int, phone: int, right: int):
-        if tree.N == 3:
-            return (left, phone, right)
-        if tree.N == 2:
-            return (left, phone) if tree.P == 1 else (phone, right)
-        return (phone,)
+    if not (0 <= tree.P < tree.N):
+        raise ValueError(f"invalid tree N={tree.N} P={tree.P}")
+    n_left = tree.P  # phones of left history carried in the state
+    n_right = tree.N - 1 - tree.P  # phones of lookahead (pending FIFO depth)
 
     disambig: Set[int] = set(lang.disambig_phone_ids)
 
@@ -76,8 +71,8 @@ def make_hclg_from_tree(
         return ktm.topology.entry_for_phone(model_phone)
 
     hclg = Fst()
-    # expansion states: (lg_state, left_model_phone, pending_model_phone)
-    state_ids: Dict[Tuple[int, int, Optional[int]], int] = {}
+    # expansion states: (lg_state, left history tuple, pending phone FIFO)
+    state_ids: Dict[Tuple[int, Tuple[int, ...], Tuple], int] = {}
 
     def get_state(key) -> int:
         sid = state_ids.get(key)
@@ -87,13 +82,18 @@ def make_hclg_from_tree(
         return sid
 
     def expand_phone(
-        src: int, left: int, phone: int, right: int, dst: int, lang_phone: int = 0
+        src: int,
+        hist: Tuple[int, ...],
+        phone: int,
+        right: Tuple[int, ...],
+        dst: int,
+        lang_phone: int = 0,
     ) -> None:
         """Emit phone's HMM chain from hclg state src to dst with context
-        (left, phone, right); model phone ids, 0 = eps padding.
+        window hist + (phone,) + right; model phone ids, 0 = eps padding.
         ``lang_phone`` tags the chain for transition-table metadata."""
         entry = topo_entry(phone)
-        window = context_window(left, phone, right)
+        window = hist + (phone,) + right
         current = src
         emitted_entry = False
         for j, st in enumerate(entry):
@@ -146,9 +146,14 @@ def make_hclg_from_tree(
             current = loop_state
         hclg.add_arc(current, EPS_ID, EPS_ID, 0.0, dst)
 
-    # pending = (model phone, lang phone) awaiting its right context
-    start_key = (lg.start, 0, None)
+    # hist: last n_left model phones emitted (0-padded, oldest first);
+    # pending: FIFO of (model phone, lang phone) awaiting right context
+    empty_hist: Tuple[int, ...] = (0,) * n_left
+    start_key = (lg.start, empty_hist, ())
     hclg.start = get_state(start_key)
+
+    def push_hist(hist: Tuple[int, ...], phone: int) -> Tuple[int, ...]:
+        return (hist + (phone,))[-n_left:] if n_left else ()
 
     # worklist traversal
     stack = [start_key]
@@ -156,44 +161,49 @@ def make_hclg_from_tree(
     num_pdfs = ktm.num_pdfs
     while stack:
         key = stack.pop()
-        lg_state, left, pending = key
+        lg_state, hist, pending = key
         src = state_ids[key]
 
-        # finality: flush the pending phone with eps right context
+        # finality: flush pending phones with eps right padding
         if lg.finals[lg_state] != INF:
-            if pending is None:
-                hclg.set_final(src, lg.finals[lg_state])
-            else:
+            cur, h = src, hist
+            for i, (qm, ql) in enumerate(pending):
+                tail = tuple(m for m, _ in pending[i + 1 :])
+                right = tail + (0,) * (n_right - len(tail))
                 end = hclg.add_state()
-                expand_phone(src, left, pending[0], 0, end, lang_phone=pending[1])
-                hclg.set_final(end, lg.finals[lg_state])
+                expand_phone(cur, h, qm, right, end, lang_phone=ql)
+                h = push_hist(h, qm)
+                cur = end
+            hclg.set_final(cur, lg.finals[lg_state])
 
         for ilabel, olabel, weight, ns in lg.arcs[lg_state]:
             if ilabel == EPS_ID or ilabel in disambig:
-                new_key = (ns, left, pending)
+                new_key = (ns, hist, pending)
                 dst = get_state(new_key)
                 hclg.add_arc(src, EPS_ID, olabel, weight, dst)
-            elif not lookahead:
-                # no right context: expand the phone on its own arc
-                p_model = lang_to_model[ilabel]
-                new_key = (ns, p_model if track_left else 0, None)
-                dst = get_state(new_key)
-                mid = hclg.add_state()
-                expand_phone(src, left, p_model, 0, mid, lang_phone=ilabel)
-                hclg.add_arc(mid, EPS_ID, olabel, weight, dst)
             else:
                 p_model = lang_to_model[ilabel]
-                if pending is None:
-                    new_key = (ns, left, (p_model, ilabel))
+                if len(pending) < n_right:
+                    # lookahead not yet satisfied: queue the phone, let the
+                    # word label/weight ride ahead as a graph-only eps arc
+                    new_key = (ns, hist, pending + ((p_model, ilabel),))
                     dst = get_state(new_key)
                     hclg.add_arc(src, EPS_ID, olabel, weight, dst)
                 else:
-                    new_key = (ns, pending[0], (p_model, ilabel))
+                    # p completes the oldest pending phone's right context
+                    # (when n_right == 0, p itself expands immediately)
+                    if n_right:
+                        head_m, head_l = pending[0]
+                        right = tuple(m for m, _ in pending[1:]) + (p_model,)
+                        new_pending = pending[1:] + ((p_model, ilabel),)
+                    else:
+                        head_m, head_l = p_model, ilabel
+                        right = ()
+                        new_pending = ()
+                    new_key = (ns, push_hist(hist, head_m), new_pending)
                     dst = get_state(new_key)
                     mid = hclg.add_state()
-                    expand_phone(
-                        src, left, pending[0], p_model, mid, lang_phone=pending[1]
-                    )
+                    expand_phone(src, hist, head_m, right, mid, lang_phone=head_l)
                     hclg.add_arc(mid, EPS_ID, olabel, weight, dst)
             if new_key not in seen:
                 seen.add(new_key)

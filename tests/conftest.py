@@ -2,8 +2,11 @@
 
 Default lane: force JAX onto a virtual 8-device CPU platform so
 sharding/pjit tests run fast and without TPU hardware. The axon TPU plugin
-registers itself even when ``JAX_PLATFORMS=cpu`` is set, so the default
-device must also be pinned to CPU explicitly after import.
+registers itself at interpreter start and REWRITES the platform selection
+to ``"axon,cpu"`` (overriding any ``JAX_PLATFORMS`` env value), so the
+CPU lane must re-pin ``jax_platforms="cpu"`` AFTER import — otherwise the
+first ``jax.devices()`` initializes the axon PJRT client, which needs a
+live TPU tunnel (and hangs the whole suite when the tunnel is down).
 
 On-device lane (VERDICT r2 item 6): ``RSTPU_TPU_TESTS=1`` skips the CPU
 pin so the numeric suites (frontend, Pallas MFCC non-interpret, decoder,
@@ -21,7 +24,7 @@ import sys
 TPU_TESTS = bool(os.environ.get("RSTPU_TPU_TESTS"))
 
 if not TPU_TESTS:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
         os.environ["XLA_FLAGS"] = (
@@ -40,6 +43,10 @@ if TPU_TESTS:
         )
     jax.config.update("jax_default_device", _tpus[0])
 else:
+    # The env var alone is NOT enough: the axon plugin's register() (run
+    # from sitecustomize at interpreter start) resets the selection to
+    # "axon,cpu". Re-pinning here keeps jax.devices() off the tunnel.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 

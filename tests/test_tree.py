@@ -289,3 +289,130 @@ def test_biphone_expansion_uses_true_left_context(tmp_path):
     assert real_eh + 1 in ilabels
     # ...and the wrong-left sentinel must never have been queried
     assert FAKE + 1 not in ilabels
+
+
+def test_quinphone_hclg_decodes(tmp_path):
+    """Wide context windows (N=5/P=2 quinphone, N=4/P=1) expand via the
+    general pending-FIFO construction and decode exactly when the tree is
+    context-independent."""
+    import io as _io
+
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+    from rhasspy_speech_tpu.graph.context import make_hclg_from_tree
+    from rhasspy_speech_tpu.graph.dense import dense_from_hclg
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.io.nnet3_file import read_am_nnet3
+    from rhasspy_speech_tpu.lang import make_grammar_g, make_lg, prepare_lang
+    from rhasspy_speech_tpu.lexicon.g2p import LexiconDatabase
+    from rhasspy_speech_tpu.ops.decoder import (
+        DeviceGraph,
+        trace_to_words,
+        viterbi_decode,
+    )
+    from rhasspy_speech_tpu.pipeline.transcribe import AcousticModel
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    ktm, _spec = read_am_nnet3(str(tmp_path / "model" / "model" / "final.mdl"))
+    with open(tmp_path / "model" / "model" / "phones.txt", encoding="utf-8") as f:
+        model_phones = SymbolTable.read_text(f)
+
+    intents = Intents.from_dict(
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["yes", "no"]}]}}}
+    )
+    lex = LexiconDatabase()
+    for w, p in lexicon.items():
+        lex.add(w, [p])
+    ctx = compile_intents(intents, _io.StringIO(), lex, number_language="en")
+    entries = [(w, p) for w, p in sorted(lexicon.items())]
+    entries.append(("<unk>", ["SPN"]))
+    lang = prepare_lang(entries, silence_phones=["SIL", "SPN"])
+    g = make_grammar_g(ctx.fst_file, lang.words)
+    lg = make_lg(lang, g)
+    am = AcousticModel(tmp_path / "model")
+
+    for n, p in ((5, 2), (4, 1)):
+        tree = ContextDependencyTree.monophone_from_tuples(
+            ktm.tuples, max_phone=int(ktm.tuples[:, 0].max()), n=n, p=p
+        )
+        hclg, num_pdfs = make_hclg_from_tree(lang, lg, tree, ktm, model_phones)
+        graph = dense_from_hclg(hclg, num_pdfs)
+        dev = DeviceGraph.from_dense(graph)
+        for i, text in enumerate(["yes", "no"]):
+            pcm = synthesize_sentence(profile, text, seed=i)
+            feats = am.features(pcm[None])
+            lp = am.log_probs(feats, feats.shape[1] // 3)
+            trace, fstate, cost = viterbi_decode(dev, lp)
+            words, _ = trace_to_words(
+                graph, np.asarray(trace), np.asarray(fstate),
+                np.asarray(cost), 0,
+            )
+            assert words is not None, (n, p, text)
+            got = " ".join(
+                lang.words.find_id(w) for w in words
+                if lang.words.find_id(w) not in ("<eps>",)
+            )
+            assert got == text, (n, p, got, text)
+
+
+def test_quinphone_expansion_uses_true_wide_context(tmp_path):
+    """N=5/P=2 expansion must query the REAL phones two positions away:
+    in 'yes' (y eh s), s's left-2 phone is always y and y's right-2 phone
+    is always s, so trees splitting on window positions 0 and 4 must emit
+    the real pdfs and never the wrong-context sentinel."""
+    import io as _io
+
+    from rhasspy_speech_tpu.fst.core import SymbolTable
+    from rhasspy_speech_tpu.graph.context import make_hclg_from_tree
+    from rhasspy_speech_tpu.grammar import Intents, compile_intents
+    from rhasspy_speech_tpu.io.nnet3_file import read_am_nnet3
+    from rhasspy_speech_tpu.lang import make_grammar_g, make_lg, prepare_lang
+    from rhasspy_speech_tpu.lexicon.g2p import LexiconDatabase
+    from rhasspy_speech_tpu.testing import build_synthetic_profile
+
+    lexicon = {"yes": ["y", "eh", "s"], "no": ["n", "ow"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    ktm, _ = read_am_nnet3(str(tmp_path / "model" / "model" / "final.mdl"))
+    with open(tmp_path / "model" / "model" / "phones.txt", encoding="utf-8") as f:
+        model_phones = SymbolTable.read_text(f)
+
+    base = ContextDependencyTree.monophone_from_tuples(
+        ktm.tuples, max_phone=int(ktm.tuples[:, 0].max()), n=5, p=2
+    )
+    m_y = model_phones.find("y_B")
+    m_s = model_phones.find("s_E")
+    assert m_y is not None and m_s is not None
+    FAKE = 9999
+    _, key, table = base.root
+    table = list(table)
+    # s_E: real pdfs only when window[0] (left-2) == y_B
+    table[m_s] = ("se", 0, frozenset({m_y}), table[m_s], ("ce", FAKE))
+    # y_B: real pdfs only when window[4] (right-2) == s_E
+    table[m_y] = ("se", 4, frozenset({m_s}), table[m_y], ("ce", FAKE))
+    tree = ContextDependencyTree(N=5, P=2, root=("te", key, table))
+
+    intents = Intents.from_dict(
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["yes", "no"]}]}}}
+    )
+    lex = LexiconDatabase()
+    for w, p in lexicon.items():
+        lex.add(w, [p])
+    ctx = compile_intents(intents, _io.StringIO(), lex, number_language="en")
+    entries = [(w, p) for w, p in sorted(lexicon.items())]
+    entries.append(("<unk>", ["SPN"]))
+    lang = prepare_lang(entries, silence_phones=["SIL", "SPN"])
+    lg = make_lg(lang, make_grammar_g(ctx.fst_file, lang.words))
+
+    hclg, _num = make_hclg_from_tree(lang, lg, tree, ktm, model_phones)
+    ilabels = {il for arcs in hclg.arcs for il, _, _, _ in arcs}
+    real_s = base.compute((0, 0, m_s, 0, 0), 0)
+    real_y = base.compute((0, 0, m_y, 0, 0), 0)
+    assert real_s + 1 in ilabels
+    assert real_y + 1 in ilabels
+    assert FAKE + 1 not in ilabels
