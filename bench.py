@@ -284,6 +284,15 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 t0 = time.time()
                 for i in range(warm, warm + n_meas):
                     active_total += tick(i)
+                # Ticks dispatch asynchronously and finalize harvests are
+                # readiness-gated, so drain everything still in flight
+                # INSIDE the measured wall — otherwise the loop above
+                # could just be enqueueing work the device hasn't done.
+                import jax as _jax
+
+                _jax.block_until_ready(sched._alpha)
+                while sched._pending_finalize:
+                    sched._harvest_finalizes()
                 wall = time.time() - t0
                 stage_ms = {
                     name: round(s.seconds / n_meas * 1000.0, 1)

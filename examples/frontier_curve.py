@@ -28,6 +28,12 @@ def main():
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     try:
+        import os
+
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            # the TPU plugin rewrites the selection at startup; re-pin so
+            # jax.devices() never touches the tunnel backend
+            jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
     except Exception:
         pass

@@ -9,6 +9,7 @@ request: the transcript, the decoder-native confidence, the lattice's
 distinct n-best rivals, and writes the lattice to a Kaldi-format ark.
 """
 
+import os
 import sys
 import tempfile
 from pathlib import Path
@@ -17,6 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 if any(d.platform == "cpu" for d in jax.devices()):
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 

@@ -13,6 +13,7 @@ level (pipeline/rescore.py) instead of re-weighting an n-best list.
 Run (CPU): JAX_PLATFORMS=cpu python examples/rescore_oov.py
 """
 
+import os
 import sys
 import tempfile
 import wave
@@ -22,6 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 if any(d.platform == "cpu" for d in jax.devices()):
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 

@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # re-pin the selection too: the TPU plugin rewrites it at startup
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from rhasspy_speech_tpu.const import LangSuffix

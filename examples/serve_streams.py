@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-    # honor the CPU request even when a TPU plugin registers itself
+    # honor the CPU request even when a TPU plugin registers itself and
+    # rewrites the platform selection (a dead tunnel would hang here)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from rhasspy_speech_tpu.const import LangSuffix

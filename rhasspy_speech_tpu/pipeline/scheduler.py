@@ -403,7 +403,11 @@ class StreamScheduler:
             count sits near the ring end must not have this tick's larger
             padded row block clamp-written over its newest valid rows.
             ``pcm_buf`` arrives int16 when exact (PCM is 16-bit at the
-            wire; halves the per-tick H2D bytes)."""
+            wire; halves the per-tick H2D bytes). A zero-length pcm_buf
+            (no new audio anywhere this tick) skips the write entirely —
+            the shape is static, so this is a compile-time branch."""
+            if pcm_buf.shape[1] == 0:
+                return feats_ring
             if pcm_buf.dtype != jnp.float32:
                 pcm_buf = pcm_buf.astype(jnp.float32)
             rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
@@ -413,7 +417,47 @@ class StreamScheduler:
                 )
             )(feats_ring, rows, counts, has_new)
 
-        self._feed_feats = jax.jit(feed_feats, donate_argnums=(0,))
+        def batch_chunk_fused(
+            alpha, pcm_buf, meta, gamma, X, iv_wins, am_state, ring,
+            feats_ring, offs
+        ):
+            """One-dispatch serving tick (device-feats mode): PCM -> MFCC
+            rows into the feature ring -> AM windows -> decode, all in a
+            single program. ``meta`` [N, 7] int32 packs every per-tick
+            lane scalar (n_valid, reset, t0, have, feat-ring write offset,
+            has-new-audio, i-vector pending-weight count) so the tick
+            uploads exactly two host arrays: the PCM batch and this pack.
+            The i-vector fold weights are a prefix mask reconstructed from
+            the count (the host staged iv_n valid frames last tick)."""
+            n_valid = meta[:, 0]
+            reset = meta[:, 1].astype(jnp.bool_)
+            t0s = meta[:, 2]
+            haves = meta[:, 3]
+            counts = meta[:, 4]
+            has_new = meta[:, 5].astype(jnp.bool_)
+            iv_n = meta[:, 6]
+            feats_ring = feed_feats(feats_ring, pcm_buf, counts, has_new)
+            iv_ws = (
+                jnp.arange(chunk_in, dtype=jnp.int32)[None, :]
+                < iv_n[:, None]
+            ).astype(jnp.float32)
+            dummy_win = jnp.zeros((alpha.shape[0], 1, 1), jnp.float32)
+            out = batch_chunk(
+                alpha, dummy_win, n_valid, reset, gamma, X, iv_wins,
+                iv_ws, am_state, ring, offs, feats_ring, t0s, haves,
+            )
+            return out + (feats_ring,)
+
+        # Donate every threaded state buffer (all are replaced by the
+        # outputs each tick). iv_wins is donated only when it's the real
+        # device-carried window (ivp is None -> a persistent dummy that
+        # must survive across ticks).
+        fused_donate = (0, 3, 4, 6, 7, 8) + ((5,) if self._iv_inline else ())
+        self._batch_chunk_fused = (
+            jax.jit(batch_chunk_fused, donate_argnums=fused_donate)
+            if self._device_feats
+            else None
+        )
         if self._device_feats:
             self._feats_ring = jnp.zeros(
                 (max_streams, self._feat_ring_frames, num_ceps), jnp.float32
@@ -434,6 +478,15 @@ class StreamScheduler:
         else:
             self._iv_carry = None
         self._pending_reset = np.zeros(max_streams, dtype=bool)
+        # Per-lane i-vector pending-weight count for the fused tick path
+        # (the count reconstructs the prefix mask on device); the host
+        # iv_pending_w arrays serve the non-fused paths.
+        self._iv_pending_n = np.zeros(max_streams, dtype=np.int32)
+        self._iv_dummy = (
+            jnp.zeros((max_streams, 1, 1), jnp.float32)
+            if (self._device_feats and not self._iv_inline)
+            else None
+        )
         self._tick_ring: List[_TickBps] = []
         self._alpha_host: Optional[_TickBps] = None
         self._fuzzy_cache: dict = {}
@@ -513,12 +566,18 @@ class StreamScheduler:
         arc_src_dev = base.arc_src
         ring_frames = self._ring_frames
 
-        def finalize_trace(ring, alpha, sids, frames, steps):
-            """sids/frames [F_max] int32 -> (arcs [F_max, steps] int32,
-            fstate [F_max], cost [F_max]). Entries with frames == 0 are
-            padding; ``steps`` (static) is the bucketed scan length
-            (>= max frames in the group), so short utterances don't pay a
-            full-ring-depth walk."""
+        def finalize_trace(ring, alpha, fin_meta, steps):
+            """fin_meta [F_max, 2] int32 (sid, frames) -> ONE packed
+            [F_max, steps + 2] int32: per row the arc trace, then the
+            final state, then the path cost bitcast to int32 — a single
+            async D2H instead of three (each forced np.asarray on a
+            separate array costs a full dispatch round trip over a
+            remote-transport link). Entries with frames == 0 are padding;
+            ``steps`` (static) is the bucketed scan length (>= max frames
+            in the group), so short utterances don't pay a full-ring-depth
+            walk."""
+            sids = fin_meta[:, 0]
+            frames = fin_meta[:, 1]
             totals = alpha[sids] + final_w[None, :]
             fstate = jnp.argmin(totals, axis=-1).astype(jnp.int32)
             cost = jnp.take_along_axis(totals, fstate[:, None], axis=1)[:, 0]
@@ -545,9 +604,13 @@ class StreamScheduler:
 
             ts = jnp.arange(steps - 1, -1, -1, dtype=jnp.int32)
             _, arcs_rev = jax.lax.scan(back, fstate, (rows_rev, ts))
-            return jnp.swapaxes(arcs_rev[::-1], 0, 1), fstate, cost
+            arcs = jnp.swapaxes(arcs_rev[::-1], 0, 1)
+            cost_bits = jax.lax.bitcast_convert_type(cost, jnp.int32)
+            return jnp.concatenate(
+                [arcs, fstate[:, None], cost_bits[:, None]], axis=1
+            )
 
-        self._finalize_trace = jax.jit(finalize_trace, static_argnums=(4,))
+        self._finalize_trace = jax.jit(finalize_trace, static_argnums=(3,))
 
         cfg = self.am.frontend_config
         self._frame_len = cfg.frame_length
@@ -587,6 +650,7 @@ class StreamScheduler:
         state.flushed_feats = False
         state.iv_pending_win = np.zeros(self._iv_win_shape, np.float32)
         state.iv_pending_w = np.zeros(self._chunk_in, np.float32)
+        self._iv_pending_n[sid] = 0
         state.gen += 1
         # device-state reset (alpha / i-vector stats / recurrence rows) is
         # folded into the next chunk program via this mask — admission
@@ -619,10 +683,86 @@ class StreamScheduler:
 
     # -- scheduling -------------------------------------------------------------
 
-    def _drain_features_device(self) -> None:
-        """Device-resident drain: pool PCM -> one padded batch -> MFCC ->
-        rows written into the device feature ring at per-lane offsets.
-        No feature bytes return to host; only frame counts are tracked."""
+    def _step_fused(
+        self, prep, n_valid, chunk_t0, chunk_have, flushed, metrics
+    ) -> None:
+        """Dispatch the fused serving tick (device-feats mode): exactly
+        two H2D uploads (PCM batch + the [N, 7] meta pack) and ONE device
+        program covering feature-ring write, AM windows, i-vector fold,
+        and decode. Nothing here blocks on the device."""
+        N = self.max_streams
+        if prep is not None:
+            pcm_batch, counts_before, has_new = prep
+        else:
+            pcm_batch = np.zeros((N, 0), dtype=np.int16)
+            counts_before = np.zeros(N, dtype=np.int32)
+            has_new = np.zeros(N, dtype=bool)
+        meta = np.zeros((N, 7), dtype=np.int32)
+        meta[:, 0] = n_valid
+        meta[:, 1] = self._pending_reset
+        meta[:, 2] = chunk_t0
+        meta[:, 3] = chunk_have
+        meta[:, 4] = counts_before
+        meta[:, 5] = has_new
+        if self._ivp is not None:
+            meta[:, 6] = self._iv_pending_n
+        with StageTimer("stream_chunk", metrics):
+            if self._lane_spec is not None:
+                pcm_dev = jax.device_put(
+                    pcm_batch, self._lane_spec(pcm_batch)
+                )
+                meta_dev = jax.device_put(meta, self._lane_spec(meta))
+            else:
+                pcm_dev = jnp.asarray(pcm_batch)
+                meta_dev = jnp.asarray(meta)
+            ivw = self._iv_carry if self._iv_inline else self._iv_dummy
+            (
+                alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
+                feats_ring,
+            ) = self._batch_chunk_fused(
+                self._alpha, pcm_dev, meta_dev, self._iv_gamma,
+                self._iv_X, ivw, self._am_state, self._ring,
+                self._feats_ring, self._offs,
+            )
+            self._pending_reset[:] = False
+            self._alpha = alpha
+            self._am_state = am_state
+            self._iv_gamma, self._iv_X = gamma, X
+            self._ring, self._offs = ring, offs
+            self._feats_ring = feats_ring
+            if self._iv_inline:
+                self._iv_carry = iv_carry
+        if self._ivp is not None:
+            # everything passed this tick was folded into gamma/X — clear
+            # so nothing is double-counted next tick
+            self._iv_pending_n[:] = 0
+        for sid, state in enumerate(self.slots):
+            k = int(n_valid[sid])
+            if k <= 0:
+                continue
+            state.out_frames += k
+            if self._ivp is not None:
+                t0 = int(chunk_t0[sid])
+                self._iv_pending_n[sid] = max(
+                    0, min(self._chunk_in, int(chunk_have[sid]) - t0)
+                )
+            state.frames_consumed += self._chunk_in
+            if (
+                self.pool.is_finished(sid)
+                and state.flushed_feats
+                and state.frames_consumed >= int(self._feat_counts[sid])
+            ):
+                flushed.append(sid)
+
+    def _prep_features_device(self):
+        """Device-feats host prep: drain pool PCM into one padded batch
+        destined for the fused tick program (which runs MFCC and writes
+        the rows into the device feature ring at per-lane offsets — no
+        feature bytes ever return to host). Returns (pcm_batch, counts,
+        has_new) — counts are the PRE-increment write offsets — or None
+        when no lane has new audio. ``_feat_counts`` is advanced here so
+        the readiness loop that follows sees the post-write frame
+        counts."""
         fz = self._featurizer
         with_buf = []  # (sid, buf, n)
         for sid, state in enumerate(self.slots):
@@ -635,6 +775,7 @@ class StreamScheduler:
             r = fz.prepare_mfcc_buf(state.feat_state, pcm)
             if r is not None:
                 with_buf.append((sid, *r))
+        prep = None
         if with_buf:
             max_len = max(b.shape[0] for _, b, _ in with_buf)
             max_len = -(-max_len // 1600) * 1600
@@ -664,25 +805,14 @@ class StreamScheduler:
             has_new = np.zeros(self.max_streams, dtype=bool)
             for sid, _buf, _n in with_buf:
                 has_new[sid] = True
-            # Upload a COPY of the persistent counts: device_put of a host
-            # array can be zero-copy (the program reads the numpy memory
-            # when it executes, asynchronously), and _feat_counts is
-            # mutated right below (+= n) and by close()'s reset — a
-            # dispatch that lags under load would read post-mutation
-            # offsets and write feature rows to the wrong ring positions
-            # (observed: rare wrong transcripts under CPU contention).
-            counts = self._feat_counts.copy()
-            if self._lane_spec is not None:
-                batch_dev = jax.device_put(batch, self._lane_spec(batch))
-                counts_dev = jax.device_put(counts, self._lane_spec(counts))
-                has_new_dev = jax.device_put(has_new, self._lane_spec(has_new))
-            else:
-                batch_dev = jnp.asarray(batch)
-                counts_dev = jnp.asarray(counts)
-                has_new_dev = jnp.asarray(has_new)
-            self._feats_ring = self._feed_feats(
-                self._feats_ring, batch_dev, counts_dev, has_new_dev
-            )
+            # A COPY of the persistent counts: device_put of a host array
+            # can be zero-copy (the program reads the numpy memory when it
+            # executes, asynchronously), and _feat_counts is mutated right
+            # below (+= n) and by close()'s reset — a dispatch that lags
+            # under load would read post-mutation offsets and write
+            # feature rows to the wrong ring positions (observed: rare
+            # wrong transcripts under CPU contention).
+            prep = (batch, self._feat_counts.copy(), has_new)
             for sid, buf, n in with_buf:
                 self._feat_counts[sid] += n
                 fz.commit_mfcc(self.slots[sid].feat_state, buf, n)
@@ -695,13 +825,14 @@ class StreamScheduler:
                 and self.pool.available(sid) <= 0
             ):
                 state.flushed_feats = True
+        return prep
 
     def _drain_features_all(self) -> None:
         """Move pool PCM into per-slot feature buffers — ONE padded batched
         base-MFCC call per tick for every slot with new audio, plus (for
-        pitch models) ONE batched fixed-window pitch call."""
-        if self._device_feats:
-            return self._drain_features_device()
+        pitch models) ONE batched fixed-window pitch call. (Device-feats
+        mode doesn't come here: step() preps the PCM batch host-side and
+        the fused tick program does the MFCC + ring write.)"""
         fz = self._featurizer
         pushed = []  # (sid, pcm, buf_or_None, n_frames)
         for sid, state in enumerate(self.slots):
@@ -810,9 +941,17 @@ class StreamScheduler:
 
         if self._pending_finalize:
             with StageTimer("stream_finalize", metrics):
-                self._harvest_finalizes()
+                # Non-blocking: assemble only finalize traces whose async
+                # D2H copy has landed; the rest stay pending (poll()
+                # forces them). Steady-state ticks never wait on the
+                # device.
+                self._harvest_finalizes(block=False)
+        prep = None
         with StageTimer("stream_features", metrics):
-            self._drain_features_all()
+            if device_feats:
+                prep = self._prep_features_device()
+            else:
+                self._drain_features_all()
         for sid, state in enumerate(self.slots):
             if not state.active or state.done:
                 continue
@@ -860,7 +999,12 @@ class StreamScheduler:
             chunk_have[sid] = have
 
         lanes = int((n_valid > 0).sum())
-        if lanes:
+        if device_feats:
+            if lanes or prep is not None:
+                self._step_fused(
+                    prep, n_valid, chunk_t0, chunk_have, flushed, metrics
+                )
+        elif lanes:
             win_shape = self._iv_win_shape
             if self._iv_inline:
                 iv_wins = None  # carried on device
@@ -1139,11 +1283,14 @@ class StreamScheduler:
         for start in range(0, len(todo), self._FINALIZE_BATCH):
             group = todo[start : start + self._FINALIZE_BATCH]
             pad = self._FINALIZE_BATCH - len(group)
-            sids = np.asarray(group + [group[0]] * pad, dtype=np.int32)
+            fin_meta = np.zeros((self._FINALIZE_BATCH, 2), dtype=np.int32)
+            fin_meta[: len(group), 0] = group
+            fin_meta[len(group) :, 0] = group[0]
             frames = np.asarray(
                 [self.slots[s].out_frames for s in group] + [0] * pad,
                 dtype=np.int32,
             )
+            fin_meta[:, 1] = frames
             # bucketed static scan length: short utterances don't pay a
             # full-ring-depth walk; one compiled program per bucket
             steps = 32
@@ -1152,32 +1299,41 @@ class StreamScheduler:
                 steps *= 2
             steps = min(steps, self._ring_frames)
             with StageTimer("stream_fin_trace", get_metrics()):
-                arcs, fstates, costs = self._finalize_trace(
-                    self._ring, self._alpha, jnp.asarray(sids),
-                    jnp.asarray(frames), steps,
+                packed = self._finalize_trace(
+                    self._ring, self._alpha, jnp.asarray(fin_meta), steps
                 )
-            for dev in (arcs, fstates, costs):
-                try:
-                    # start all three D2H copies now: the next tick's
-                    # harvest then waits on landed data instead of paying
-                    # one dispatch round trip per np.asarray
-                    dev.copy_to_host_async()
-                except Exception:  # pragma: no cover
-                    pass
+            try:
+                # start the (single, packed) D2H copy now: the harvest
+                # then reads landed data instead of paying a blocking
+                # round trip
+                packed.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                pass
             gens = [self.slots[s_].gen for s_ in group]
-            self._pending_finalize.append(
-                (group, gens, frames, arcs, fstates, costs)
-            )
+            self._pending_finalize.append((group, gens, frames, packed))
 
-    def _harvest_finalizes(self) -> None:
-        """Assemble words for all dispatched finalize traces."""
+    def _harvest_finalizes(self, block: bool = True) -> None:
+        """Assemble words for dispatched finalize traces. With
+        ``block=False`` only traces whose async D2H copy has landed are
+        assembled (checked via ``is_ready()``); the rest stay pending —
+        the serving tick never waits on the device, and ``poll()``
+        forces the remainder."""
         graph = self.graph
         pending, self._pending_finalize = self._pending_finalize, []
-        for group, gens, frames, arcs_d, fstates_d, costs_d in pending:
+        for entry in pending:
+            group, gens, frames, packed_d = entry
+            if not block:
+                try:
+                    if not packed_d.is_ready():
+                        self._pending_finalize.append(entry)
+                        continue
+                except AttributeError:  # pragma: no cover - non-jax array
+                    pass
             with StageTimer("stream_fin_wait", get_metrics()):
-                arcs = np.asarray(arcs_d)
-                fstates = np.asarray(fstates_d)
-                costs = np.asarray(costs_d)
+                packed = np.asarray(packed_d)
+            arcs = packed[:, :-2]
+            fstates = packed[:, -2]
+            costs = packed[:, -1:].view(np.float32)[:, 0]
             for i, sid in enumerate(group):
                 state = self.slots[sid]
                 if state.gen != gens[i]:

@@ -19,9 +19,11 @@ logging.basicConfig(stream=sys.stderr, level=logging.INFO)
 for name in ("jax._src.lru_cache", "jax._src.compilation_cache"):
     logging.getLogger(name).setLevel(logging.DEBUG)
 
-# The axon TPU plugin overrides JAX_PLATFORMS=cpu; pin the default device
-# so the drive compiles (and caches) CPU programs, not tunnel dispatches.
+# The axon TPU plugin overrides JAX_PLATFORMS=cpu at interpreter start;
+# re-pin the selection (NOT just the default device) so jax.devices()
+# never initializes the tunnel backend — a dead tunnel would hang here.
 import jax
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from rhasspy_speech_tpu.const import LangSuffix

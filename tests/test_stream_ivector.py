@@ -246,3 +246,52 @@ def test_scheduler_inline_ivector_window_matches_batch(tmp_path):
     batch = Nnet3WavTranscriber(profile.model_dir, lang)
     want = batch.transcribe_pcm_batch(pcms)
     assert got == want == [[t] for t in texts]
+
+
+def test_fused_tick_stalled_lanes_and_recycle_match_batch(tmp_path):
+    """The fused serving tick (device-feats mode: ONE device program per
+    tick doing PCM->MFCC ring write + i-vector fold + decode) must match
+    batch decode under the awkward schedules the pack encodes per lane:
+    dribble-fed lanes that stall idle mid-utterance (their staged
+    i-vector contribution folds on an idle tick), interleaved with a
+    fully-fed lane, then slot recycling onto a new utterance (reset mask
+    + pending-count reset)."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_context=True
+    )
+    sched = StreamScheduler(profile.model_dir, graph_dir, max_streams=2)
+    assert sched._device_feats, "expected the fused device-feats path"
+
+    texts = ["turn on light", "turn off light"]
+    pcms = [
+        synthesize_sentence(profile, t, seed=90 + i)
+        for i, t in enumerate(texts)
+    ]
+    batch = Nnet3WavTranscriber(profile.model_dir, graph_dir)
+    want = batch.transcribe_pcm_batch(pcms)
+
+    # round 1: lane 0 dribbled (stalls idle between pushes, with steps
+    # in between), lane 1 fed fully up front
+    s0, s1 = sched.open_stream(), sched.open_stream()
+    sched.feed(s1, pcms[1])
+    sched.finish(s1)
+    pcm0 = pcms[0]
+    for off in range(0, len(pcm0), 1600):
+        sched.feed(s0, pcm0[off : off + 1600])
+        sched.step()  # most ticks: lane 0 has no full chunk -> idle
+    sched.finish(s0)
+    sched.run_until_idle()
+    assert [sched.poll(s0), sched.poll(s1)] == want
+
+    # round 2: recycle both slots onto swapped utterances
+    sched.close(s0)
+    sched.close(s1)
+    r0, r1 = sched.open_stream(), sched.open_stream()
+    sched.feed(r0, pcms[1])
+    sched.feed(r1, pcms[0])
+    sched.finish(r0)
+    sched.finish(r1)
+    sched.run_until_idle()
+    assert [sched.poll(r0), sched.poll(r1)] == [want[1], want[0]]
