@@ -162,6 +162,10 @@ struct StreamSlot {
   int64_t read_pos = 0;    // total samples ever consumed
   bool active = false;
   bool finished = false;   // EOF signalled
+  // Every sample fed since open() round-trips exactly through int16
+  // (tracked while the data is cache-hot, so the batched drain can emit
+  // half-width int16 rows without a rescan).
+  bool i16_exact = true;
 };
 
 struct StreamPool {
@@ -189,6 +193,7 @@ int32_t rss_pool_open(void *p) {
       auto &s = pool->slots[i];
       s.active = true;
       s.finished = false;
+      s.i16_exact = true;
       s.write_pos = s.read_pos = 0;
       return (int32_t)i;
     }
@@ -204,8 +209,22 @@ int64_t rss_pool_feed(void *p, int32_t slot, const float *pcm, int64_t n) {
   if (!s.active || s.finished) return -1;
   const int64_t free_space = pool->capacity - (s.write_pos - s.read_pos);
   const int64_t take = std::min(free_space, n);
-  for (int64_t i = 0; i < take; i++)
-    s.ring[(s.write_pos + i) % pool->capacity] = pcm[i];
+  // two contiguous segments instead of a per-sample modulo loop
+  const int64_t w0 = s.write_pos % pool->capacity;
+  const int64_t seg1 = std::min(take, pool->capacity - w0);
+  memcpy(s.ring.data() + w0, pcm, seg1 * sizeof(float));
+  if (take > seg1) memcpy(s.ring.data(), pcm + seg1, (take - seg1) * sizeof(float));
+  if (s.i16_exact) {
+    for (int64_t i = 0; i < take; i++) {
+      const float v = pcm[i];
+      // matches the Python check: integral and |v| <= 32767 (the cast
+      // is range-checked first — float->int16 out of range is UB)
+      if (!(v >= -32767.0f && v <= 32767.0f) || v != truncf(v)) {
+        s.i16_exact = false;
+        break;
+      }
+    }
+  }
   s.write_pos += take;
   return take;
 }
@@ -237,10 +256,65 @@ int64_t rss_pool_read(void *p, int32_t slot, float *out, int64_t n) {
   auto &s = pool->slots[slot];
   const int64_t avail = s.write_pos - s.read_pos;
   const int64_t take = std::min(avail, n);
-  for (int64_t i = 0; i < take; i++)
-    out[i] = s.ring[(s.read_pos + i) % pool->capacity];
+  const int64_t r0 = s.read_pos % pool->capacity;
+  const int64_t seg1 = std::min(take, pool->capacity - r0);
+  memcpy(out, s.ring.data() + r0, seg1 * sizeof(float));
+  if (take > seg1) memcpy(out + seg1, s.ring.data(), (take - seg1) * sizeof(float));
   s.read_pos += take;
   return take;
+}
+
+// Per-slot drain snapshot in ONE call (the batched scheduler makes one of
+// these per tick instead of num_slots rss_pool_available calls):
+// counts[i] = readable samples; flags[i] = bit0 active | bit1 finished |
+// bit2 i16-exact-since-open.
+void rss_pool_snapshot(void *p, int64_t *counts, int32_t *flags) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  for (size_t i = 0; i < pool->slots.size(); i++) {
+    auto &s = pool->slots[i];
+    counts[i] = s.active ? (s.write_pos - s.read_pos) : 0;
+    flags[i] = (s.active ? 1 : 0) | (s.finished ? 2 : 0) |
+               (s.i16_exact ? 4 : 0);
+  }
+}
+
+// Batched drain: for every slot i with counts[i] > 0, pop exactly
+// counts[i] samples (must be <= available; counts normally comes straight
+// from rss_pool_snapshot) into row i of a [num_slots, stride] row-major
+// matrix at column offs[i] (the caller's frame-tail length). With
+// as_i16 != 0 samples are written int16 into out16 (valid only when the
+// drained slots are i16-exact); otherwise float32 into out_f32. ONE call
+// per scheduler tick replaces num_slots rss_pool_read round trips.
+// Returns 0, or -1 when any counts[i] exceeds that slot's available.
+int32_t rss_pool_read_all(void *p, float *out_f32, int16_t *out_i16,
+                          int32_t as_i16, int64_t stride,
+                          const int64_t *offs, const int64_t *counts) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  for (size_t i = 0; i < pool->slots.size(); i++) {
+    if (counts[i] > pool->slots[i].write_pos - pool->slots[i].read_pos)
+      return -1;
+  }
+  for (size_t i = 0; i < pool->slots.size(); i++) {
+    const int64_t take = counts[i];
+    if (take <= 0) continue;
+    auto &s = pool->slots[i];
+    const int64_t r0 = s.read_pos % pool->capacity;
+    const int64_t seg1 = std::min(take, pool->capacity - r0);
+    if (as_i16) {
+      int16_t *row = out_i16 + (int64_t)i * stride + offs[i];
+      for (int64_t j = 0; j < seg1; j++) row[j] = (int16_t)s.ring[r0 + j];
+      for (int64_t j = seg1; j < take; j++) row[j] = (int16_t)s.ring[j - seg1];
+    } else {
+      float *row = out_f32 + (int64_t)i * stride + offs[i];
+      memcpy(row, s.ring.data() + r0, seg1 * sizeof(float));
+      if (take > seg1)
+        memcpy(row + seg1, s.ring.data(), (take - seg1) * sizeof(float));
+    }
+    s.read_pos += take;
+  }
+  return 0;
 }
 
 // Release a slot back to the pool.

@@ -49,7 +49,17 @@ class NativeRuntime:
         with self._lock:
             if self._lib is None and not self._tried:
                 self._tried = True
-                path = _LIB_PATH if _LIB_PATH.exists() else _build_library()
+                src = _NATIVE_DIR / "rss_runtime.cpp"
+                stale = (
+                    _LIB_PATH.exists()
+                    and src.exists()
+                    and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+                )
+                path = (
+                    _LIB_PATH
+                    if _LIB_PATH.exists() and not stale
+                    else _build_library()
+                )
                 if path is not None:
                     lib = ctypes.CDLL(str(path))
                     self._configure(lib)
@@ -95,6 +105,16 @@ class NativeRuntime:
             ctypes.c_void_p, ctypes.c_int32, f32p, ctypes.c_int64
         ]
         lib.rss_pool_close.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        if hasattr(lib, "rss_pool_snapshot"):
+            lib.rss_pool_snapshot.argtypes = [ctypes.c_void_p, i64p, i32p]
+            lib.rss_pool_read_all.restype = ctypes.c_int32
+            lib.rss_pool_read_all.argtypes = [
+                ctypes.c_void_p, f32p, i16p, ctypes.c_int32,
+                ctypes.c_int64, i64p, i64p,
+            ]
 
 
 _RUNTIME = NativeRuntime()
@@ -257,3 +277,72 @@ class StreamPool:
         else:
             with self._lock:
                 self._buffers[slot] = None
+
+    @property
+    def has_batched_drain(self) -> bool:
+        return self._lib is not None and hasattr(self._lib, "rss_pool_snapshot")
+
+    def snapshot(self):
+        """(counts [N] int64, finished [N] bool, i16_exact [N] bool) in
+        ONE native call — the batched scheduler's per-tick drain plan.
+        i16_exact marks slots whose every fed sample round-trips through
+        int16 (tracked at feed time; always False on the NumPy fallback,
+        which makes the caller take the float32 upload path)."""
+        N = self.num_slots
+        if self._lib is not None and self.has_batched_drain:
+            counts = np.zeros(N, dtype=np.int64)
+            flags = np.zeros(N, dtype=np.int32)
+            self._lib.rss_pool_snapshot(
+                self._handle,
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return (
+                counts,
+                (flags & 2).astype(bool),
+                (flags & 4).astype(bool),
+            )
+        counts = np.array(
+            [self.available(i) for i in range(N)], dtype=np.int64
+        )
+        finished = np.array(
+            [self.is_finished(i) for i in range(N)], dtype=bool
+        )
+        return counts, finished, np.zeros(N, dtype=bool)
+
+    def read_into(
+        self,
+        out: np.ndarray,
+        offs: np.ndarray,
+        counts: np.ndarray,
+    ) -> None:
+        """Drain counts[i] samples from each slot into out[i, offs[i]:]
+        in ONE native call. ``out`` is [N, stride] float32 or int16 (int16
+        is only valid when the drained slots are i16-exact). Falls back to
+        per-slot reads without the native library."""
+        offs = np.ascontiguousarray(offs, dtype=np.int64)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        if self._lib is not None and self.has_batched_drain:
+            i16 = out.dtype == np.int16
+            rc = self._lib.rss_pool_read_all(
+                self._handle,
+                None if i16 else _f32p(out),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+                if i16
+                else None,
+                1 if i16 else 0,
+                out.shape[1],
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if rc != 0:
+                raise RuntimeError("rss_pool_read_all: count > available")
+            return
+        for i in range(self.num_slots):
+            n = int(counts[i])
+            if n <= 0:
+                continue
+            pcm = self.read(i, n)
+            out[i, int(offs[i]) : int(offs[i]) + n] = (
+                pcm.astype(out.dtype) if out.dtype != np.float32 else pcm
+            )
