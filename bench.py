@@ -551,7 +551,7 @@ def main():
         lanes_list = [
             int(x)
             for x in os.environ.get(
-                "BENCH_LANES", "64,128,192,256"
+                "BENCH_LANES", "128,256,384,512"
             ).split(",")
         ]
         stream_points = streaming_bench(graph, g_fuzzy, lang, lanes_list)

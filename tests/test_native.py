@@ -106,3 +106,55 @@ def test_stream_pool_backpressure():
     s = pool.open()
     taken = pool.feed(s, np.zeros(150, dtype=np.float32))
     assert taken == 100  # ring full: partial accept
+
+
+def test_stream_pool_snapshot_and_batched_drain():
+    """One-call drain plan + batched read (the serving tick's fast path):
+    counts/finished/int16-exactness from rss_pool_snapshot, rows written
+    at per-lane offsets by rss_pool_read_all, exactness tracked at feed
+    time and reset on slot reuse, ring wraparound preserved."""
+    pool = StreamPool(num_slots=3, capacity_samples=200)
+    a, b = pool.open(), pool.open()
+    pool.feed(a, np.array([1.0, 2.0, 3.0], np.float32))
+    pool.feed(b, np.array([4.5, 5.0], np.float32))  # 4.5 not int16-exact
+    pool.finish(b)
+
+    counts, finished, exact = pool.snapshot()
+    assert counts.tolist()[:2] == [3, 2] and counts[2] == 0
+    assert not finished[a] and finished[b]
+    if pool.has_batched_drain:  # NumPy fallback reports exactness False
+        assert exact[a] and not exact[b]
+
+    out = np.zeros((3, 8), np.float32)
+    pool.read_into(out, np.array([2, 0, 0]), counts)
+    assert out[a, 2:5].tolist() == [1.0, 2.0, 3.0]
+    assert out[b, :2].tolist() == [4.5, 5.0]
+    counts2, _, _ = pool.snapshot()
+    assert counts2[a] == 0 and counts2[b] == 0
+
+    # exactness resets when the slot is recycled
+    pool.close(b)
+    c = pool.open()
+    pool.feed(c, np.array([7.0, -32767.0], np.float32))
+    _, _, exact = pool.snapshot()
+    if pool.has_batched_drain:
+        assert exact[c]
+
+
+def test_stream_pool_batched_drain_int16_wraparound():
+    """int16 rows drained across many overfill/drain cycles stay sample-
+    exact through the ring wrap."""
+    pool = StreamPool(num_slots=2, capacity_samples=100)
+    s = pool.open()
+    rng = np.random.RandomState(3)
+    for it in range(9):
+        chunk = np.round(rng.randn(60) * 1000.0).astype(np.float32)
+        chunk = np.clip(chunk, -32767, 32767)
+        assert pool.feed(s, chunk) == 60
+        counts, _, exact = pool.snapshot()
+        dtype = np.int16 if (pool.has_batched_drain and exact[s]) else np.float32
+        out = np.zeros((2, 64), dtype)
+        pool.read_into(out, np.zeros(2, np.int64), counts)
+        np.testing.assert_array_equal(
+            out[s, :60].astype(np.float32), chunk, err_msg=str(it)
+        )
