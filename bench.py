@@ -206,6 +206,16 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
             for _ in range(16)
         ]
 
+        # Endpointing active by default (the product's serving shape):
+        # rides the device endpoint lane — per-state trailing-silence DP
+        # in the decode scan, rules applied to the previous tick's landed
+        # [N, 3] stats. BENCH_ENDPOINT=0 disables.
+        endpointing = None
+        if os.environ.get("BENCH_ENDPOINT", "1") != "0":
+            from rhasspy_speech_tpu.pipeline.endpoint import EndpointConfig
+
+            endpointing = EndpointConfig()
+
         points = []
         for lanes in lanes_list:
             try:
@@ -215,7 +225,12 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     pool_capacity_samples=int(16000 * (SECONDS + 2)),
                     chunk_out_frames=chunk_out,
                     compute_dtype=DTYPE or None,
+                    endpointing=endpointing,
                 )
+                if endpointing is not None and not sched._ep_device:
+                    raise RuntimeError(
+                        "endpointing fell off the device lane"
+                    )
                 remaining = np.zeros(lanes, dtype=np.int64)
                 for sid_expect in range(lanes):
                     sid = sched.open_stream()
@@ -307,6 +322,7 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                      "chunk_rtf": round(chunk_rtf, 4),
                      "xrt_streams": round(xrt, 1),
                      "chunk_out": chunk_out,
+                     "endpointing": endpointing is not None,
                      "utts_retired": completed,
                      "results_harvested": harvested,
                      "stage_ms": stage_ms}

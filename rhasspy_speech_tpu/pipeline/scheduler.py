@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional, Set, Tuple, Union
 
 import numpy as np
 
@@ -213,17 +213,52 @@ class StreamScheduler:
             and self._win_hi >= self._chunk_in + ivp.splice_right
         )
 
-        # Device-resident backpointer ring: when neither endpointing nor
-        # silence weighting needs per-tick host backpointers, each lane's
-        # bps accumulate in a [N, F, S] uint16 ring ON DEVICE and the
-        # finalize backtrace runs on device too — steady-state ticks
-        # transfer kilobytes instead of the [chunk, N, S] tensor (the
-        # dominant cost over any remote-dispatch transport, and a big
-        # PCIe saving locally). F is sized from the pool capacity: the
-        # pool bounds a stream's un-consumed audio, so offsets stay in
-        # range.
+        # Endpointing (online-endpoint.h rules over decode-state signals),
+        # resolved BEFORE the device programs are built: on compact-bp
+        # graphs the endpoint signals are maintained ON DEVICE (see
+        # _ep_device below), so endpointing no longer forces the host
+        # backpointer path.
+        self.endpointing = endpointing
+        self._silence_pdfs = set()
+        if endpointing is not None or silence_weight is not None:
+            from ..fst.core import SymbolTable
+            from .endpoint import silence_pdfs_from_model
+
+            phones_path = self.am._resolved_model_dir / "model" / "phones.txt"
+            if phones_path.exists():
+                with open(phones_path, "r", encoding="utf-8") as f:
+                    model_phones = SymbolTable.read_text(f)
+                self._silence_pdfs = silence_pdfs_from_model(
+                    self.am.transition_model, model_phones
+                )
+
+        # Device-resident endpoint signals: per-(lane, state) DP columns
+        # updated inside the decode scan — trail[s] = consecutive trailing
+        # silence frames of the Viterbi path into s, nonsil[s] = that path
+        # saw a non-silence frame. One [N, 3] stats row (trail, nonsil,
+        # relative final cost at the tick-end best state) leaves the chip
+        # per tick; the rules run on host against the PREVIOUS tick's
+        # landed stats, so endpoint detection lags one chunk (0.21 s) and
+        # never blocks the tick. (The old host path walked per-lane
+        # backpointers and capped at 400 frames; the DP walks the whole
+        # path — Kaldi's TrailingSilenceLength semantics.)
+        self._ep_device = (
+            endpointing is not None
+            and silence_weight is None
+            and self._bp_compact
+        )
+
+        # Device-resident backpointer ring: when no host consumer needs
+        # per-tick backpointers (endpointing rides the device DP above;
+        # silence weighting still walks on host), each lane's bps
+        # accumulate in a [N, F, S] uint16 ring ON DEVICE and the finalize
+        # backtrace runs on device too — steady-state ticks transfer
+        # kilobytes instead of the [chunk, N, S] tensor (the dominant cost
+        # over any remote-dispatch transport, and a big PCIe saving
+        # locally). F is sized from the pool capacity: the pool bounds a
+        # stream's un-consumed audio, so offsets stay in range.
         self._device_bp = (
-            endpointing is None
+            (endpointing is None or self._ep_device)
             and silence_weight is None
             and self._bp_compact
         )
@@ -248,9 +283,20 @@ class StreamScheduler:
             pool_capacity_samples // 160 + self._win_hi + 160
         )
 
+        # silence table for the device endpoint DP: arc id -> emits silence
+        if self._ep_device:
+            sil_tab = np.zeros(max(self.graph.num_pdfs, 1), dtype=bool)
+            for p in self._silence_pdfs:
+                if 0 <= p < sil_tab.shape[0]:
+                    sil_tab[p] = True
+            arc_sil_dev = jnp.asarray(sil_tab[self.graph.arc_pdf])
+        else:
+            arc_sil_dev = None
+        ep_device = self._ep_device
+
         def batch_chunk(
             alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws,
-            am_state, ring, offs, feats_ring, t0s, haves
+            am_state, ring, offs, feats_ring, t0s, haves, ep_state
         ):
             """alpha [N, S]; windows [N, W, D]; n_valid [N]; reset [N] bool
             (lanes reopened since the last tick restart from the initial
@@ -356,16 +402,80 @@ class StreamScheduler:
             am_costs = -scale * jnp.swapaxes(log_probs, 0, 1)  # [7, N, P]
             ts = jnp.arange(chunk_out, dtype=jnp.int32)
 
-            def step(a, xs):
-                am_t, t = xs
-                new_alpha, bp = decode_step(graph, a, am_t)
-                active = (t < n_valid)[:, None]
-                return (
-                    jnp.where(active, new_alpha, a),
-                    jnp.where(active, bp, -3),
-                )
+            new_ep = None
+            ep_stats = None
+            if ep_state is None:
 
-            new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
+                def step(a, xs):
+                    am_t, t = xs
+                    new_alpha, bp = decode_step(graph, a, am_t)
+                    active = (t < n_valid)[:, None]
+                    return (
+                        jnp.where(active, new_alpha, a),
+                        jnp.where(active, bp, -3),
+                    )
+
+                new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
+            else:
+                # endpoint DP columns ride the decode scan: per state, the
+                # trailing-silence run length and the saw-nonsilence flag
+                # of the Viterbi path into it (exactly Kaldi's
+                # TrailingSilenceLength walk, maintained incrementally)
+                trail, nonsil = ep_state
+                trail = jnp.where(reset[:, None], 0, trail)
+                nonsil = jnp.where(reset[:, None], False, nonsil)
+                arc_src_d = graph.base.arc_src
+
+                def step_ep(carry, xs):
+                    a, tr, ns = carry
+                    am_t, t = xs
+                    new_alpha, bp = decode_step(graph, a, am_t)
+                    active = (t < n_valid)[:, None]
+                    real = bp >= 0
+                    sb = jnp.maximum(bp, 0)
+                    src = arc_src_d[sb]  # [N, S]
+                    sil = arc_sil_dev[sb]
+                    tr_src = jnp.take_along_axis(tr, src, axis=1)
+                    ns_src = jnp.take_along_axis(ns, src, axis=1)
+                    new_tr = jnp.where(real & sil, tr_src + 1, 0)
+                    new_ns = jnp.where(real, ns_src | ~sil, False)
+                    return (
+                        jnp.where(active, new_alpha, a),
+                        jnp.where(active, new_tr, tr),
+                        jnp.where(active, new_ns, ns),
+                    ), jnp.where(active, bp, -3)
+
+                (new_alpha, trail, nonsil), bps = jax.lax.scan(
+                    step_ep, (alpha, trail, nonsil), (am_costs, ts)
+                )
+                new_ep = (trail, nonsil)
+                # tick-end per-lane signals at the best (final if
+                # reachable, else overall-best) state — [N, 3] f32:
+                # trailing-silence frames, contains-nonsilence, relative
+                # final cost
+                fw = graph.base.final_weight
+                totals = new_alpha + fw[None, :]
+                fcost = jnp.min(totals, axis=1)
+                has_final = fcost < 1.0e29
+                best_any = jnp.min(new_alpha, axis=1)
+                ep_idx = jnp.where(
+                    has_final,
+                    jnp.argmin(totals, axis=1),
+                    jnp.argmin(new_alpha, axis=1),
+                )
+                lanes_i = jnp.arange(new_alpha.shape[0])
+                ep_stats = jnp.stack(
+                    [
+                        trail[lanes_i, ep_idx].astype(jnp.float32),
+                        nonsil[lanes_i, ep_idx].astype(jnp.float32),
+                        jnp.where(
+                            has_final,
+                            fcost - best_any,
+                            jnp.float32(jnp.inf),
+                        ),
+                    ],
+                    axis=1,
+                )
             if device_bp:
                 enc = (bps + 3).astype(jnp.uint16)  # [chunk, N, S]
                 rows = jnp.swapaxes(enc, 0, 1)  # [N, chunk, S]
@@ -377,20 +487,23 @@ class StreamScheduler:
                 new_offs = offs + n_valid
                 return (
                     new_alpha, None, new_gamma, new_X, new_state,
-                    ring, new_offs, new_iv_carry,
+                    ring, new_offs, new_iv_carry, new_ep, ep_stats,
                 )
             if bp_compact:
                 bps = (bps + 3).astype(jnp.uint16)
             return (
                 new_alpha, bps, new_gamma, new_X, new_state,
-                ring, offs, new_iv_carry,
+                ring, offs, new_iv_carry, new_ep, ep_stats,
             )
 
         device_bp = self._device_bp
         iv_inline = self._iv_inline
         device_feats = self._device_feats
         bf16 = self._bf16
-        self._batch_chunk = jax.jit(batch_chunk, donate_argnums=(9,))
+        self._batch_chunk = jax.jit(
+            batch_chunk,
+            donate_argnums=(9,) + ((14,) if self._ep_device else ()),
+        )
 
         frontend_params = self.am.frontend_params
 
@@ -419,7 +532,7 @@ class StreamScheduler:
 
         def batch_chunk_fused(
             alpha, pcm_buf, meta, gamma, X, iv_wins, am_state, ring,
-            feats_ring, offs
+            feats_ring, offs, ep_state
         ):
             """One-dispatch serving tick (device-feats mode): PCM -> MFCC
             rows into the feature ring -> AM windows -> decode, all in a
@@ -445,6 +558,7 @@ class StreamScheduler:
             out = batch_chunk(
                 alpha, dummy_win, n_valid, reset, gamma, X, iv_wins,
                 iv_ws, am_state, ring, offs, feats_ring, t0s, haves,
+                ep_state,
             )
             return out + (feats_ring,)
 
@@ -452,7 +566,11 @@ class StreamScheduler:
         # outputs each tick). iv_wins is donated only when it's the real
         # device-carried window (ivp is None -> a persistent dummy that
         # must survive across ticks).
-        fused_donate = (0, 3, 4, 6, 7, 8) + ((5,) if self._iv_inline else ())
+        fused_donate = (
+            (0, 3, 4, 6, 7, 8)
+            + ((5,) if self._iv_inline else ())
+            + ((10,) if self._ep_device else ())
+        )
         self._batch_chunk_fused = (
             jax.jit(batch_chunk_fused, donate_argnums=fused_donate)
             if self._device_feats
@@ -493,6 +611,17 @@ class StreamScheduler:
         self._pending_finalize: list = []
         # per-tick snapshot of the pool's finished flags (fast drain path)
         self._fin_snap: Optional[np.ndarray] = None
+        # device endpoint DP columns + last tick's [N, 3] signal stats
+        if self._ep_device:
+            S_ = self.graph.num_states
+            self._ep_state = (
+                jnp.zeros((max_streams, S_), jnp.int32),
+                jnp.zeros((max_streams, S_), jnp.bool_),
+            )
+        else:
+            self._ep_state = None
+        self._ep_stats_prev = None
+        self._ep_tick_stats = None
         self._am_state = (
             self._chunk_model.init_state(max_streams) if recurrent else {}
         )
@@ -552,6 +681,10 @@ class StreamScheduler:
             }
             self._ring = jax.device_put(self._ring, _lane_spec(self._ring))
             self._offs = jax.device_put(self._offs, _lane_spec(self._offs))
+            if self._ep_state is not None:
+                self._ep_state = tuple(
+                    jax.device_put(a, _lane_spec(a)) for a in self._ep_state
+                )
             if self._iv_carry is not None:
                 self._iv_carry = jax.device_put(
                     self._iv_carry, _lane_spec(self._iv_carry)
@@ -617,21 +750,6 @@ class StreamScheduler:
         cfg = self.am.frontend_config
         self._frame_len = cfg.frame_length
         self._frame_shift = cfg.frame_shift
-
-        # Endpointing (online-endpoint.h rules over decode-state signals)
-        self.endpointing = endpointing
-        self._silence_pdfs = set()
-        if endpointing is not None or silence_weight is not None:
-            from ..fst.core import SymbolTable
-            from .endpoint import silence_pdfs_from_model
-
-            phones_path = self.am._resolved_model_dir / "model" / "phones.txt"
-            if phones_path.exists():
-                with open(phones_path, "r", encoding="utf-8") as f:
-                    model_phones = SymbolTable.read_text(f)
-                self._silence_pdfs = silence_pdfs_from_model(
-                    self.am.transition_model, model_phones
-                )
 
     # -- stream lifecycle ------------------------------------------------------
 
@@ -720,11 +838,11 @@ class StreamScheduler:
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-                feats_ring,
+                ep_state, ep_stats, feats_ring,
             ) = self._batch_chunk_fused(
                 self._alpha, pcm_dev, meta_dev, self._iv_gamma,
                 self._iv_X, ivw, self._am_state, self._ring,
-                self._feats_ring, self._offs,
+                self._feats_ring, self._offs, self._ep_state,
             )
             self._pending_reset[:] = False
             self._alpha = alpha
@@ -734,6 +852,8 @@ class StreamScheduler:
             self._feats_ring = feats_ring
             if self._iv_inline:
                 self._iv_carry = iv_carry
+            if self._ep_device:
+                self._ep_state = ep_state
         if self._ivp is not None:
             # everything passed this tick was folded into gamma/X — clear
             # so nothing is double-counted next tick
@@ -760,6 +880,21 @@ class StreamScheduler:
                 and state.frames_consumed >= int(self._feat_counts[sid])
             ):
                 flushed.append(sid)
+        if self._ep_device:
+            try:
+                ep_stats.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                pass
+            # applied next tick, guarded by slot generation; out_frames
+            # snapshot AFTER this tick so utterance_length matches the
+            # alpha the stats were computed from
+            self._ep_stats_prev = (
+                ep_stats,
+                [s.gen for s in self.slots],
+                np.array(
+                    [s.out_frames for s in self.slots], dtype=np.int64
+                ),
+            )
 
     def _prep_features_device(self):
         """Device-feats host prep: drain pool PCM into one padded batch
@@ -1044,8 +1179,19 @@ class StreamScheduler:
                 prep = self._prep_features_device()
             else:
                 self._drain_features_all()
+        # device endpoint lane: apply the PREVIOUS tick's landed signal
+        # stats (detection lags one chunk; never blocks on the device)
+        ep_fired: Set[int] = (
+            self._apply_endpoint_stats()
+            if self._ep_device and self._ep_stats_prev is not None
+            else set()
+        )
         for sid, state in enumerate(self.slots):
             if not state.active or state.done:
+                continue
+            if sid in ep_fired:
+                _LOGGER.debug("endpoint fired for stream %d", sid)
+                flushed.append(sid)
                 continue
             t0 = state.frames_consumed
             have = (
@@ -1153,15 +1299,16 @@ class StreamScheduler:
                 else:
                     t0_dev = jnp.asarray(t0s)
                     hv_dev = jnp.asarray(haves)
-                alpha, bps, gamma, X, am_state, ring, offs, iv_carry = (
-                    self._batch_chunk(
-                        self._alpha, win_dev, nv_dev, rs_dev,
-                        self._iv_gamma, self._iv_X,
-                        ivw_dev, ivs_dev,
-                        self._am_state,
-                        self._ring, self._offs,
-                        self._feats_ring, t0_dev, hv_dev,
-                    )
+                (
+                    alpha, bps, gamma, X, am_state, ring, offs, iv_carry,
+                    ep_state, ep_stats,
+                ) = self._batch_chunk(
+                    self._alpha, win_dev, nv_dev, rs_dev,
+                    self._iv_gamma, self._iv_X,
+                    ivw_dev, ivs_dev,
+                    self._am_state,
+                    self._ring, self._offs,
+                    self._feats_ring, t0_dev, hv_dev, self._ep_state,
                 )
                 self._pending_reset[:] = False
                 self._alpha = alpha
@@ -1170,6 +1317,15 @@ class StreamScheduler:
                 self._ring, self._offs = ring, offs
                 if self._iv_inline:
                     self._iv_carry = iv_carry
+                if self._ep_device:
+                    self._ep_state = ep_state
+                    try:
+                        ep_stats.copy_to_host_async()
+                    except Exception:  # pragma: no cover
+                        pass
+                    self._ep_tick_stats = ep_stats
+                else:
+                    self._ep_tick_stats = None
                 tick_bps = None
                 if not self._device_bp:
                     self._alpha_host = _TickBps(alpha)
@@ -1206,9 +1362,9 @@ class StreamScheduler:
                 for s in self.slots:
                     if s.iv_pending_w is not None:
                         s.iv_pending_w = np.zeros(self._chunk_in, np.float32)
-            need_alpha = self.endpointing is not None or (
-                self.silence_weight is not None and self._ivp is not None
-            )
+            need_alpha = (
+                self.endpointing is not None and not self._ep_device
+            ) or (self.silence_weight is not None and self._ivp is not None)
             alpha_np = self._alpha_host.force() if need_alpha else None
             for sid, state in enumerate(self.slots):
                 k = int(n_valid[sid])
@@ -1247,11 +1403,23 @@ class StreamScheduler:
                     and state.frames_consumed >= have_now
                 ):
                     flushed.append(sid)
-                elif self.endpointing is not None and self._check_endpoint(
-                    sid, alpha_np[sid]
+                elif (
+                    self.endpointing is not None
+                    and not self._ep_device
+                    and self._check_endpoint(sid, alpha_np[sid])
                 ):
                     _LOGGER.debug("endpoint fired for stream %d", sid)
                     flushed.append(sid)
+            if self._ep_device and self._ep_tick_stats is not None:
+                # applied next tick, guarded by slot generation
+                self._ep_stats_prev = (
+                    self._ep_tick_stats,
+                    [s.gen for s in self.slots],
+                    np.array(
+                        [s.out_frames for s in self.slots], dtype=np.int64
+                    ),
+                )
+                self._ep_tick_stats = None
 
         with StageTimer("stream_finalize", metrics):
             if self._device_bp:
@@ -1320,6 +1488,33 @@ class StreamScheduler:
                 )
         state.iv_pending_win = win
         state.iv_pending_w = w
+
+    def _apply_endpoint_stats(self) -> Set[int]:
+        """Evaluate the endpoint rules against the previous tick's
+        device-computed [N, 3] signals (trailing-silence frames,
+        contains-nonsilence, relative final cost). Slots recycled since
+        the stats were computed are skipped via the generation guard."""
+        stats_dev, gens, out_snap = self._ep_stats_prev
+        self._ep_stats_prev = None
+        stats = np.asarray(stats_dev)  # async copy landed a tick ago
+        fired: Set[int] = set()
+        out_frame_sec = self.am.subsampling * self._frame_shift / 16000.0
+        for sid, state in enumerate(self.slots):
+            if (
+                not state.active
+                or state.done
+                or state.gen != gens[sid]
+                or out_snap[sid] <= 0
+            ):
+                continue
+            if self.endpointing.should_endpoint(
+                contains_nonsilence=bool(stats[sid, 1] > 0.5),
+                trailing_silence=float(stats[sid, 0]) * out_frame_sec,
+                relative_cost=float(stats[sid, 2]),
+                utterance_length=float(out_snap[sid]) * out_frame_sec,
+            ):
+                fired.add(sid)
+        return fired
 
     def _check_endpoint(self, sid: int, alpha_row: np.ndarray) -> bool:
         """Evaluate the endpoint rules for one stream after a chunk."""

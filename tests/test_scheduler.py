@@ -214,3 +214,76 @@ def test_scheduler_reopen_resets_device_state(profile_and_train):  # noqa: F811
     assert run("turn on the light", 41) == ["turn on the light"]
     assert run("never mind", 42) == ["never mind"]
     assert run("turn off the fan", 43) == ["turn off the fan"]
+
+
+def test_device_endpoint_signals_match_host_walk(profile_and_train):  # noqa: F811
+    """The device endpoint lane maintains trailing-silence / contains-
+    nonsilence as per-state DP columns inside the decode scan; its per-
+    tick [N, 3] signals must equal the host backpointer walk
+    (endpoint.trailing_silence_frames) over the same decoded prefix, and
+    endpointing must keep the device-resident fast path enabled."""
+    from rhasspy_speech_tpu.ops.decoder import viterbi
+    from rhasspy_speech_tpu.pipeline.endpoint import (
+        EndpointConfig,
+        EndpointRule,
+        trailing_silence_frames,
+    )
+    from rhasspy_speech_tpu.pipeline.transcribe import AcousticModel
+    from rhasspy_speech_tpu.testing.synthetic import _silence_wave
+
+    profile, train_dir = profile_and_train
+    lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    # rules that can never fire: observe the signals over the whole stream
+    cfg = EndpointConfig(
+        rules=(EndpointRule(False, 1e9, float("inf"), 1e9),)
+    )
+    sched = StreamScheduler(
+        profile.model_dir, lang, max_streams=2, endpointing=cfg
+    )
+    assert sched._ep_device, "endpointing must ride the device lane"
+    assert sched._device_bp and sched._device_feats, (
+        "endpointing must no longer force the host backpointer path"
+    )
+    assert sched._silence_pdfs
+
+    speech = synthesize_sentence(profile, "never mind", seed=5)
+    silence = _silence_wave(16000, np.random.RandomState(1))
+    pcm = np.concatenate([speech, silence])
+
+    # reference: batch decode of the same audio (stream == batch is pinned
+    # elsewhere), host-walked per prefix
+    am = AcousticModel(profile.model_dir)
+    feats = am.features(pcm[None])
+    n_out = feats.shape[1] // am.subsampling
+    lp = am.log_probs(feats, n_out)
+    graph = sched.graph
+
+    sid = sched.open_stream()
+    sched.feed(sid, pcm)
+    checked = 0
+    for _ in range(60):
+        if sched.slots[sid].done:
+            break
+        sched.step()
+        if sched._ep_stats_prev is None:
+            continue
+        stats = np.asarray(sched._ep_stats_prev[0])
+        T = int(sched._ep_stats_prev[2][sid])
+        if T <= 0 or T > n_out:
+            continue
+        _alpha, bp = viterbi(sched.device_graph, lp[:, :T])
+        bp = np.asarray(bp)[:, 0, :]  # [T, S]
+        alpha_T = np.asarray(_alpha)[0]
+        totals = alpha_T + np.asarray(graph.final_weight)
+        if totals.min() < 1.0e29:
+            best_state = int(np.argmin(totals))
+        else:
+            best_state = int(np.argmin(alpha_T))
+        want_trail, want_nonsil = trailing_silence_frames(
+            [bp], best_state, graph.arc_pdf, graph.arc_src,
+            sched._silence_pdfs, max_back=10**9,
+        )
+        assert int(stats[sid, 0]) == want_trail, (T, stats[sid], want_trail)
+        assert bool(stats[sid, 1] > 0.5) == want_nonsil, (T, stats[sid])
+        checked += 1
+    assert checked >= 5, "must have compared several prefixes"
