@@ -204,13 +204,26 @@ class StreamScheduler:
         # carried ON DEVICE and the per-lane host staging plus its H2D
         # upload disappear. Weights still come from the host (they encode
         # per-lane valid-frame counts; [N, chunk] — bytes).
-        self._iv_inline = (
+        iv_inline_geom = (
             ivp is not None
             and not self._featurizer.has_pitch
             and getattr(self.am, "ivector_cmvn_stats", None) is None
-            and silence_weight in (None, 1.0)  # weights stay binary
             and self._win_lo <= -ivp.splice_left
             and self._win_hi >= self._chunk_in + ivp.splice_right
+        )
+        # Device-resident silence weighting: the chunk's best path is
+        # backtraced ON DEVICE right after the decode scan (7 point
+        # gathers), silence frames map to next-tick fold weights carried
+        # on device — so OnlineSilenceWeighting no longer forces the host
+        # backpointer path either.
+        self._sw_device = (
+            silence_weight is not None
+            and silence_weight != 1.0
+            and iv_inline_geom
+            and self._bp_compact
+        )
+        self._iv_inline = iv_inline_geom and (
+            silence_weight in (None, 1.0) or self._sw_device
         )
 
         # Endpointing (online-endpoint.h rules over decode-state signals),
@@ -244,7 +257,7 @@ class StreamScheduler:
         # path — Kaldi's TrailingSilenceLength semantics.)
         self._ep_device = (
             endpointing is not None
-            and silence_weight is None
+            and (silence_weight is None or self._sw_device)
             and self._bp_compact
         )
 
@@ -259,7 +272,7 @@ class StreamScheduler:
         # stream's un-consumed audio, so offsets stay in range.
         self._device_bp = (
             (endpointing is None or self._ep_device)
-            and silence_weight is None
+            and (silence_weight is None or self._sw_device)
             and self._bp_compact
         )
         self._ring_frames = (
@@ -283,8 +296,9 @@ class StreamScheduler:
             pool_capacity_samples // 160 + self._win_hi + 160
         )
 
-        # silence table for the device endpoint DP: arc id -> emits silence
-        if self._ep_device:
+        # silence table for the device endpoint DP / silence weighting:
+        # arc id -> emits silence
+        if self._ep_device or self._sw_device:
             sil_tab = np.zeros(max(self.graph.num_pdfs, 1), dtype=bool)
             for p in self._silence_pdfs:
                 if 0 <= p < sil_tab.shape[0]:
@@ -293,10 +307,13 @@ class StreamScheduler:
         else:
             arc_sil_dev = None
         ep_device = self._ep_device
+        sw_device = self._sw_device
+        sw_factor = float(silence_weight) if self._sw_device else 1.0
+        subsampling = self.am.subsampling
 
         def batch_chunk(
             alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws,
-            am_state, ring, offs, feats_ring, t0s, haves, ep_state
+            am_state, ring, offs, feats_ring, t0s, haves, ep_state, sw_w
         ):
             """alpha [N, S]; windows [N, W, D]; n_valid [N]; reset [N] bool
             (lanes reopened since the last tick restart from the initial
@@ -348,6 +365,10 @@ class StreamScheduler:
             ivec = None
             new_gamma, new_X = gamma, X
             new_iv_carry = iv_wins
+            if sw_device:
+                # fold weights staged from the previous tick's on-device
+                # silence backtrace (1.0 / silence_weight per input frame)
+                iv_ws = iv_ws * sw_w
             if has_ivector:
                 if ivp is not None:
                     sl, sr = ivp.splice_left, ivp.splice_right
@@ -476,6 +497,39 @@ class StreamScheduler:
                     ],
                     axis=1,
                 )
+            new_sw = None
+            if sw_device:
+                # OnlineSilenceWeighting's per-chunk traceback, on device:
+                # walk this chunk's best path backwards (chunk_out point
+                # gathers) flagging silence frames, then expand to the
+                # NEXT tick's per-input-frame fold weights (host twin:
+                # streaming_features.silence_weights_from_chunk +
+                # _stage_ivector_stats's out_idx mapping).
+                lanes_w = jnp.arange(alpha.shape[0])
+                s_cur = jnp.argmin(new_alpha, axis=1).astype(jnp.int32)
+                flags_rev = []
+                for t in range(chunk_out - 1, -1, -1):
+                    e = bps[t][lanes_w, s_cur]  # [N]
+                    real = e >= 0
+                    sb = jnp.maximum(e, 0)
+                    flags_rev.append(
+                        jnp.where(real, arc_sil_dev[sb], False)
+                    )
+                    s_cur = jnp.where(
+                        real,
+                        graph.base.arc_src[sb].astype(jnp.int32),
+                        s_cur,
+                    )
+                flags = jnp.stack(flags_rev[::-1], axis=1)  # [N, chunk]
+                kk = jnp.maximum(n_valid, 1).astype(jnp.int32)
+                out_idx = jnp.minimum(
+                    jnp.arange(chunk_in, dtype=jnp.int32)[None, :]
+                    // subsampling,
+                    (kk - 1)[:, None],
+                )
+                fsel = jnp.take_along_axis(flags, out_idx, axis=1)
+                new_sw = jnp.where(fsel, jnp.float32(sw_factor), 1.0)
+
             if device_bp:
                 enc = (bps + 3).astype(jnp.uint16)  # [chunk, N, S]
                 rows = jnp.swapaxes(enc, 0, 1)  # [N, chunk, S]
@@ -487,13 +541,13 @@ class StreamScheduler:
                 new_offs = offs + n_valid
                 return (
                     new_alpha, None, new_gamma, new_X, new_state,
-                    ring, new_offs, new_iv_carry, new_ep, ep_stats,
+                    ring, new_offs, new_iv_carry, new_ep, ep_stats, new_sw,
                 )
             if bp_compact:
                 bps = (bps + 3).astype(jnp.uint16)
             return (
                 new_alpha, bps, new_gamma, new_X, new_state,
-                ring, offs, new_iv_carry, new_ep, ep_stats,
+                ring, offs, new_iv_carry, new_ep, ep_stats, new_sw,
             )
 
         device_bp = self._device_bp
@@ -502,7 +556,9 @@ class StreamScheduler:
         bf16 = self._bf16
         self._batch_chunk = jax.jit(
             batch_chunk,
-            donate_argnums=(9,) + ((14,) if self._ep_device else ()),
+            donate_argnums=(9,)
+            + ((14,) if self._ep_device else ())
+            + ((15,) if self._sw_device else ()),
         )
 
         frontend_params = self.am.frontend_params
@@ -532,7 +588,7 @@ class StreamScheduler:
 
         def batch_chunk_fused(
             alpha, pcm_buf, meta, gamma, X, iv_wins, am_state, ring,
-            feats_ring, offs, ep_state
+            feats_ring, offs, ep_state, sw_w
         ):
             """One-dispatch serving tick (device-feats mode): PCM -> MFCC
             rows into the feature ring -> AM windows -> decode, all in a
@@ -558,7 +614,7 @@ class StreamScheduler:
             out = batch_chunk(
                 alpha, dummy_win, n_valid, reset, gamma, X, iv_wins,
                 iv_ws, am_state, ring, offs, feats_ring, t0s, haves,
-                ep_state,
+                ep_state, sw_w,
             )
             return out + (feats_ring,)
 
@@ -570,6 +626,7 @@ class StreamScheduler:
             (0, 3, 4, 6, 7, 8)
             + ((5,) if self._iv_inline else ())
             + ((10,) if self._ep_device else ())
+            + ((11,) if self._sw_device else ())
         )
         self._batch_chunk_fused = (
             jax.jit(batch_chunk_fused, donate_argnums=fused_donate)
@@ -622,6 +679,13 @@ class StreamScheduler:
             self._ep_state = None
         self._ep_stats_prev = None
         self._ep_tick_stats = None
+        # device silence-weighting fold weights for the next tick (a new
+        # lane's stale values are masked by its zero iv_n prefix count)
+        self._sw_w = (
+            jnp.ones((max_streams, self._chunk_in), jnp.float32)
+            if self._sw_device
+            else None
+        )
         self._am_state = (
             self._chunk_model.init_state(max_streams) if recurrent else {}
         )
@@ -684,6 +748,10 @@ class StreamScheduler:
             if self._ep_state is not None:
                 self._ep_state = tuple(
                     jax.device_put(a, _lane_spec(a)) for a in self._ep_state
+                )
+            if self._sw_w is not None:
+                self._sw_w = jax.device_put(
+                    self._sw_w, _lane_spec(self._sw_w)
                 )
             if self._iv_carry is not None:
                 self._iv_carry = jax.device_put(
@@ -838,11 +906,11 @@ class StreamScheduler:
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-                ep_state, ep_stats, feats_ring,
+                ep_state, ep_stats, sw_w, feats_ring,
             ) = self._batch_chunk_fused(
                 self._alpha, pcm_dev, meta_dev, self._iv_gamma,
                 self._iv_X, ivw, self._am_state, self._ring,
-                self._feats_ring, self._offs, self._ep_state,
+                self._feats_ring, self._offs, self._ep_state, self._sw_w,
             )
             self._pending_reset[:] = False
             self._alpha = alpha
@@ -854,6 +922,8 @@ class StreamScheduler:
                 self._iv_carry = iv_carry
             if self._ep_device:
                 self._ep_state = ep_state
+            if self._sw_device:
+                self._sw_w = sw_w
         if self._ivp is not None:
             # everything passed this tick was folded into gamma/X — clear
             # so nothing is double-counted next tick
@@ -1301,7 +1371,7 @@ class StreamScheduler:
                     hv_dev = jnp.asarray(haves)
                 (
                     alpha, bps, gamma, X, am_state, ring, offs, iv_carry,
-                    ep_state, ep_stats,
+                    ep_state, ep_stats, sw_w,
                 ) = self._batch_chunk(
                     self._alpha, win_dev, nv_dev, rs_dev,
                     self._iv_gamma, self._iv_X,
@@ -1309,6 +1379,7 @@ class StreamScheduler:
                     self._am_state,
                     self._ring, self._offs,
                     self._feats_ring, t0_dev, hv_dev, self._ep_state,
+                    self._sw_w,
                 )
                 self._pending_reset[:] = False
                 self._alpha = alpha
@@ -1326,6 +1397,8 @@ class StreamScheduler:
                     self._ep_tick_stats = ep_stats
                 else:
                     self._ep_tick_stats = None
+                if self._sw_device:
+                    self._sw_w = sw_w
                 tick_bps = None
                 if not self._device_bp:
                     self._alpha_host = _TickBps(alpha)

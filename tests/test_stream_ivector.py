@@ -295,3 +295,47 @@ def test_fused_tick_stalled_lanes_and_recycle_match_batch(tmp_path):
     sched.finish(r1)
     sched.run_until_idle()
     assert [sched.poll(r0), sched.poll(r1)] == [want[1], want[0]]
+
+
+def test_scheduler_device_silence_weighting(tmp_path):
+    """OnlineSilenceWeighting rides the fused device path: the chunk's
+    best path is backtraced on device, silence frames downweight the
+    next tick's i-vector fold, and the transcripts still match the
+    unweighted run on clean audio while total gamma mass drops (the
+    audio starts/ends with silence)."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_context=True
+    )
+    texts = ["turn on light", "turn off light"]
+    pcms = [
+        synthesize_sentence(profile, t, seed=40 + i)
+        for i, t in enumerate(texts)
+    ]
+
+    def run(sched):
+        sids = [sched.open_stream() for _ in texts]
+        for sid, pcm in zip(sids, pcms):
+            sched.feed(sid, pcm)
+            sched.finish(sid)
+        sched.run_until_idle()
+        out = [sched.poll(s) for s in sids]
+        gamma = float(np.asarray(sched._iv_gamma).sum())
+        return out, gamma
+
+    weighted = StreamScheduler(
+        profile.model_dir, graph_dir, max_streams=2, silence_weight=0.001
+    )
+    assert weighted._sw_device, "silence weighting must ride the device path"
+    assert weighted._device_bp and weighted._device_feats
+    assert weighted._silence_pdfs
+    got_w, gamma_w = run(weighted)
+
+    plain = StreamScheduler(profile.model_dir, graph_dir, max_streams=2)
+    got_p, gamma_p = run(plain)
+
+    assert got_w == got_p == [[t] for t in texts]
+    # synthesized audio is silence-padded: some frames must have been
+    # downweighted in the stats fold
+    assert gamma_w < gamma_p
