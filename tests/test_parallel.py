@@ -186,3 +186,67 @@ def test_sharded_scheduler_matches_unsharded(mesh, tmp_path):
         StreamScheduler(profile.model_dir, lang_dir, max_streams=8, mesh=mesh)
     )
     assert sharded == plain == [[t] for t in texts]
+
+
+def test_sharded_scheduler_endpoint_and_silence_weighting(mesh, tmp_path):
+    """Endpointing + silence weighting ride the device lanes under a
+    stream mesh too: the per-state DP columns, [N, 3] endpoint stats, and
+    silence fold weights are lane-sharded, and transcripts match the
+    unsharded scheduler; a never-finished stream still endpoints."""
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.pipeline import lang_dir_name
+    from rhasspy_speech_tpu.pipeline.endpoint import EndpointConfig
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+    from rhasspy_speech_tpu.testing.synthetic import _silence_wave
+
+    lexicon = {
+        "turn": ["t", "er", "n"],
+        "on": ["aa", "n"],
+        "light": ["l", "ay", "t"],
+    }
+    profile = build_synthetic_profile(
+        tmp_path / "model", lexicon, with_ivector=True, with_context=True
+    )
+    train_model_sync(
+        "en",
+        {"language": "en",
+         "intents": {"M": {"data": [{"sentences": ["turn on light"]}]}}},
+        tmp_path / "train",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang_dir = tmp_path / "train" / lang_dir_name(LangSuffix.GRAMMAR)
+
+    import numpy as np
+
+    speech = synthesize_sentence(profile, "turn on light", seed=11)
+    pcm = np.concatenate(
+        [speech, _silence_wave(16000 * 3, np.random.RandomState(2))]
+    )
+
+    def run(sched):
+        assert sched._ep_device and sched._sw_device and sched._device_feats
+        sid = sched.open_stream()
+        sched.feed(sid, pcm)
+        # never finish(): the endpoint must close the utterance
+        for _ in range(150):
+            if sched.poll(sid) is not None:
+                break
+            sched.step()
+        return sched.poll(sid)
+
+    kw = dict(
+        max_streams=8,
+        endpointing=EndpointConfig(),
+        silence_weight=0.01,
+    )
+    plain = run(StreamScheduler(profile.model_dir, lang_dir, **kw))
+    sharded = run(
+        StreamScheduler(profile.model_dir, lang_dir, mesh=mesh, **kw)
+    )
+    assert sharded == plain == ["turn on light"]
