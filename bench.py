@@ -346,9 +346,43 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _init_devices_or_die(timeout_s: float):
+    """Initialize the JAX backend with a watchdog: device init over a
+    dead TPU tunnel HANGS (no error), which would stall the whole bench
+    run. Probe jax.devices() in a daemon thread and exit(2) with a clear
+    message when it doesn't come up in time — prior BENCH artifacts then
+    stay authoritative instead of the run being killed opaquely."""
+    import threading
+
+    import jax
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as exc:  # pragma: no cover
+            box["error"] = exc
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        sys.stderr.write(
+            f"bench: JAX device init did not complete in {timeout_s:.0f}s "
+            "(TPU tunnel down?); aborting\n"
+        )
+        os._exit(2)
+    if "error" in box:
+        raise box["error"]
+    sys.stderr.write(f"bench devices: {box['devices']}\n")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _init_devices_or_die(float(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
 
     # the serving entry points enable this themselves; the batch path
     # builds raw jits, so opt in explicitly — across bench runs the
