@@ -60,6 +60,11 @@ class NativeRuntime:
                     if _LIB_PATH.exists() and not stale
                     else _build_library()
                 )
+                if path is None and _LIB_PATH.exists():
+                    # rebuild of a stale library failed (no compiler?):
+                    # the older build still works — newer entry points
+                    # are hasattr-guarded by callers
+                    path = _LIB_PATH
                 if path is not None:
                     lib = ctypes.CDLL(str(path))
                     self._configure(lib)
@@ -302,9 +307,19 @@ class StreamPool:
                 (flags & 2).astype(bool),
                 (flags & 4).astype(bool),
             )
-        counts = np.array(
-            [self.available(i) for i in range(N)], dtype=np.int64
-        )
+        if self._lib is not None:
+            counts = np.array(
+                [self.available(i) for i in range(N)], dtype=np.int64
+            )
+        else:
+            with self._lock:
+                counts = np.array(
+                    [
+                        b.shape[0] if b is not None else 0
+                        for b in self._buffers
+                    ],
+                    dtype=np.int64,
+                )
         finished = np.array(
             [self.is_finished(i) for i in range(N)], dtype=bool
         )

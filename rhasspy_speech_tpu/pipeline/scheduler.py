@@ -41,6 +41,18 @@ _LOGGER = logging.getLogger(__name__)
 CHUNK_OUT_FRAMES = 7
 
 
+def _pcm_bucket(n: int) -> int:
+    """Padded PCM width for the fused tick program: 1600-sample
+    power-of-two buckets. The PCM batch is an input of the WHOLE fused
+    program (MFCC + AM + decode), so each distinct width is a full XLA
+    compile — pow2 bucketing bounds the variants to ~log2(pool capacity)
+    instead of one per 0.1 s of arrival jitter, at <=2x upload padding."""
+    b = 1600
+    while b < n:
+        b *= 2
+    return b
+
+
 class _TickBps:
     """A device tensor transferred to host lazily (bps or alpha).
 
@@ -633,6 +645,12 @@ class StreamScheduler:
             if self._device_feats
             else None
         )
+        # standalone ring write for features-only ticks (no ready lane)
+        self._feed_only = (
+            jax.jit(feed_feats, donate_argnums=(0,))
+            if self._device_feats
+            else None
+        )
         if self._device_feats:
             self._feats_ring = jnp.zeros(
                 (max_streams, self._feat_ring_frames, num_ceps), jnp.float32
@@ -966,6 +984,24 @@ class StreamScheduler:
                 ),
             )
 
+    def _feed_only_dispatch(self, prep, metrics) -> None:
+        """Features-only tick: only the MFCC ring write runs on device."""
+        pcm_batch, counts, has_new = prep
+        with StageTimer("stream_chunk", metrics):
+            if self._lane_spec is not None:
+                pcm_dev = jax.device_put(
+                    pcm_batch, self._lane_spec(pcm_batch)
+                )
+                c_dev = jax.device_put(counts, self._lane_spec(counts))
+                h_dev = jax.device_put(has_new, self._lane_spec(has_new))
+            else:
+                pcm_dev = jnp.asarray(pcm_batch)
+                c_dev = jnp.asarray(counts)
+                h_dev = jnp.asarray(has_new)
+            self._feats_ring = self._feed_only(
+                self._feats_ring, pcm_dev, c_dev, h_dev
+            )
+
     def _prep_features_device(self):
         """Device-feats host prep: drain pool PCM into one padded batch
         destined for the fused tick program (which runs MFCC and writes
@@ -1002,7 +1038,7 @@ class StreamScheduler:
         sel = drain > 0
         if sel.any():
             buf_lens = offs + drain
-            max_len = -(-int(buf_lens.max()) // 1600) * 1600
+            max_len = _pcm_bucket(int(buf_lens.max()))
             exact_all = bool(exact[sel].all())
             dtype = np.int16 if exact_all else np.float32
             batch = np.zeros((N, max_len), dtype=dtype)
@@ -1074,8 +1110,7 @@ class StreamScheduler:
                 with_buf.append((sid, *r))
         prep = None
         if with_buf:
-            max_len = max(b.shape[0] for _, b, _ in with_buf)
-            max_len = -(-max_len // 1600) * 1600
+            max_len = _pcm_bucket(max(b.shape[0] for _, b, _ in with_buf))
             # PCM is int16 at the wire; when every sample round-trips
             # exactly, upload half the bytes and widen on device
             exact_i16 = all(
@@ -1312,10 +1347,16 @@ class StreamScheduler:
 
         lanes = int((n_valid > 0).sum())
         if device_feats:
-            if lanes or prep is not None:
+            if lanes:
                 self._step_fused(
                     prep, n_valid, chunk_t0, chunk_have, flushed, metrics
                 )
+            elif prep is not None:
+                # no decode-ready lane: write the feature ring only —
+                # dispatching the whole fused (AM + decode) program for a
+                # masked no-op would waste device work on every
+                # features-only tick of a dribble-fed stream
+                self._feed_only_dispatch(prep, metrics)
         elif lanes:
             win_shape = self._iv_win_shape
             if self._iv_inline:

@@ -158,3 +158,28 @@ def test_stream_pool_batched_drain_int16_wraparound():
         np.testing.assert_array_equal(
             out[s, :60].astype(np.float32), chunk, err_msg=str(it)
         )
+
+
+def test_stream_pool_numpy_fallback_snapshot_and_drain(monkeypatch):
+    """The NumPy StreamPool fallback (no native library) must support the
+    batched-drain API too — including snapshot() over never-opened and
+    closed slots (regression: available() crashed on None buffers)."""
+    from rhasspy_speech_tpu.native import runtime as rt
+
+    monkeypatch.setattr(rt._RUNTIME, "_lib", None)
+    monkeypatch.setattr(rt._RUNTIME, "_tried", True)
+    pool = StreamPool(3, 100)
+    assert not pool.has_batched_drain
+    s = pool.open()
+    pool.feed(s, np.array([1.0, 2.5], np.float32))
+    counts, finished, exact = pool.snapshot()  # slots 1,2 never opened
+    assert counts.tolist() == [2, 0, 0]
+    assert not exact.any()  # fallback always takes the float32 path
+    assert not finished[s]
+    out = np.zeros((3, 4), np.float32)
+    pool.read_into(out, np.zeros(3, np.int64), counts)
+    assert out[s, :2].tolist() == [1.0, 2.5]
+    pool.finish(s)
+    pool.close(s)
+    counts2, _, _ = pool.snapshot()  # closed slot must not crash
+    assert counts2.tolist() == [0, 0, 0]
