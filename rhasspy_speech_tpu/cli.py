@@ -73,6 +73,16 @@ def _cmd_warmup(args) -> int:
     pcm = [np.zeros(samples, dtype=np.float32) for _ in range(args.batch)]
     out = t.save_aot(pcm, nbest=args.nbest)
     print(f"AOT programs for batch={args.batch} x {args.seconds}s -> {out}")
+    if args.streams:
+        from .pipeline.scheduler import StreamScheduler
+
+        sched = StreamScheduler(
+            args.model_dir, args.graph_dir, max_streams=args.streams
+        )
+        out = sched.save_aot(seconds=args.seconds)
+        print(
+            f"AOT serving-tick programs for {args.streams} lanes -> {out}"
+        )
     return 0
 
 
@@ -125,6 +135,9 @@ def main(argv=None) -> int:
     p_w.add_argument("--batch", type=int, default=8)
     p_w.add_argument("--seconds", type=float, default=3.0)
     p_w.add_argument("--nbest", type=int, default=1)
+    p_w.add_argument("--streams", type=int, default=0,
+                     help="also export the StreamScheduler serving-tick "
+                          "programs for this many lanes")
     p_w.set_defaults(func=_cmd_warmup)
 
     p_m = sub.add_parser("metrics", help="dump process decode metrics")

@@ -651,6 +651,20 @@ class StreamScheduler:
             if self._device_feats
             else None
         )
+        self._fused_donate = fused_donate
+        # AOT program store: save_aot() exports the serving-tick programs
+        # (fused tick, feature-only feed, finalize-trace buckets) as
+        # StableHLO under <graph_dir>/aot; a later serving process skips
+        # all tracing/lowering for them. Gated off under a mesh (exported
+        # programs pin shardings).
+        from ..utils.aot import AotStore
+
+        self._aot = (
+            AotStore(Path(graph_dir) / "aot")
+            if (self._device_feats and mesh is None)
+            else None
+        )
+        self._aot_export = False
         if self._device_feats:
             self._feats_ring = jnp.zeros(
                 (max_streams, self._feat_ring_frames, num_ceps), jnp.float32
@@ -925,10 +939,16 @@ class StreamScheduler:
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
                 ep_state, ep_stats, sw_w, feats_ring,
-            ) = self._batch_chunk_fused(
-                self._alpha, pcm_dev, meta_dev, self._iv_gamma,
-                self._iv_X, ivw, self._am_state, self._ring,
-                self._feats_ring, self._offs, self._ep_state, self._sw_w,
+            ) = self._aot_call(
+                "sched_tick",
+                self._batch_chunk_fused,
+                (
+                    self._alpha, pcm_dev, meta_dev, self._iv_gamma,
+                    self._iv_X, ivw, self._am_state, self._ring,
+                    self._feats_ring, self._offs, self._ep_state,
+                    self._sw_w,
+                ),
+                donate=self._fused_donate,
             )
             self._pending_reset[:] = False
             self._alpha = alpha
@@ -984,6 +1004,62 @@ class StreamScheduler:
                 ),
             )
 
+    def _aot_call(self, name, jitted, args, donate=()):
+        """Dispatch through a serialized AOT program when one exists for
+        these shapes; export one when save_aot() is driving; else run the
+        normal jit. Donation is re-applied to restored programs so the
+        threaded state buffers keep their in-place reuse."""
+        if self._aot is not None:
+            loaded = self._aot.load(name, args, donate_argnums=donate)
+            if loaded is not None:
+                return loaded(*args)
+            if self._aot_export:
+                self._aot.save(name, jitted, args, donate_argnums=donate)
+                return self._aot.load(name, args, donate_argnums=donate)(
+                    *args
+                )
+        return jitted(*args)
+
+    def save_aot(self, seconds: float = 3.0) -> "Path":
+        """Export this configuration's serving-tick programs by driving
+        synthetic int16-silence through every lane (open, chunk-sized
+        feeds, finish, drain): the fused tick, the features-only feed,
+        and the finalize-trace bucket for ``seconds``-long utterances all
+        get serialized into ``<graph_dir>/aot``. Run once at deploy time
+        on a fresh scheduler (this mutates lane state; all streams are
+        closed afterwards); a later serving process then skips
+        tracing/lowering — the streaming analogue of the batch
+        transcriber's save_aot (Kaldi binaries are AOT-compiled C++ and
+        never re-trace on restart)."""
+        if self._aot is None:
+            raise RuntimeError(
+                "AOT export needs the fused device-feats path and no mesh"
+            )
+        chunk_samples = self._chunk_in * self._frame_shift
+        n_chunks = max(2, int(round(seconds * 16000 / chunk_samples)))
+        pcm = np.zeros(chunk_samples, dtype=np.float32)
+        self._aot_export = True
+        try:
+            sids = []
+            while True:
+                sid = self.open_stream()
+                if sid < 0:
+                    break
+                sids.append(sid)
+            for i in range(n_chunks):
+                for sid in sids:
+                    self.feed(sid, pcm)
+                self.step()
+            for sid in sids:
+                self.finish(sid)
+            self.run_until_idle()
+            for sid in sids:
+                self.poll(sid)
+                self.close(sid)
+        finally:
+            self._aot_export = False
+        return self._aot.dir
+
     def _feed_only_dispatch(self, prep, metrics) -> None:
         """Features-only tick: only the MFCC ring write runs on device."""
         pcm_batch, counts, has_new = prep
@@ -998,8 +1074,11 @@ class StreamScheduler:
                 pcm_dev = jnp.asarray(pcm_batch)
                 c_dev = jnp.asarray(counts)
                 h_dev = jnp.asarray(has_new)
-            self._feats_ring = self._feed_only(
-                self._feats_ring, pcm_dev, c_dev, h_dev
+            self._feats_ring = self._aot_call(
+                "sched_feed",
+                self._feed_only,
+                (self._feats_ring, pcm_dev, c_dev, h_dev),
+                donate=(0,),
             )
 
     def _prep_features_device(self):
@@ -1704,8 +1783,12 @@ class StreamScheduler:
                 steps *= 2
             steps = min(steps, self._ring_frames)
             with StageTimer("stream_fin_trace", get_metrics()):
-                packed = self._finalize_trace(
-                    self._ring, self._alpha, jnp.asarray(fin_meta), steps
+                packed = self._aot_call(
+                    f"sched_fin{steps}",
+                    lambda r, a, m, _s=steps: self._finalize_trace(
+                        r, a, m, _s
+                    ),
+                    (self._ring, self._alpha, jnp.asarray(fin_meta)),
                 )
             try:
                 # start the (single, packed) D2H copy now: the harvest

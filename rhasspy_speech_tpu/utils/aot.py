@@ -29,9 +29,12 @@ import jax
 _LOGGER = logging.getLogger(__name__)
 
 
-def _arg_specs(args: Sequence) -> Tuple[jax.ShapeDtypeStruct, ...]:
+def _arg_specs(args: Sequence) -> Tuple:
+    """ShapeDtypeStruct pytrees mirroring ``args`` (each element may be an
+    array or a pytree of arrays, e.g. the scheduler's am_state dict)."""
     return tuple(
-        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), a)
+        for a in args
     )
 
 
@@ -64,24 +67,30 @@ class AotStore:
         h = hashlib.sha256()
         h.update(jax.__version__.encode())
         h.update(effective_platform().encode())
-        for s in specs:
+        leaves, treedef = jax.tree.flatten(specs)
+        h.update(str(treedef).encode())
+        for s in leaves:
             h.update(str(s.shape).encode())
             h.update(str(s.dtype).encode())
         return self.dir / f"{name}-{h.hexdigest()[:16]}.jaxexport"
 
-    def load(self, name: str, args: Sequence) -> Optional[Callable]:
+    def load(
+        self, name: str, args: Sequence, donate_argnums: Tuple[int, ...] = ()
+    ) -> Optional[Callable]:
         specs = _arg_specs(args)
-        key = (name, specs)
+        path = self._path(name, specs)
+        key = str(path)  # the path hash already encodes name+specs
         if key in self._loaded:
             return self._loaded[key]
-        path = self._path(name, specs)
         fn = None
         if path.is_file():
             try:
                 from jax import export as jax_export
 
                 exp = jax_export.deserialize(path.read_bytes())
-                fn = jax.jit(exp.call)
+                # donation is a property of the CALLING jit, so the
+                # restored program keeps the original's buffer reuse
+                fn = jax.jit(exp.call, donate_argnums=donate_argnums)
                 _LOGGER.debug("AOT program %s loaded from %s", name, path)
             except Exception as exc:  # wrong jax/backed version etc.
                 _LOGGER.warning(
@@ -92,7 +101,13 @@ class AotStore:
         self._loaded[key] = fn
         return fn
 
-    def save(self, name: str, fn: Callable, args: Sequence) -> Path:
+    def save(
+        self,
+        name: str,
+        fn: Callable,
+        args: Sequence,
+        donate_argnums: Tuple[int, ...] = (),
+    ) -> Path:
         """Export ``fn`` (traceable; jitted or not) at ``args``' shapes."""
         from jax import export as jax_export
 
@@ -107,6 +122,8 @@ class AotStore:
             *specs
         )
         path.write_bytes(exp.serialize())
-        self._loaded[(name, specs)] = jax.jit(exp.call)
+        self._loaded[str(path)] = jax.jit(
+            exp.call, donate_argnums=donate_argnums
+        )
         _LOGGER.info("AOT program %s exported to %s", name, path)
         return path

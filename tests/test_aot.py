@@ -91,3 +91,38 @@ def test_aot_store_shape_keying(tmp_path):
     np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(x) * 2.0)
     y = jnp.arange(16, dtype=jnp.float32)
     assert store.load("double", (y,)) is None
+
+
+def test_scheduler_save_aot_roundtrip(aot_profile):
+    """StreamScheduler.save_aot() exports the serving-tick programs; a
+    FRESH scheduler serves the same shapes through the restored programs
+    — proven by poisoning the traced jits."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, lang = aot_profile
+    CHUNK = 21 * 160
+
+    pcm = synthesize_sentence(profile, "turn on light", seed=6)
+    # same arrival shape as the export drive: whole chunks of int16-exact
+    # samples, utterance length matching the exported finalize bucket
+    n = pcm.shape[0] // CHUNK * CHUNK
+    pcm = np.round(pcm[:n])
+
+    s1 = StreamScheduler(profile.model_dir, lang, max_streams=2)
+    assert s1._aot is not None
+    aot_dir = s1.save_aot(seconds=n / 16000.0)
+    blobs = list(aot_dir.glob("sched_*.jaxexport"))
+    # fused tick + features-only feed + >=1 finalize bucket
+    assert len(blobs) >= 3, blobs
+
+    s2 = StreamScheduler(profile.model_dir, lang, max_streams=2)
+    s2._batch_chunk_fused = _boom
+    s2._feed_only = _boom
+    s2._finalize_trace = _boom
+    sid = s2.open_stream()
+    for off in range(0, n, CHUNK):
+        s2.feed(sid, pcm[off : off + CHUNK])
+        s2.step()
+    s2.finish(sid)
+    s2.run_until_idle()
+    assert s2.poll(sid) == ["turn on light"]
