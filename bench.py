@@ -228,9 +228,13 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     endpointing=endpointing,
                 )
                 if endpointing is not None and not sched._ep_device:
-                    raise RuntimeError(
-                        "endpointing fell off the device lane"
+                    # outside the generic infeasible handler's reach: a
+                    # config regression must kill the run, not fill the
+                    # artifact with null points
+                    sys.stderr.write(
+                        "bench: endpointing fell off the device lane\n"
                     )
+                    os._exit(3)
                 remaining = np.zeros(lanes, dtype=np.int64)
                 for sid_expect in range(lanes):
                     sid = sched.open_stream()

@@ -76,8 +76,22 @@ def _cmd_warmup(args) -> int:
     if args.streams:
         from .pipeline.scheduler import StreamScheduler
 
+        endpointing = None
+        if args.endpointing:
+            from .pipeline.endpoint import EndpointConfig
+
+            endpointing = EndpointConfig()
+        # AOT program keys hash the full argument-spec tree, so the
+        # warmup configuration must MATCH the serving configuration
+        # (endpointing/silence-weight change the program's state args;
+        # chunk/pool/dtype change shapes) — expose them all here
         sched = StreamScheduler(
-            args.model_dir, args.graph_dir, max_streams=args.streams
+            args.model_dir, args.graph_dir, max_streams=args.streams,
+            endpointing=endpointing,
+            silence_weight=args.silence_weight,
+            chunk_out_frames=args.chunk_out_frames,
+            pool_capacity_samples=int(args.pool_seconds * 16000),
+            compute_dtype=args.dtype or None,
         )
         out = sched.save_aot(seconds=args.seconds)
         print(
@@ -137,7 +151,16 @@ def main(argv=None) -> int:
     p_w.add_argument("--nbest", type=int, default=1)
     p_w.add_argument("--streams", type=int, default=0,
                      help="also export the StreamScheduler serving-tick "
-                          "programs for this many lanes")
+                          "programs for this many lanes (the flags below "
+                          "must match the serving configuration — the "
+                          "program keys hash the full argument specs)")
+    p_w.add_argument("--endpointing", action="store_true",
+                     help="warm the endpointing-enabled serving programs")
+    p_w.add_argument("--silence-weight", type=float, default=None)
+    p_w.add_argument("--chunk-out-frames", type=int, default=7)
+    p_w.add_argument("--pool-seconds", type=float, default=60.0)
+    p_w.add_argument("--dtype", default="",
+                     help="compute dtype, e.g. bfloat16")
     p_w.set_defaults(func=_cmd_warmup)
 
     p_m = sub.add_parser("metrics", help="dump process decode metrics")

@@ -66,9 +66,19 @@ class NativeRuntime:
                     # are hasattr-guarded by callers
                     path = _LIB_PATH
                 if path is not None:
-                    lib = ctypes.CDLL(str(path))
-                    self._configure(lib)
-                    self._lib = lib
+                    try:
+                        lib = ctypes.CDLL(str(path))
+                        self._configure(lib)
+                        self._lib = lib
+                    except (OSError, AttributeError) as err:
+                        # a stale build missing required symbols (rebuild
+                        # failed on a compiler-less host) must degrade to
+                        # the NumPy fallbacks, not crash the caller
+                        _LOGGER.warning(
+                            "native library %s unusable (%s); using "
+                            "NumPy fallbacks", path, err,
+                        )
+                        self._lib = None
             return self._lib
 
     @staticmethod

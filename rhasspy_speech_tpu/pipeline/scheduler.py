@@ -41,12 +41,23 @@ _LOGGER = logging.getLogger(__name__)
 CHUNK_OUT_FRAMES = 7
 
 
+# Per-lane per-tick drain cap (samples). Bounds BOTH the fused program's
+# compile variants (buckets 1600/3200/6400/12800 only) and the padded
+# MFCC scratch-row block each feed writes past a lane's valid rows
+# (<= 78 rows at 12800 — within the feature ring's +160-row slack, so
+# the ring-overflow guard never fires on burst-fed lanes). Leftover pool
+# audio simply drains on later ticks: 0.8 s/tick of catch-up against
+# 0.21 s/tick of real-time consumption.
+_DRAIN_CAP = 12800
+
+
 def _pcm_bucket(n: int) -> int:
     """Padded PCM width for the fused tick program: 1600-sample
-    power-of-two buckets. The PCM batch is an input of the WHOLE fused
-    program (MFCC + AM + decode), so each distinct width is a full XLA
-    compile — pow2 bucketing bounds the variants to ~log2(pool capacity)
-    instead of one per 0.1 s of arrival jitter, at <=2x upload padding."""
+    power-of-two buckets, capped by _DRAIN_CAP. The PCM batch is an input
+    of the WHOLE fused program (MFCC + AM + decode), so each distinct
+    width is a full XLA compile — pow2 bucketing bounds the variants to
+    four instead of one per 0.1 s of arrival jitter, at <=2x upload
+    padding."""
     b = 1600
     while b < n:
         b *= 2
@@ -712,6 +723,7 @@ class StreamScheduler:
             self._ep_state = None
         self._ep_stats_prev = None
         self._ep_tick_stats = None
+        self._pending_drain = False
         # device silence-weighting fold weights for the next tick (a new
         # lane's stale values are masked by its zero iv_n prefix count)
         self._sw_w = (
@@ -1128,8 +1140,14 @@ class StreamScheduler:
         offs = np.zeros(N, dtype=np.int64)
         for sid, state in enumerate(self.slots):
             if state.active and not state.done and counts[sid] > 0:
-                drain[sid] = counts[sid]
-                offs[sid] = state.feat_state.mfcc_tail.shape[0]
+                off = state.feat_state.mfcc_tail.shape[0]
+                # cap the per-tick drain so tail+new stays within the
+                # largest PCM bucket (see _DRAIN_CAP); the remainder
+                # drains next tick
+                drain[sid] = min(int(counts[sid]), _DRAIN_CAP - off)
+                offs[sid] = off
+                if drain[sid] < counts[sid]:
+                    self._pending_drain = True
         prep = None
         sel = drain > 0
         if sel.any():
@@ -1182,9 +1200,11 @@ class StreamScheduler:
                 and not state.done
                 and not state.flushed_feats
                 and finished[sid]
+                and drain[sid] == counts[sid]
             ):
-                # every available sample was just drained, so a finished
-                # lane's featurizer input is complete
+                # everything available was drained this tick (no capped
+                # leftover), so a finished lane's featurizer input is
+                # complete
                 state.flushed_feats = True
         return prep
 
@@ -1200,7 +1220,10 @@ class StreamScheduler:
             avail = self.pool.available(sid)
             if avail <= 0:
                 continue
-            pcm = self.pool.read(sid, avail)
+            cap = _DRAIN_CAP - state.feat_state.mfcc_tail.shape[0]
+            if avail > cap:
+                self._pending_drain = True
+            pcm = self.pool.read(sid, min(avail, cap))
             r = fz.prepare_mfcc_buf(state.feat_state, pcm)
             if r is not None:
                 with_buf.append((sid, *r))
@@ -1375,6 +1398,7 @@ class StreamScheduler:
                 # device.
                 self._harvest_finalizes(block=False)
         prep = None
+        self._pending_drain = False
         with StageTimer("stream_features", metrics):
             if device_feats:
                 prep = self._prep_features_device()
@@ -1642,9 +1666,11 @@ class StreamScheduler:
     def run_until_idle(self, max_steps: int = 10000) -> None:
         """Step until no lane has work. Streams stalled on more PCM (or
         an endpoint) also stop the loop — callers drive ticks as audio
-        arrives."""
+        arrives. Capped drains (burst-fed lanes with pool leftover) keep
+        the loop going until everything owned by the scheduler is
+        consumed."""
         for _ in range(max_steps):
-            if self.step() == 0:
+            if self.step() == 0 and not self._pending_drain:
                 return
 
     def _stage_ivector_stats(

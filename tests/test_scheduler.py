@@ -287,3 +287,30 @@ def test_device_endpoint_signals_match_host_walk(profile_and_train):  # noqa: F8
         assert bool(stats[sid, 1] > 0.5) == want_nonsil, (T, stats[sid])
         checked += 1
     assert checked >= 5, "must have compared several prefixes"
+
+
+def test_burst_fed_stream_drains_capped(profile_and_train):  # noqa: F811
+    """A whole multi-second utterance fed in ONE push exceeds the
+    per-tick drain cap; the leftover drains over later ticks and
+    run_until_idle keeps going until the scheduler has consumed
+    everything it owns."""
+    from rhasspy_speech_tpu.pipeline.scheduler import _DRAIN_CAP
+
+    profile, train_dir = profile_and_train
+    sched = StreamScheduler(
+        profile.model_dir,
+        train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        max_streams=2,
+        pool_capacity_samples=16000 * 8,
+    )
+    pcm = synthesize_sentence(profile, "turn on the light", seed=9)
+    pcm = np.tile(pcm, 2)[: 16000 * 5]  # ensure > _DRAIN_CAP samples
+    assert pcm.shape[0] > _DRAIN_CAP
+    sid = sched.open_stream()
+    assert sched.feed(sid, pcm) == pcm.shape[0]
+    sched.finish(sid)
+    sched.run_until_idle()
+    # the result exists (the loop did not stop on a features-only tick
+    # with pool leftover) and no audio is left unconsumed
+    assert sched.poll(sid) is not None
+    assert sched.pool.available(sid) == 0
