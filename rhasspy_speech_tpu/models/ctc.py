@@ -53,6 +53,24 @@ class CtcModel:
             **{k: np.asarray(v) for k, v in self.params.items()},
         )
 
+    @property
+    def lstm_hidden(self) -> int:
+        return (
+            int(self.params["lstm_bias"].shape[0]) // 4
+            if self.has_lstm
+            else 0
+        )
+
+    def init_state(self, batch: int = 1):
+        """Zero LSTM carry (empty tuple for stateless models)."""
+        if not self.has_lstm:
+            return ()
+        H = self.lstm_hidden
+        return (
+            jnp.zeros((batch, H), jnp.float32),
+            jnp.zeros((batch, H), jnp.float32),
+        )
+
     def forward(self, feats: jnp.ndarray) -> jnp.ndarray:
         """[B, T, D] features -> [B, T, num_labels] label probabilities."""
         x = feats
@@ -63,7 +81,19 @@ class CtcModel:
                 idx = np.clip(np.arange(T) + off, 0, T - 1)
                 parts.append(x[:, idx])
             x = jnp.concatenate(parts, axis=-1)
+        probs, _state = self.forward_stream(
+            x, self.init_state(int(feats.shape[0]))
+        )
+        return probs
 
+    def forward_stream(self, spliced: jnp.ndarray, state):
+        """Stateful window forward for streaming: PRE-SPLICED features
+        [B, W, D*(2*context+1)] + LSTM carry -> ([B, W, num_labels],
+        carry'). The batch forward is this with zero carry over the whole
+        utterance, so mid-stream windows reproduce it exactly (the caller
+        splices with true neighbors; edge clamping matches the batch
+        path's np.clip)."""
+        x = spliced
         p = self.params
         i = 1
         while f"dense{i}_w" in p:
@@ -71,10 +101,10 @@ class CtcModel:
             x = jnp.minimum(jnp.maximum(x, 0.0), 20.0)  # DeepSpeech relu clip
             i += 1
 
+        new_state = state
         if self.has_lstm:
             kernel = p["lstm_kernel"]  # [D + H, 4H]
             bias = p["lstm_bias"]  # [4H]
-            H = bias.shape[0] // 4
             # BasicLSTMCell adds 1.0 to the forget gate at run time;
             # CudnnCompatible exports (real Coqui models) bake it into the
             # bias, so converted weights carry lstm_forget_bias = 0.
@@ -90,12 +120,7 @@ class CtcModel:
                 h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
                 return (h, c), h
 
-            B = x.shape[0]
-            init = (
-                jnp.zeros((B, H), dtype=x.dtype),
-                jnp.zeros((B, H), dtype=x.dtype),
-            )
-            _, hs = jax.lax.scan(cell, init, jnp.swapaxes(x, 0, 1))
+            new_state, hs = jax.lax.scan(cell, state, jnp.swapaxes(x, 0, 1))
             x = jnp.swapaxes(hs, 0, 1)
 
         # Post-LSTM dense chain (DeepSpeech's layer_5)
@@ -106,4 +131,4 @@ class CtcModel:
             i += 1
 
         logits = x @ p["out_w"] + p["out_b"]
-        return jax.nn.softmax(logits, axis=-1)
+        return jax.nn.softmax(logits, axis=-1), new_state

@@ -314,3 +314,98 @@ class CoquiSttTranscriber:
 
     def transcribe_pcm(self, pcm: np.ndarray, prune_threshold: float = 10.0) -> str:
         return self.decode_probs(self.compute_probs(pcm), prune_threshold)
+
+    # -- streaming (reference parity: coqui_stt.py:70-113 StreamingState) -----
+
+    # Fixed acoustic window per streaming dispatch, like DeepSpeech's
+    # n_steps: one compiled program regardless of chunk arrival sizes.
+    STREAM_WINDOW = 16
+
+    def start_stream(self) -> "CoquiStreamState":
+        """Open an incremental decode; feed with process_chunk, read the
+        transcript from finish_stream. Probs match compute_probs: exact
+        MFCC via a sample-tail carry, splice windows built from true
+        neighbors (frames wait for their right context; the batch path's
+        edge clamping applies at the stream edges), LSTM carry across
+        windows."""
+        assert self.model is not None, "no model.npz in the model dir"
+        import jax
+
+        if not hasattr(self, "_fwd_stream"):
+            self._fwd_stream = jax.jit(self.model.forward_stream)
+        return CoquiStreamState(
+            sample_tail=np.zeros(0, np.float32),
+            feats=np.zeros((0, self.frontend_config.num_ceps), np.float32),
+            lstm_state=self.model.init_state(1),
+        )
+
+    def process_chunk(self, state: "CoquiStreamState", pcm: np.ndarray) -> None:
+        """Append PCM; run the acoustic model over every full window of
+        frames whose splice context has arrived."""
+        buf = np.concatenate(
+            [state.sample_tail, np.asarray(pcm, dtype=np.float32)]
+        )
+        fl = self.frontend_config.frame_length
+        fs = self.frontend_config.frame_shift
+        if buf.shape[0] >= fl:
+            n = 1 + (buf.shape[0] - fl) // fs
+            rows = np.asarray(
+                mfcc_batch(self.frontend_params, jnp.asarray(buf[None]))
+            )[0, :n]
+            state.feats = np.concatenate([state.feats, rows], axis=0)
+            state.sample_tail = buf[n * fs :]
+        else:
+            state.sample_tail = buf
+        self._advance(state, final=False)
+
+    def finish_stream(
+        self, state: "CoquiStreamState", prune_threshold: float = 10.0
+    ) -> str:
+        """Flush the frame tail (right context clamps to the last frame,
+        like the batch splice) and decode all accumulated probs."""
+        self._advance(state, final=True)
+        if not state.probs:
+            return ""
+        return self.decode_probs(
+            np.concatenate(state.probs, axis=0), prune_threshold
+        )
+
+    def _advance(self, state: "CoquiStreamState", final: bool) -> None:
+        model = self.model
+        ctx = model.context
+        T = state.feats.shape[0]
+        # a frame is emittable once its full right context exists
+        # (mid-stream), or unconditionally at flush (clamped, as batch)
+        limit = T if final else max(0, T - ctx)
+        W = self.STREAM_WINDOW
+        while state.emitted < limit:
+            take = min(W, limit - state.emitted)
+            if take < W and not final:
+                break  # wait for a full window: one compiled shape
+            base = np.arange(state.emitted, state.emitted + take)
+            idx = np.clip(
+                base[:, None] + np.arange(-ctx, ctx + 1)[None, :], 0, T - 1
+            )
+            spliced = state.feats[idx].reshape(take, -1)
+            if take < W:  # final partial window: pad, discard pad probs
+                spliced = np.pad(spliced, ((0, W - take), (0, 0)))
+            probs, new_state = self._fwd_stream(
+                jnp.asarray(spliced[None]), state.lstm_state
+            )
+            state.probs.append(np.asarray(probs)[0, :take])
+            # a padded final window's carry is never used again
+            state.lstm_state = new_state
+            state.emitted += take
+
+
+class CoquiStreamState:
+    """Incremental CoquiSttTranscriber decode state (one stream)."""
+
+    __slots__ = ("sample_tail", "feats", "emitted", "lstm_state", "probs")
+
+    def __init__(self, sample_tail, feats, lstm_state):
+        self.sample_tail = sample_tail
+        self.feats = feats
+        self.emitted = 0
+        self.lstm_state = lstm_state
+        self.probs: List[np.ndarray] = []

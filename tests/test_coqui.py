@@ -91,3 +91,68 @@ def test_ctc_end_to_end_audio(coqui_setup):
         # lattice prune beam (reference default 10, coqui_stt.py:127).
         got = t.transcribe_pcm(pcm, prune_threshold=30.0)
         assert got == text, (got, text)
+
+
+def test_ctc_streaming_matches_batch(coqui_setup):
+    """The streaming API (reference parity: coqui_stt.py:70-113
+    StreamingState) transcribes chunked PCM to the same text as the
+    whole-utterance path."""
+    profile, model_dir, train_dir = coqui_setup
+    t = CoquiSttTranscriber(model_dir, train_dir)
+    for i, text in enumerate(["turn on light", "stop"]):
+        pcm = synthesize_ctc_text(profile, text, seed=10 + i)
+        want = t.transcribe_pcm(pcm, prune_threshold=30.0)
+        state = t.start_stream()
+        for off in range(0, pcm.shape[0], 1024):
+            t.process_chunk(state, pcm[off : off + 1024])
+        got = t.finish_stream(state, prune_threshold=30.0)
+        assert got == want == text, (got, want, text)
+
+
+def test_ctc_forward_stream_lstm_context_parity():
+    """forward_stream over windows with LSTM carry + pre-spliced context
+    reproduces the batch forward() for a synthetic recurrent model."""
+    import jax.numpy as jnp
+
+    from rhasspy_speech_tpu.models.ctc import CtcModel
+
+    rng = np.random.RandomState(7)
+    D, H, L, ctx = 12, 10, 8, 2
+    Ds = D * (2 * ctx + 1)
+    params = {
+        "dense1_w": jnp.asarray(rng.randn(Ds, 16) * 0.3, jnp.float32),
+        "dense1_b": jnp.asarray(rng.randn(16) * 0.1, jnp.float32),
+        "lstm_kernel": jnp.asarray(rng.randn(16 + H, 4 * H) * 0.2, jnp.float32),
+        "lstm_bias": jnp.asarray(rng.randn(4 * H) * 0.1, jnp.float32),
+        "post1_w": jnp.asarray(rng.randn(H, 14) * 0.3, jnp.float32),
+        "post1_b": jnp.asarray(rng.randn(14) * 0.1, jnp.float32),
+        "out_w": jnp.asarray(rng.randn(14, L) * 0.3, jnp.float32),
+        "out_b": jnp.asarray(rng.randn(L) * 0.1, jnp.float32),
+    }
+    model = CtcModel(params=params, num_labels=L, context=ctx, has_lstm=True)
+    T = 23
+    feats = rng.randn(1, T, D).astype(np.float32)
+    want = np.asarray(model.forward(jnp.asarray(feats)))[0]
+
+    # stream in windows of 5 emitted frames, splicing with true
+    # neighbors and batch-identical edge clamping
+    state = model.init_state(1)
+    got = []
+    emitted = 0
+    W = 5
+    while emitted < T:
+        take = min(W, T - emitted)
+        base = np.arange(emitted, emitted + take)
+        idx = np.clip(
+            base[:, None] + np.arange(-ctx, ctx + 1)[None, :], 0, T - 1
+        )
+        spliced = feats[0][idx].reshape(take, -1)
+        if take < W:
+            spliced = np.pad(spliced, ((0, W - take), (0, 0)))
+        probs, state = model.forward_stream(
+            jnp.asarray(spliced[None]), state
+        )
+        got.append(np.asarray(probs)[0, :take])
+        emitted += take
+    got = np.concatenate(got, axis=0)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
