@@ -398,6 +398,56 @@ class CoquiSttTranscriber:
             state.emitted += take
 
 
+    # -- reference-signature async wrappers (coqui_stt.py:32-120) -------------
+    # The reference drives ONE implicit stream per transcriber through an
+    # stt_onlyprobs subprocess: 16-bit PCM chunks in, per-frame prob rows
+    # out of finish_stream. Same contract here over the in-process model;
+    # the explicit-state sync triple above is the multi-stream form.
+
+    async def async_start_stream(self) -> None:
+        if getattr(self, "_cur_stream", None) is not None:
+            raise StreamAlreadyStartedError
+        self._cur_stream = self.start_stream()
+
+    async def async_process_chunk(self, chunk) -> None:
+        if getattr(self, "_cur_stream", None) is None:
+            raise StreamNotStartedError
+        assert chunk is not None and len(chunk)
+        if isinstance(chunk, (bytes, bytearray)):
+            pcm = np.frombuffer(chunk, dtype=np.int16).astype(np.float32)
+        else:
+            pcm = np.asarray(chunk, dtype=np.float32)
+        self.process_chunk(self._cur_stream, pcm)
+
+    async def async_finish_stream(self) -> List[List[float]]:
+        """Flush and return the per-frame prob rows (the reference's
+        stt_onlyprobs stdout contract); decode with decode_probs."""
+        if getattr(self, "_cur_stream", None) is None:
+            raise StreamNotStartedError
+        state, self._cur_stream = self._cur_stream, None
+        self._advance(state, final=True)
+        if not state.probs:
+            return []
+        return np.concatenate(state.probs, axis=0).tolist()
+
+    async def stop(self) -> None:
+        """Reference parity: tears down the prob subprocess there; the
+        in-process model just drops any open stream."""
+        self._cur_stream = None
+
+
+class CoquiSttError(Exception):
+    """Coqui transcriber error (reference coqui_stt.py:32)."""
+
+
+class StreamAlreadyStartedError(CoquiSttError):
+    """async_start_stream with a stream already open."""
+
+
+class StreamNotStartedError(CoquiSttError):
+    """async_process_chunk / async_finish_stream without a stream."""
+
+
 class CoquiStreamState:
     """Incremental CoquiSttTranscriber decode state (one stream)."""
 

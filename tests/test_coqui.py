@@ -156,3 +156,38 @@ def test_ctc_forward_stream_lstm_context_parity():
         emitted += take
     got = np.concatenate(got, axis=0)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_ctc_async_stream_reference_contract(coqui_setup):
+    """The reference-signature async wrappers: one implicit stream,
+    int16-bytes chunks, finish returns per-frame prob rows, and the
+    error classes fire exactly as in coqui_stt.py:70-113."""
+    import asyncio
+
+    from rhasspy_speech_tpu.pipeline.coqui import (
+        StreamAlreadyStartedError,
+        StreamNotStartedError,
+    )
+
+    profile, model_dir, train_dir = coqui_setup
+    t = CoquiSttTranscriber(model_dir, train_dir)
+    pcm = synthesize_ctc_text(profile, "stop", seed=21)
+    chunk_bytes = pcm.astype(np.int16).tobytes()
+
+    async def drive():
+        with pytest.raises(StreamNotStartedError):
+            await t.async_process_chunk(b"\x00\x00")
+        await t.async_start_stream()
+        with pytest.raises(StreamAlreadyStartedError):
+            await t.async_start_stream()
+        for off in range(0, len(chunk_bytes), 2048):
+            await t.async_process_chunk(chunk_bytes[off : off + 2048])
+        probs = await t.async_finish_stream()
+        with pytest.raises(StreamNotStartedError):
+            await t.async_finish_stream()
+        return probs
+
+    probs = asyncio.run(drive())
+    assert probs and len(probs[0]) == t.model.num_labels
+    got = t.decode_probs(np.asarray(probs), prune_threshold=30.0)
+    assert got == "stop", got
