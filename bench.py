@@ -228,13 +228,14 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     endpointing=endpointing,
                 )
                 if endpointing is not None and not sched._ep_device:
-                    # outside the generic infeasible handler's reach: a
-                    # config regression must kill the run, not fill the
-                    # artifact with null points
+                    # SystemExit passes the generic `except Exception`
+                    # infeasible handler AND the enclosing finally (temp
+                    # workdir cleanup): a config regression kills the run
+                    # instead of filling the artifact with null points
                     sys.stderr.write(
                         "bench: endpointing fell off the device lane\n"
                     )
-                    os._exit(3)
+                    raise SystemExit(3)
                 remaining = np.zeros(lanes, dtype=np.int64)
                 for sid_expect in range(lanes):
                     sid = sched.open_stream()

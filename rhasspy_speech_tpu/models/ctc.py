@@ -61,14 +61,16 @@ class CtcModel:
             else 0
         )
 
-    def init_state(self, batch: int = 1):
-        """Zero LSTM carry (empty tuple for stateless models)."""
+    def init_state(self, batch: int = 1, dtype=jnp.float32):
+        """Zero LSTM carry (empty tuple for stateless models). ``dtype``
+        must match the activations feeding the scan (the carry type is
+        part of lax.scan's contract)."""
         if not self.has_lstm:
             return ()
         H = self.lstm_hidden
         return (
-            jnp.zeros((batch, H), jnp.float32),
-            jnp.zeros((batch, H), jnp.float32),
+            jnp.zeros((batch, H), dtype),
+            jnp.zeros((batch, H), dtype),
         )
 
     def forward(self, feats: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +84,7 @@ class CtcModel:
                 parts.append(x[:, idx])
             x = jnp.concatenate(parts, axis=-1)
         probs, _state = self.forward_stream(
-            x, self.init_state(int(feats.shape[0]))
+            x, self.init_state(int(feats.shape[0]), dtype=x.dtype)
         )
         return probs
 

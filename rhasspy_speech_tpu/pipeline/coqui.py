@@ -329,6 +329,14 @@ class CoquiSttTranscriber:
         edge clamping applies at the stream edges), LSTM carry across
         windows."""
         assert self.model is not None, "no model.npz in the model dir"
+        if not self.frontend_config.snip_edges:
+            # the tail-carry framing below assumes snip_edges=true; the
+            # centered mode reflects at utterance edges and would
+            # silently produce different rows per chunk boundary
+            raise NotImplementedError(
+                "streaming requires snip_edges=true framing (use "
+                "transcribe_pcm for snip_edges=false frontends)"
+            )
         import jax
 
         if not hasattr(self, "_fwd_stream"):
@@ -373,18 +381,23 @@ class CoquiSttTranscriber:
     def _advance(self, state: "CoquiStreamState", final: bool) -> None:
         model = self.model
         ctx = model.context
-        T = state.feats.shape[0]
+        T_abs = state.feat_base + state.feats.shape[0]
         # a frame is emittable once its full right context exists
         # (mid-stream), or unconditionally at flush (clamped, as batch)
-        limit = T if final else max(0, T - ctx)
+        limit = T_abs if final else max(0, T_abs - ctx)
         W = self.STREAM_WINDOW
         while state.emitted < limit:
             take = min(W, limit - state.emitted)
             if take < W and not final:
                 break  # wait for a full window: one compiled shape
             base = np.arange(state.emitted, state.emitted + take)
-            idx = np.clip(
-                base[:, None] + np.arange(-ctx, ctx + 1)[None, :], 0, T - 1
+            idx = (
+                np.clip(
+                    base[:, None] + np.arange(-ctx, ctx + 1)[None, :],
+                    0,
+                    T_abs - 1,
+                )
+                - state.feat_base
             )
             spliced = state.feats[idx].reshape(take, -1)
             if take < W:  # final partial window: pad, discard pad probs
@@ -396,6 +409,12 @@ class CoquiSttTranscriber:
             # a padded final window's carry is never used again
             state.lstm_state = new_state
             state.emitted += take
+        # feature memory stays O(window): rows older than the emitted
+        # frontier's left context are never read again
+        drop = state.emitted - ctx - state.feat_base
+        if drop > 0:
+            state.feats = state.feats[drop:]
+            state.feat_base += drop
 
 
     # -- reference-signature async wrappers (coqui_stt.py:32-120) -------------
@@ -412,8 +431,14 @@ class CoquiSttTranscriber:
     async def async_process_chunk(self, chunk) -> None:
         if getattr(self, "_cur_stream", None) is None:
             raise StreamNotStartedError
-        assert chunk is not None and len(chunk)
+        if chunk is None or not len(chunk):
+            raise CoquiSttError("empty chunk")
         if isinstance(chunk, (bytes, bytearray)):
+            if len(chunk) % 2:
+                raise CoquiSttError(
+                    "chunk must be whole 16-bit samples "
+                    f"(got {len(chunk)} bytes)"
+                )
             pcm = np.frombuffer(chunk, dtype=np.int16).astype(np.float32)
         else:
             pcm = np.asarray(chunk, dtype=np.float32)
@@ -451,11 +476,15 @@ class StreamNotStartedError(CoquiSttError):
 class CoquiStreamState:
     """Incremental CoquiSttTranscriber decode state (one stream)."""
 
-    __slots__ = ("sample_tail", "feats", "emitted", "lstm_state", "probs")
+    __slots__ = (
+        "sample_tail", "feats", "feat_base", "emitted", "lstm_state",
+        "probs",
+    )
 
     def __init__(self, sample_tail, feats, lstm_state):
         self.sample_tail = sample_tail
         self.feats = feats
+        self.feat_base = 0  # absolute frame index of feats[0]
         self.emitted = 0
         self.lstm_state = lstm_state
         self.probs: List[np.ndarray] = []

@@ -53,13 +53,14 @@ _DRAIN_CAP = 12800
 
 def _pcm_bucket(n: int) -> int:
     """Padded PCM width for the fused tick program: 1600-sample
-    power-of-two buckets, capped by _DRAIN_CAP. The PCM batch is an input
-    of the WHOLE fused program (MFCC + AM + decode), so each distinct
-    width is a full XLA compile — pow2 bucketing bounds the variants to
-    four instead of one per 0.1 s of arrival jitter, at <=2x upload
-    padding."""
+    power-of-two buckets, capped at _DRAIN_CAP (callers pre-cap drains;
+    the clamp here keeps the four-bucket invariant where it is
+    documented). The PCM batch is an input of the WHOLE fused program
+    (MFCC + AM + decode), so each distinct width is a full XLA compile —
+    pow2 bucketing bounds the variants to four instead of one per 0.1 s
+    of arrival jitter, at <=2x upload padding."""
     b = 1600
-    while b < n:
+    while b < min(n, _DRAIN_CAP):
         b *= 2
     return b
 
@@ -1084,6 +1085,28 @@ class StreamScheduler:
             for sid in sids:
                 self.poll(sid)
                 self.close(sid)
+            # cover the other PCM buckets serving can dispatch (arrival
+            # jitter and bursts change the padded width, and each width
+            # is its own program): dribble feeds walk the small buckets,
+            # a burst past the drain cap walks the largest + leftover
+            sid = self.open_stream()
+            for _ in range(8):
+                self.feed(sid, np.zeros(1200, dtype=np.float32))
+                self.step()
+            self.finish(sid)
+            self.run_until_idle()
+            self.poll(sid)
+            self.close(sid)
+            sid = self.open_stream()
+            self.feed(
+                sid, np.zeros(2 * _DRAIN_CAP + 1600, dtype=np.float32)
+            )
+            self.step()
+            self.step()
+            self.finish(sid)
+            self.run_until_idle()
+            self.poll(sid)
+            self.close(sid)
         finally:
             self._aot_export = False
         return self._aot.dir

@@ -57,6 +57,15 @@ class StreamFeaturizer:
     def __init__(self, am):
         self.am = am
         cfg = am.frontend_config
+        if not cfg.snip_edges:
+            # centered frames reflect at the UTTERANCE edges; the tail-
+            # carry framing below would silently reflect at chunk edges
+            # instead. Batch decoding supports snip_edges=False; streaming
+            # must refuse rather than diverge.
+            raise NotImplementedError(
+                "streaming requires snip_edges=true framing (the batch "
+                "transcriber supports snip_edges=false)"
+            )
         self.frame_len = cfg.frame_length
         self.frame_shift = cfg.frame_shift
         self.num_ceps = cfg.num_ceps
