@@ -138,9 +138,10 @@ def test_async_api(profile_and_train):
         w.setframerate(16000)
         w.writeframes(pcm.astype(np.int16).tobytes())
 
-    result = asyncio.get_event_loop().run_until_complete(
-        t.async_transcribe(wav_path)
-    )
+    # asyncio.run (not get_event_loop): another test's asyncio.run may
+    # have cleared the main thread's loop, and the legacy accessor then
+    # raises depending on test order
+    result = asyncio.run(t.async_transcribe(wav_path))
     assert result == ["never mind"]
 
 
