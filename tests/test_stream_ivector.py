@@ -339,3 +339,33 @@ def test_scheduler_device_silence_weighting(tmp_path):
     # synthesized audio is silence-padded: some frames must have been
     # downweighted in the stats fold
     assert gamma_w < gamma_p
+
+
+def test_scheduler_pitch_with_device_endpointing(tmp_path):
+    """Pitch models keep host-side feature merge but still ride the
+    device backpointer ring AND the device endpoint lane: a pitch stream
+    with trailing silence endpoints without an explicit EOF."""
+    from rhasspy_speech_tpu.pipeline.endpoint import EndpointConfig
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.testing.synthetic import _silence_wave
+
+    profile, graph_dir = _train(tmp_path, with_ivector=True, with_pitch=True)
+    sched = StreamScheduler(
+        profile.model_dir, graph_dir, max_streams=2,
+        endpointing=EndpointConfig(),
+    )
+    assert sched._device_bp and sched._ep_device
+    assert not sched._device_feats  # pitch merge stays host-side
+
+    speech = synthesize_sentence(profile, "turn on light", seed=31)
+    pcm = np.concatenate(
+        [speech, _silence_wave(16000 * 3, np.random.RandomState(5))]
+    )
+    sid = sched.open_stream()
+    sched.feed(sid, pcm)
+    # never call finish(): the endpoint rules must close the utterance
+    for _ in range(120):
+        if sched.poll(sid) is not None:
+            break
+        sched.step()
+    assert sched.poll(sid) == ["turn on light"]
