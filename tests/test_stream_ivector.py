@@ -369,3 +369,58 @@ def test_scheduler_pitch_with_device_endpointing(tmp_path):
             break
         sched.step()
     assert sched.poll(sid) == ["turn on light"]
+
+
+def test_scheduler_randomized_schedules_match_batch(tmp_path):
+    """Property test over the fused serving tick: random admissions,
+    random chunk sizes (dribbles to past-the-cap bursts), random idle
+    gaps, and slot recycling — every utterance's transcript must equal
+    the batch decode. Consumption boundaries are fixed by the scheduler
+    (21-frame steps), so arrival timing must never change results."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_context=True
+    )
+    sched = StreamScheduler(
+        profile.model_dir, graph_dir, max_streams=3,
+        pool_capacity_samples=16000 * 8,
+    )
+    assert sched._device_feats
+    batch = Nnet3WavTranscriber(profile.model_dir, graph_dir)
+
+    texts = ["turn on light", "turn off light"]
+    pcms = {t: synthesize_sentence(profile, t, seed=50 + i)
+            for i, t in enumerate(texts)}
+    want = {t: batch.transcribe_pcm_batch([p])[0]
+            for t, p in pcms.items()}
+
+    rng = np.random.RandomState(123)
+    pending = [texts[i % 2] for i in range(9)]  # 9 utterances total
+    live = {}  # sid -> [text, offset]
+    checked = 0
+    for tick in range(600):
+        if pending and rng.rand() < 0.4:
+            sid = sched.open_stream()
+            if sid >= 0:
+                live[sid] = [pending.pop(), 0]
+        for sid in list(live):
+            text, off = live[sid]
+            pcm = pcms[text]
+            if off < len(pcm) and rng.rand() < 0.8:
+                n = int(rng.choice([400, 1024, 3360, 20000]))
+                sched.feed(sid, pcm[off : off + n])
+                live[sid][1] = off + n
+                if live[sid][1] >= len(pcm):
+                    sched.finish(sid)
+        sched.step()
+        for sid in list(live):
+            r = sched.poll(sid)
+            if r is not None:
+                assert r == want[live[sid][0]], (sid, r, live[sid][0])
+                sched.close(sid)
+                del live[sid]
+                checked += 1
+        if checked == 9 and not pending:
+            break
+    assert checked == 9, (checked, len(pending), len(live))
