@@ -898,12 +898,15 @@ class StreamScheduler:
     def finish(self, sid: int) -> None:
         self.pool.finish(sid)
 
-    def poll(self, sid: int) -> Optional[List[str]]:
-        """Result once the stream is fully decoded; None while in flight."""
+    def poll(self, sid: int, block: bool = True) -> Optional[List[str]]:
+        """Result once the stream is fully decoded; None while in flight.
+        With ``block=False`` a finished stream whose finalize trace has
+        not landed yet also returns None (pure non-blocking poll loop;
+        the result appears on a later poll or after the next step)."""
         state = self.slots[sid]
         if state.done:
             if state.result is None and self._pending_finalize:
-                self._harvest_finalizes()
+                self._harvest_finalizes(block=block)
             return state.result
         return None
 
