@@ -231,10 +231,23 @@ class StreamScheduler:
         iv_inline_geom = (
             ivp is not None
             and not self._featurizer.has_pitch
-            and getattr(self.am, "ivector_cmvn_stats", None) is None
             and self._win_lo <= -ivp.splice_left
             and self._win_hi >= self._chunk_in + ivp.splice_right
         )
+        # Device-resident online CMVN for the i-vector tap: real Kaldi
+        # online i-vector configs normalize the tap features
+        # (ivector_extractor.conf --cmvn-config), which previously forced
+        # the host staging path. A cumulative-sum ring alongside the
+        # feature ring yields each row's sliding-window mean (600 frames,
+        # global-stats deficit fill) with two gathers per window row, so
+        # CMVN'd models ride the fused tick too.
+        _iv_cmvn_stats = getattr(self.am, "ivector_cmvn_stats", None)
+        self._iv_cmvn_device = (
+            iv_inline_geom
+            and _iv_cmvn_stats is not None
+            and self._bp_compact
+        )
+        _cmvn_ok = _iv_cmvn_stats is None or self._iv_cmvn_device
         # Device-resident silence weighting: the chunk's best path is
         # backtraced ON DEVICE right after the decode scan (7 point
         # gathers), silence frames map to next-tick fold weights carried
@@ -244,10 +257,13 @@ class StreamScheduler:
             silence_weight is not None
             and silence_weight != 1.0
             and iv_inline_geom
+            and _cmvn_ok
             and self._bp_compact
         )
-        self._iv_inline = iv_inline_geom and (
-            silence_weight in (None, 1.0) or self._sw_device
+        self._iv_inline = (
+            iv_inline_geom
+            and _cmvn_ok
+            and (silence_weight in (None, 1.0) or self._sw_device)
         )
 
         # Endpointing (online-endpoint.h rules over decode-state signals),
@@ -335,9 +351,25 @@ class StreamScheduler:
         sw_factor = float(silence_weight) if self._sw_device else 1.0
         subsampling = self.am.subsampling
 
+        # device CMVN constants for the i-vector tap (ops/cmvn semantics:
+        # 600-frame sliding window, global-stats deficit fill capped at
+        # 200 frames, mean-only)
+        iv_cmvn_device = self._iv_cmvn_device
+        if iv_cmvn_device:
+            from ..ops.cmvn import stats_from_matrix
+
+            _g_sum, _g_sumsq, _g_count = stats_from_matrix(_iv_cmvn_stats)
+            cmvn_g_sum = jnp.asarray(_g_sum, jnp.float32)
+            cmvn_g_count = float(_g_count)
+            cmvn_g_cap = float(min(_g_count, 200.0)) if _g_count > 0 else 0.0
+            cmvn_window = 600
+        else:
+            cmvn_g_sum = None
+
         def batch_chunk(
             alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws,
-            am_state, ring, offs, feats_ring, t0s, haves, ep_state, sw_w
+            am_state, ring, offs, feats_ring, t0s, haves, ep_state, sw_w,
+            cum_ring
         ):
             """alpha [N, S]; windows [N, W, D]; n_valid [N]; reset [N] bool
             (lanes reopened since the last tick restart from the initial
@@ -406,7 +438,51 @@ class StreamScheduler:
                     new_gamma = gamma + jnp.sum(post, axis=1)
                     new_X = X + jnp.einsum("nti,ntd->nid", post, lda_feats)
                     ivec = solve_ivector(new_gamma, new_X, ivp)
-                    if iv_inline:
+                    if iv_inline and iv_cmvn_device:
+                        # CMVN'd tap window from the rings: per row the
+                        # sliding-window mean comes from two cum-ring
+                        # gathers (host twin: stage_ivector_window with
+                        # cmvn_stats -> online_cmvn_numpy over the
+                        # prefix, rows clamped to min(t_end + sr, have))
+                        Wiv = sl + chunk_in + sr
+                        t_end = jnp.minimum(t0s + chunk_in, haves)
+                        hist_hi = jnp.minimum(t_end + sr, haves)
+                        clamp = jnp.maximum(hist_hi - 1, 0)[:, None]
+                        rows_abs = t0s[:, None] + (
+                            jnp.arange(Wiv, dtype=jnp.int32)[None, :] - sl
+                        )
+                        r = jnp.clip(rows_abs, 0, clamp)
+                        raw = jnp.take_along_axis(
+                            feats_ring, r[:, :, None], axis=1
+                        )[:, :, :num_ceps]
+                        cum_r = jnp.take_along_axis(
+                            cum_ring, r[:, :, None], axis=1
+                        )
+                        lo = jnp.maximum(r - (cmvn_window - 1), 0)
+                        cum_lo = jnp.where(
+                            (lo > 0)[:, :, None],
+                            jnp.take_along_axis(
+                                cum_ring,
+                                jnp.maximum(lo - 1, 0)[:, :, None],
+                                axis=1,
+                            ),
+                            0.0,
+                        )
+                        wsum = cum_r - cum_lo
+                        cnt = (r - lo + 1).astype(jnp.float32)[:, :, None]
+                        if cmvn_g_cap > 0:
+                            take_g = jnp.clip(
+                                cmvn_window - cnt, 0.0, cmvn_g_cap
+                            )
+                            mean = (
+                                wsum
+                                + (take_g / cmvn_g_count)
+                                * cmvn_g_sum[None, None, :]
+                            ) / (cnt + take_g)
+                        else:
+                            mean = wsum / cnt
+                        new_iv_carry = raw - mean
+                    elif iv_inline:
                         # next tick's pending window: static slice of the
                         # AM window (same edge clamping by construction)
                         off = -sl - win_lo
@@ -583,11 +659,12 @@ class StreamScheduler:
             donate_argnums=(9,)
             + ((14,) if self._ep_device else ())
             + ((15,) if self._sw_device else ()),
+            # cum_ring (16) is only threaded on the fused path
         )
 
         frontend_params = self.am.frontend_params
 
-        def feed_feats(feats_ring, pcm_buf, counts, has_new):
+        def feed_feats(feats_ring, cum_ring, pcm_buf, counts, has_new):
             """Write each lane's new MFCC rows into the device feature
             ring at its frame offset. Rows beyond a lane's real frame
             count are scratch (overwritten by the next write; reads clamp
@@ -598,21 +675,38 @@ class StreamScheduler:
             ``pcm_buf`` arrives int16 when exact (PCM is 16-bit at the
             wire; halves the per-tick H2D bytes). A zero-length pcm_buf
             (no new audio anywhere this tick) skips the write entirely —
-            the shape is static, so this is a compile-time branch."""
+            the shape is static, so this is a compile-time branch. With
+            device CMVN a cumulative-sum ring rides along: cum[t] = sum of
+            rows 0..t (continued from the lane's last valid cum row), so
+            any row's sliding-window mean is two gathers."""
             if pcm_buf.shape[1] == 0:
-                return feats_ring
+                return feats_ring, cum_ring
             if pcm_buf.dtype != jnp.float32:
                 pcm_buf = pcm_buf.astype(jnp.float32)
             rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
-            return jax.vmap(
+            write = jax.vmap(
                 lambda buf, lane_rows, cnt, w: jnp.where(
                     w, jax.lax.dynamic_update_slice(buf, lane_rows, (cnt, 0)), buf
                 )
-            )(feats_ring, rows, counts, has_new)
+            )
+            new_feats = write(feats_ring, rows, counts, has_new)
+            if iv_cmvn_device:
+                prev = jnp.where(
+                    (counts > 0)[:, None],
+                    jnp.take_along_axis(
+                        cum_ring,
+                        jnp.maximum(counts - 1, 0)[:, None, None],
+                        axis=1,
+                    )[:, 0, :],
+                    0.0,
+                )
+                cum_rows = prev[:, None, :] + jnp.cumsum(rows, axis=1)
+                cum_ring = write(cum_ring, cum_rows, counts, has_new)
+            return new_feats, cum_ring
 
         def batch_chunk_fused(
             alpha, pcm_buf, meta, gamma, X, iv_wins, am_state, ring,
-            feats_ring, offs, ep_state, sw_w
+            feats_ring, offs, ep_state, sw_w, cum_ring
         ):
             """One-dispatch serving tick (device-feats mode): PCM -> MFCC
             rows into the feature ring -> AM windows -> decode, all in a
@@ -629,7 +723,9 @@ class StreamScheduler:
             counts = meta[:, 4]
             has_new = meta[:, 5].astype(jnp.bool_)
             iv_n = meta[:, 6]
-            feats_ring = feed_feats(feats_ring, pcm_buf, counts, has_new)
+            feats_ring, cum_ring = feed_feats(
+                feats_ring, cum_ring, pcm_buf, counts, has_new
+            )
             iv_ws = (
                 jnp.arange(chunk_in, dtype=jnp.int32)[None, :]
                 < iv_n[:, None]
@@ -638,9 +734,9 @@ class StreamScheduler:
             out = batch_chunk(
                 alpha, dummy_win, n_valid, reset, gamma, X, iv_wins,
                 iv_ws, am_state, ring, offs, feats_ring, t0s, haves,
-                ep_state, sw_w,
+                ep_state, sw_w, cum_ring,
             )
-            return out + (feats_ring,)
+            return out + (feats_ring, cum_ring)
 
         # Donate every threaded state buffer (all are replaced by the
         # outputs each tick). iv_wins is donated only when it's the real
@@ -651,6 +747,7 @@ class StreamScheduler:
             + ((5,) if self._iv_inline else ())
             + ((10,) if self._ep_device else ())
             + ((11,) if self._sw_device else ())
+            + ((12,) if self._iv_cmvn_device else ())
         )
         self._batch_chunk_fused = (
             jax.jit(batch_chunk_fused, donate_argnums=fused_donate)
@@ -659,7 +756,11 @@ class StreamScheduler:
         )
         # standalone ring write for features-only ticks (no ready lane)
         self._feed_only = (
-            jax.jit(feed_feats, donate_argnums=(0,))
+            jax.jit(
+                feed_feats,
+                donate_argnums=(0,)
+                + ((1,) if self._iv_cmvn_device else ()),
+            )
             if self._device_feats
             else None
         )
@@ -685,6 +786,13 @@ class StreamScheduler:
         else:
             # lane-dim dummy so mesh sharding stays divisible
             self._feats_ring = jnp.zeros((max_streams, 1, 1), jnp.float32)
+        # cumulative-sum ring for the device i-vector CMVN (dummy when off)
+        self._cum_ring = jnp.zeros(
+            (max_streams, self._feat_ring_frames, num_ceps)
+            if (self._device_feats and self._iv_cmvn_device)
+            else (max_streams, 1, 1),
+            jnp.float32,
+        )
         self._feat_counts = np.zeros(max_streams, dtype=np.int32)
         if self._iv_inline:
             self._iv_carry = jnp.zeros(
@@ -805,6 +913,9 @@ class StreamScheduler:
                 )
             self._feats_ring = jax.device_put(
                 self._feats_ring, _lane_spec(self._feats_ring)
+            )
+            self._cum_ring = jax.device_put(
+                self._cum_ring, _lane_spec(self._cum_ring)
             )
         # On-device finalize backtrace (device-ring mode): one call per
         # tick handles up to _FINALIZE_BATCH flushed lanes, transferring
@@ -955,7 +1066,7 @@ class StreamScheduler:
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-                ep_state, ep_stats, sw_w, feats_ring,
+                ep_state, ep_stats, sw_w, feats_ring, cum_ring,
             ) = self._aot_call(
                 "sched_tick",
                 self._batch_chunk_fused,
@@ -963,7 +1074,7 @@ class StreamScheduler:
                     self._alpha, pcm_dev, meta_dev, self._iv_gamma,
                     self._iv_X, ivw, self._am_state, self._ring,
                     self._feats_ring, self._offs, self._ep_state,
-                    self._sw_w,
+                    self._sw_w, self._cum_ring,
                 ),
                 donate=self._fused_donate,
                 vary=pcm_dev,
@@ -974,6 +1085,8 @@ class StreamScheduler:
             self._iv_gamma, self._iv_X = gamma, X
             self._ring, self._offs = ring, offs
             self._feats_ring = feats_ring
+            if self._iv_cmvn_device:
+                self._cum_ring = cum_ring
             if self._iv_inline:
                 self._iv_carry = iv_carry
             if self._ep_device:
@@ -1128,11 +1241,11 @@ class StreamScheduler:
                 pcm_dev = jnp.asarray(pcm_batch)
                 c_dev = jnp.asarray(counts)
                 h_dev = jnp.asarray(has_new)
-            self._feats_ring = self._aot_call(
+            self._feats_ring, self._cum_ring = self._aot_call(
                 "sched_feed",
                 self._feed_only,
-                (self._feats_ring, pcm_dev, c_dev, h_dev),
-                donate=(0,),
+                (self._feats_ring, self._cum_ring, pcm_dev, c_dev, h_dev),
+                donate=(0,) + ((1,) if self._iv_cmvn_device else ()),
                 vary=pcm_dev,
             )
 
@@ -1566,7 +1679,7 @@ class StreamScheduler:
                     self._am_state,
                     self._ring, self._offs,
                     self._feats_ring, t0_dev, hv_dev, self._ep_state,
-                    self._sw_w,
+                    self._sw_w, self._cum_ring,
                 )
                 self._pending_reset[:] = False
                 self._alpha = alpha

@@ -424,3 +424,47 @@ def test_scheduler_randomized_schedules_match_batch(tmp_path):
         if checked == 9 and not pending:
             break
     assert checked == 9, (checked, len(pending), len(live))
+
+
+def test_scheduler_device_ivector_cmvn_matches_batch(tmp_path):
+    """Online CMVN on the i-vector tap (the standard Kaldi online
+    i-vector config) rides the fused device path: the cumulative-sum
+    ring reproduces the host staging's sliding-window means, and
+    transcripts match the batch transcriber exactly — including under
+    dribble feeds and slot recycling."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_context=True,
+        with_ivector_cmvn=True,
+    )
+    sched = StreamScheduler(profile.model_dir, graph_dir, max_streams=2)
+    assert sched._iv_cmvn_device, "CMVN must ride the device path"
+    assert sched._device_feats and sched._iv_inline
+    batch = Nnet3WavTranscriber(profile.model_dir, graph_dir)
+
+    texts = ["turn on light", "turn off light"]
+    pcms = [
+        synthesize_sentence(profile, t, seed=60 + i)
+        for i, t in enumerate(texts)
+    ]
+    want = batch.transcribe_pcm_batch(pcms)
+
+    # round 1: all-at-once feeds
+    sids = [sched.open_stream() for _ in texts]
+    for sid, pcm in zip(sids, pcms):
+        sched.feed(sid, pcm)
+        sched.finish(sid)
+    sched.run_until_idle()
+    assert [sched.poll(s) for s in sids] == want == [[t] for t in texts]
+
+    # round 2: recycle with dribble feeds (cum ring restarts per lane)
+    for s in sids:
+        sched.close(s)
+    r0 = sched.open_stream()
+    for off in range(0, len(pcms[1]), 1600):
+        sched.feed(r0, pcms[1][off : off + 1600])
+        sched.step()
+    sched.finish(r0)
+    sched.run_until_idle()
+    assert sched.poll(r0) == want[1]
