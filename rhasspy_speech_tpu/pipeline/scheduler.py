@@ -297,7 +297,7 @@ class StreamScheduler:
         # path — Kaldi's TrailingSilenceLength semantics.)
         self._ep_device = (
             endpointing is not None
-            and (silence_weight is None or self._sw_device)
+            and (silence_weight in (None, 1.0) or self._sw_device)
             and self._bp_compact
         )
 
@@ -310,9 +310,13 @@ class StreamScheduler:
         # over any remote-dispatch transport, and a big PCIe saving
         # locally). F is sized from the pool capacity: the pool bounds a
         # stream's un-consumed audio, so offsets stay in range.
+        # silence_weight=1.0 is Kaldi's documented no-op value: it stays
+        # on the fast path with no weighting applied (the host path also
+        # skips the factor at 1.0) — and _iv_cmvn_device relies on this
+        # (its ring reads are only valid on the device-feats path)
         self._device_bp = (
             (endpointing is None or self._ep_device)
-            and (silence_weight is None or self._sw_device)
+            and (silence_weight in (None, 1.0) or self._sw_device)
             and self._bp_compact
         )
         self._ring_frames = (
@@ -356,13 +360,18 @@ class StreamScheduler:
         # 200 frames, mean-only)
         iv_cmvn_device = self._iv_cmvn_device
         if iv_cmvn_device:
-            from ..ops.cmvn import stats_from_matrix
+            from ..ops.cmvn import CmvnConfig, stats_from_matrix
 
+            _cmvn_cfg = CmvnConfig()
             _g_sum, _g_sumsq, _g_count = stats_from_matrix(_iv_cmvn_stats)
             cmvn_g_sum = jnp.asarray(_g_sum, jnp.float32)
             cmvn_g_count = float(_g_count)
-            cmvn_g_cap = float(min(_g_count, 200.0)) if _g_count > 0 else 0.0
-            cmvn_window = 600
+            cmvn_g_cap = (
+                float(min(_g_count, _cmvn_cfg.global_frames))
+                if _g_count > 0
+                else 0.0
+            )
+            cmvn_window = _cmvn_cfg.cmn_window
         else:
             cmvn_g_sum = None
 
@@ -452,8 +461,14 @@ class StreamScheduler:
                             jnp.arange(Wiv, dtype=jnp.int32)[None, :] - sl
                         )
                         r = jnp.clip(rows_abs, 0, clamp)
-                        raw = jnp.take_along_axis(
-                            feats_ring, r[:, :, None], axis=1
+                        # the raw rows equal the AM window's static slice
+                        # (the clamps coincide over the tap range: the
+                        # highest tap row index is t_end+sr-1 <= hist_hi-1
+                        # and the window clamps at haves-1 >= hist_hi-1
+                        # only where both bind to the same last row) —
+                        # reuse it instead of re-gathering the full ring
+                        raw = jax.lax.dynamic_slice_in_dim(
+                            windows, -sl - win_lo, Wiv, axis=1
                         )[:, :, :num_ceps]
                         cum_r = jnp.take_along_axis(
                             cum_ring, r[:, :, None], axis=1

@@ -468,3 +468,29 @@ def test_scheduler_device_ivector_cmvn_matches_batch(tmp_path):
     sched.finish(r0)
     sched.run_until_idle()
     assert sched.poll(r0) == want[1]
+
+
+def test_scheduler_silence_weight_noop_stays_fused_with_cmvn(tmp_path):
+    """silence_weight=1.0 (Kaldi's documented disabled value) must stay
+    on the fused device path — regression: with i-vector CMVN it used to
+    take the host path before round 3, and a gating bug briefly let the
+    device-CMVN branch read the dummy rings there."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_context=True,
+        with_ivector_cmvn=True,
+    )
+    sched = StreamScheduler(
+        profile.model_dir, graph_dir, max_streams=2, silence_weight=1.0
+    )
+    assert sched._device_feats and sched._iv_cmvn_device
+    assert not sched._sw_device  # 1.0 is a no-op, no weighting program
+    batch = Nnet3WavTranscriber(profile.model_dir, graph_dir)
+    pcm = synthesize_sentence(profile, "turn on light", seed=81)
+    want = batch.transcribe_pcm_batch([pcm])[0]
+    sid = sched.open_stream()
+    sched.feed(sid, pcm)
+    sched.finish(sid)
+    sched.run_until_idle()
+    assert sched.poll(sid) == want == ["turn on light"]
