@@ -188,6 +188,10 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
             num_tdnnf_layers=LAYERS,
             ivector_dim=IVEC_DIM,
             ubm_gauss=UBM_GAUSS,
+            # BENCH_IVEC_CMVN=1 benches the production i-vector config
+            # (online CMVN on the tap, the device cum-ring path); default
+            # off to keep the sweep comparable with earlier artifacts
+            with_ivector_cmvn=os.environ.get("BENCH_IVEC_CMVN", "0") == "1",
         )
         graph_dir = os.path.join(workdir, "graph")
         LangArtifacts(

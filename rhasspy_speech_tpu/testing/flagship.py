@@ -35,6 +35,7 @@ def write_flagship_model_dir(
     ubm_gauss: int = 512,
     num_ceps: int = 40,
     seed: int = 7,
+    with_ivector_cmvn: bool = False,
 ) -> Path:
     """Write model/final.mdl + extractor/ + frontend.json + config.json.
 
@@ -93,6 +94,16 @@ def write_flagship_model_dir(
         extractor.write(KaldiWriter(f))
     with open(ext_dir / "final.mat", "wb") as f:
         KaldiWriter(f).write_matrix(lda)
+    if with_ivector_cmvn:
+        # standard production i-vector config: online CMVN on the tap
+        # (BENCH_IVEC_CMVN=1 turns this on in the streaming bench)
+        from ..ops.cmvn import matrix_from_stats
+
+        stats = matrix_from_stats(
+            np.full(num_ceps, 500.0), np.full(num_ceps, 2600.0), 100.0
+        )
+        with open(ext_dir / "global_cmvn.stats", "wb") as f:
+            KaldiWriter(f).write_matrix(stats.astype(np.float64))
 
     with open(model_dir / "config.json", "w", encoding="utf-8") as f:
         json.dump(
