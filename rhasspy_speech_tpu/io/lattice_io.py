@@ -144,15 +144,20 @@ def determinize_compact_lattice(
             prefix = prefix[:n]
             if not prefix:
                 break
+        # Residuals are quantized to the same 1e-5 grid used for the
+        # subset key, so a merged subset's stored residuals and its key
+        # agree exactly: two subsets that merge are identical up to the
+        # quantization step (path costs perturbed by at most 0.5e-5 per
+        # determinized arc — well inside Kaldi's own kDelta ~1e-3 weight
+        # tolerance, fst/float-weight.h). Float noise exactly on a grid
+        # boundary can still split equal subsets; growth stays bounded by
+        # ``max_states``.
         norm = {
-            s: (g - base_g, a - base_a, t[len(prefix):])
+            s: (round(g - base_g, 5), round(a - base_a, 5), t[len(prefix):])
             for s, (g, a, t) in elems.items()
         }
         key = tuple(
-            sorted(
-                (s, round(g, 5), round(a, 5), t)
-                for s, (g, a, t) in norm.items()
-            )
+            sorted((s, g, a, t) for s, (g, a, t) in norm.items())
         )
         return (base_g, base_a, prefix), norm, key
 

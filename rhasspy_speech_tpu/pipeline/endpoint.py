@@ -50,7 +50,16 @@ class EndpointRule:
 
 @dataclass(frozen=True)
 class EndpointConfig:
-    """The five default rules (online-endpoint.h:101-127)."""
+    """The five default rules (online-endpoint.h:101-127).
+
+    Detection timing depends on the scheduler's endpoint lane: on the
+    device lane (compact graphs; the default fused serving tick) the
+    rules run against the PREVIOUS tick's landed signal stats, so
+    detection lags one chunk (~0.21 s at the default chunk_out_frames=7)
+    and the finalized transcript includes the chunk decoded past the
+    endpoint. The host lane (non-compact graphs) detects in the same
+    tick. The rule thresholds below are in audio seconds either way —
+    only the moment of firing differs by one chunk."""
 
     rules: Sequence[EndpointRule] = (
         # rule1: 5s of silence even with nothing decoded

@@ -120,6 +120,9 @@ class _SlotState:
     )
     done: bool = False
     result: Optional[List[str]] = None
+    # set when the stream was force-finalized by a ring-capacity
+    # quarantine; result still carries the partial transcript
+    error: Optional[str] = None
     flushed_feats: bool = False
     iv_pending_win: Optional[np.ndarray] = None
     iv_pending_w: Optional[np.ndarray] = None
@@ -834,6 +837,10 @@ class StreamScheduler:
         self._alpha_host: Optional[_TickBps] = None
         self._fuzzy_cache: dict = {}
         self._pending_finalize: list = []
+        # lanes quarantined this tick (ring-capacity overflow): they are
+        # force-finalized with whatever decoded so far instead of raising
+        # out of the shared tick and killing every other in-flight lane
+        self._quarantined: Set[int] = set()
         # per-tick snapshot of the pool's finished flags (fast drain path)
         self._fin_snap: Optional[np.ndarray] = None
         # device endpoint DP columns + last tick's [N, 3] signal stats
@@ -1007,7 +1014,9 @@ class StreamScheduler:
         state.bps = []
         state.done = False
         state.result = None
+        state.error = None
         state.flushed_feats = False
+        self._quarantined.discard(sid)
         state.iv_pending_win = np.zeros(self._iv_win_shape, np.float32)
         state.iv_pending_w = np.zeros(self._chunk_in, np.float32)
         self._iv_pending_n[sid] = 0
@@ -1038,7 +1047,31 @@ class StreamScheduler:
 
     def close(self, sid: int) -> None:
         self.slots[sid].active = False
+        self._quarantined.discard(sid)
         self.pool.close(sid)
+
+    def error(self, sid: int) -> Optional[str]:
+        """Non-None when the stream was force-finalized by a capacity
+        quarantine (it outlived the device rings sized from
+        ``pool_capacity_samples``). ``poll()`` still returns the partial
+        transcript decoded before the cutoff."""
+        return self.slots[sid].error
+
+    def _quarantine(self, sid: int, what: str, capacity: int) -> None:
+        """Force-finalize one overlong stream instead of raising out of
+        the shared serving tick: a raise here would abort the tick for
+        every in-flight lane, so one runaway utterance could take down a
+        whole fleet's tick loop. The lane is finalized with whatever was
+        decoded so far, ``error(sid)`` reports the cutoff, and the loud
+        log stays."""
+        msg = (
+            f"stream {sid} exceeds the device {what} ({capacity} frames); "
+            "it was force-finalized with the audio decoded so far — raise "
+            "pool_capacity_samples to the longest expected utterance"
+        )
+        _LOGGER.error(msg)
+        self.slots[sid].error = msg
+        self._quarantined.add(sid)
 
     @property
     def active_streams(self) -> int:
@@ -1305,14 +1338,32 @@ class StreamScheduler:
         prep = None
         sel = drain > 0
         if sel.any():
+            # quarantine pass BEFORE touching the pool: a lane whose next
+            # rows would overflow the device feature ring is force-
+            # finalized (drain skipped) instead of raising out of the
+            # shared tick and killing every other in-flight lane
+            buf_lens = offs + drain
+            frame_len, shift = fz.frame_len, fz.frame_shift
+            n_rows = max(
+                0, 1 + (_pcm_bucket(int(buf_lens.max())) - frame_len) // shift
+            )
+            limit = self._feat_ring_frames - n_rows
+            for sid in np.nonzero(sel)[0]:
+                bl = int(buf_lens[sid])
+                n = 1 + (bl - frame_len) // shift if bl >= frame_len else 0
+                if self._feat_counts[sid] + n > limit:
+                    self._quarantine(
+                        sid, "feature ring", self._feat_ring_frames
+                    )
+                    drain[sid] = 0
+                    sel[sid] = False
+        if sel.any():
             buf_lens = offs + drain
             max_len = _pcm_bucket(int(buf_lens.max()))
             exact_all = bool(exact[sel].all())
             dtype = np.int16 if exact_all else np.float32
             batch = np.zeros((N, max_len), dtype=dtype)
             frame_len, shift = fz.frame_len, fz.frame_shift
-            n_rows = max(0, 1 + (max_len - frame_len) // shift)
-            limit = self._feat_ring_frames - n_rows
             new_frames = np.zeros(N, dtype=np.int64)
             lanes = np.nonzero(sel)[0]
             for sid in lanes:
@@ -1324,13 +1375,6 @@ class StreamScheduler:
                 bl = int(buf_lens[sid])
                 n = 1 + (bl - frame_len) // shift if bl >= frame_len else 0
                 new_frames[sid] = n
-                if self._feat_counts[sid] + n > limit:
-                    raise RuntimeError(
-                        f"stream {sid} exceeds the device feature ring "
-                        f"({self._feat_ring_frames} frames); raise "
-                        "pool_capacity_samples to the longest expected "
-                        "utterance"
-                    )
             pool.read_into(batch, offs, drain)
             has_new = sel & (new_frames > 0)
             if has_new.any():
@@ -1383,6 +1427,23 @@ class StreamScheduler:
                 with_buf.append((sid, *r))
         prep = None
         if with_buf:
+            # quarantine overlong lanes instead of raising out of the
+            # shared tick (their PCM already left the pool; the lane is
+            # force-finalized, so dropping the overflow audio is the
+            # quarantine semantics)
+            max_len = _pcm_bucket(max(b.shape[0] for _, b, _ in with_buf))
+            n_rows = 1 + (max_len - fz.frame_len) // fz.frame_shift
+            limit = self._feat_ring_frames - n_rows
+            keep = []
+            for sid, buf, n in with_buf:
+                if self._feat_counts[sid] + n > limit:
+                    self._quarantine(
+                        sid, "feature ring", self._feat_ring_frames
+                    )
+                else:
+                    keep.append((sid, buf, n))
+            with_buf = keep
+        if with_buf:
             max_len = _pcm_bucket(max(b.shape[0] for _, b, _ in with_buf))
             # PCM is int16 at the wire; when every sample round-trips
             # exactly, upload half the bytes and widen on device
@@ -1397,16 +1458,6 @@ class StreamScheduler:
                 batch[sid, : buf.shape[0]] = (
                     buf.astype(np.int16) if exact_i16 else buf
                 )
-            n_rows = 1 + (max_len - fz.frame_len) // fz.frame_shift
-            limit = self._feat_ring_frames - n_rows
-            for sid, buf, n in with_buf:
-                if self._feat_counts[sid] + n > limit:
-                    raise RuntimeError(
-                        f"stream {sid} exceeds the device feature ring "
-                        f"({self._feat_ring_frames} frames); raise "
-                        "pool_capacity_samples to the longest expected "
-                        "utterance"
-                    )
             has_new = np.zeros(self.max_streams, dtype=bool)
             for sid, _buf, _n in with_buf:
                 has_new[sid] = True
@@ -1568,6 +1619,11 @@ class StreamScheduler:
         for sid, state in enumerate(self.slots):
             if not state.active or state.done:
                 continue
+            if sid in self._quarantined:
+                # ring-capacity quarantine (see _quarantine): finalize
+                # with whatever decoded so far, keep the tick alive
+                flushed.append(sid)
+                continue
             if sid in ep_fired:
                 _LOGGER.debug("endpoint fired for stream %d", sid)
                 flushed.append(sid)
@@ -1607,14 +1663,15 @@ class StreamScheduler:
                 # The device bp ring is sized from the pool capacity (it
                 # bounds un-consumed audio, not stream length); a stream
                 # decoded past it would clamp-overwrite its newest trace
-                # rows and finalize to a silently wrong transcript. Fail
-                # loudly instead — mirrors the feature-ring guard.
-                raise RuntimeError(
-                    f"stream {sid} exceeds the device backpointer ring "
-                    f"({self._ring_frames} decode frames); raise "
-                    "pool_capacity_samples to the longest expected "
-                    "utterance"
+                # rows and finalize to a silently wrong transcript.
+                # Quarantine the lane (loud log + error, finalize with
+                # the frames decoded so far) — mirrors the feature-ring
+                # guard; raising here would abort every other lane's tick.
+                self._quarantine(
+                    sid, "backpointer ring", self._ring_frames
                 )
+                flushed.append(sid)
+                continue
             n_valid[sid] = real_out
             chunk_t0[sid] = t0
             chunk_have[sid] = have

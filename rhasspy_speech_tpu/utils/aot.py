@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 from pathlib import Path
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -121,7 +122,12 @@ class AotStore:
         exp = jax_export.export(wrapped, platforms=[effective_platform()])(
             *specs
         )
-        path.write_bytes(exp.serialize())
+        # atomic publish: a serving process loading this store while a
+        # warmup is writing must never read a truncated blob (deserialize
+        # failure degrades to re-tracing, silently forfeiting the AOT win)
+        tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+        tmp.write_bytes(exp.serialize())
+        os.replace(tmp, path)
         self._loaded[str(path)] = jax.jit(
             exp.call, donate_argnums=donate_argnums
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from pathlib import Path
 from typing import Optional, Union
 
@@ -136,20 +137,34 @@ def enable_compilation_cache(
 
 def _trim_cache_dir(path: Path) -> None:
     """Bound the on-disk cache: JAX never evicts, so a long-lived host
-    would otherwise grow the directory without limit. Oldest-first (mtime)
-    removal down to RSTPU_COMPILE_CACHE_MAX_GB (default 10); best-effort."""
+    would otherwise grow the directory without limit. Oldest-first
+    removal down to RSTPU_COMPILE_CACHE_MAX_GB (default 10); best-effort.
+
+    Recency is max(mtime, atime): JAX touches atime (not mtime) on cache
+    reads, so entries a concurrent serving process is actively reusing
+    rank as fresh. Entries newer than a grace period (default 24 h,
+    RSTPU_COMPILE_CACHE_TRIM_GRACE_HOURS) are never evicted, so
+    process-start trims in one process can't evict an entry another
+    process wrote moments ago and is about to reuse."""
     try:
         limit = float(os.environ.get("RSTPU_COMPILE_CACHE_MAX_GB", "10"))
-        entries = [
-            (f.stat().st_mtime, f.stat().st_size, f)
-            for f in path.iterdir()
-            if f.is_file()
-        ]
+        grace_h = float(
+            os.environ.get("RSTPU_COMPILE_CACHE_TRIM_GRACE_HOURS", "24")
+        )
+        now = time.time()
+        entries = []
+        for f in path.iterdir():
+            if not f.is_file():
+                continue
+            st = f.stat()
+            entries.append((max(st.st_mtime, st.st_atime), st.st_size, f))
         total = sum(size for _m, size, _f in entries)
         budget = limit * (1 << 30)
         if total <= budget:
             return
-        for _mtime, size, f in sorted(entries):
+        for recency, size, f in sorted(entries):
+            if now - recency < grace_h * 3600.0:
+                break  # sorted oldest-first: everything left is fresher
             try:
                 f.unlink()
                 total -= size

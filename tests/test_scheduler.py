@@ -314,3 +314,59 @@ def test_burst_fed_stream_drains_capped(profile_and_train):  # noqa: F811
     # with pool leftover) and no audio is left unconsumed
     assert sched.poll(sid) is not None
     assert sched.pool.available(sid) == 0
+
+
+def test_overlong_stream_quarantined_not_fatal(profile_and_train):  # noqa: F811
+    """A single stream outliving the device rings (sized from
+    pool_capacity_samples) must NOT raise out of the shared serving tick:
+    the offending lane is force-finalized with error() set while every
+    other in-flight lane keeps decoding to a correct transcript."""
+    profile, train_dir = profile_and_train
+    sched = StreamScheduler(
+        profile.model_dir,
+        train_dir / lang_dir_name(LangSuffix.GRAMMAR),
+        max_streams=2,
+        pool_capacity_samples=16000 * 2,  # 2 s rings
+    )
+    long_pcm = np.tile(
+        synthesize_sentence(profile, "turn on the light", seed=11), 6
+    )
+    assert long_pcm.shape[0] > 16000 * 4  # well past the ring capacity
+    short_pcm = synthesize_sentence(profile, "never mind", seed=12)
+
+    a = sched.open_stream()
+    b = sched.open_stream()
+    offs = {a: 0, b: 0}
+    pcms = {a: long_pcm, b: short_pcm}
+    # interleaved 1024-sample feeds, honoring partial accepts from the
+    # bounded pool
+    for _ in range(3000):
+        fed_any = False
+        for sid in (a, b):
+            off, pcm = offs[sid], pcms[sid]
+            if off < pcm.shape[0]:
+                got = sched.feed(sid, pcm[off : off + 1024])
+                offs[sid] = off + got
+                fed_any = True
+        sched.step()
+        if sched.slots[a].done and not fed_any:
+            break
+        if not fed_any:
+            for sid in (a, b):
+                if not sched.pool.is_finished(sid):
+                    sched.finish(sid)
+    for sid in (a, b):
+        if not sched.pool.is_finished(sid):
+            sched.finish(sid)
+    for _ in range(300):
+        if all(sched.poll(sid) is not None for sid in (a, b)):
+            break
+        sched.step()
+
+    # the overlong lane was quarantined, not raised
+    assert sched.error(a) is not None
+    assert "pool_capacity_samples" in sched.error(a)
+    assert sched.poll(a) is not None  # partial (possibly empty) result
+    # the well-behaved lane is unaffected
+    assert sched.error(b) is None
+    assert sched.poll(b) == ["never mind"]
