@@ -250,7 +250,8 @@ _TAG_KINDS: Dict[str, str] = {
     "<IsGradient>": "b",
     "<LinearParams>": "m",
     "<BiasParams>": "v",
-    "<Params>": "m",
+    # matrix for Linear/LstmNonlinearity, vector for PerElementScale
+    "<Params>": "vm",
     "<OrthonormalConstraint>": "f",
     "<UseNaturalGradient>": "b",
     "<RankIn>": "i",
@@ -307,19 +308,141 @@ _TAG_KINDS: Dict[str, str] = {
     "<SelfRepairConfig>": "v",
     "<SelfRepairProb>": "v",
     "<UseDropout>": "b",
+    # full-inventory audit additions (nnet-simple-component.h /
+    # nnet-general-component.h serialization):
+    "<Sizes>": "iv",  # SumGroupComponent
+    "<ColumnMap>": "iv",  # PermuteComponent
+    "<Scales>": "v",  # FixedScaleComponent / ScaleAndOffsetComponent
+    "<Bias>": "v",  # FixedBiasComponent
+    "<Output>": "v",  # Constant(Function)Component
+    "<IsUpdatable>": "b",  # Constant(Function)Component
+    "<NumRepeats>": "i",  # RepeatedAffineComponent
+    "<NumBlocks>": "i",  # BlockAffineComponent
+    "<Rank>": "i",  # ScaleAndOffsetComponent preconditioner rank
 }
 
-# Component types whose params don't matter at inference (identity at test
-# time or stats-only); still parsed so dims flow through.
-IDENTITY_TYPES = {
+# Tags whose payload differs per component type. Kind "flag": the tag's
+# PRESENCE is the value (no payload bytes follow) — GeneralDropoutComponent
+# and DropoutMaskComponent write <TestMode>/<Continuous> this way
+# (nnet-general-component.cc GeneralDropoutComponent::Write: bare
+# WriteToken, read back via PeekToken), while BatchNormComponent's
+# <TestMode> carries a bool payload. Reading a phantom payload here would
+# desync the stream one byte into the next tag.
+_TYPE_TAG_OVERRIDES: Dict[Tuple[str, str], str] = {
+    ("GeneralDropoutComponent", "<TestMode>"): "flag",
+    ("GeneralDropoutComponent", "<Continuous>"): "flag",
+    ("DropoutMaskComponent", "<Continuous>"): "flag",
+}
+
+# ---------------------------------------------------------------------------
+# Component-type registry (full factory inventory audit)
+#
+# Every type constructible by Component::NewComponentOfType
+# (kaldi/src/nnet3/nnet-component-itf.cc GenerateRandomSimpleComponent /
+# NewComponentOfType switch) is classified here. Reading a REJECTED or
+# unknown type raises at load time with the type name — no component a
+# model can contain is in an unknown state (silently mis-executed).
+# ---------------------------------------------------------------------------
+
+# Types with a faithful inference forward in models/nnet3.py.
+SUPPORTED_TYPES = {
+    "AffineComponent",
+    "NaturalGradientAffineComponent",
+    "FixedAffineComponent",
+    "LinearComponent",
+    "TdnnComponent",
+    "BatchNormComponent",
+    "NormalizeComponent",
+    "RectifiedLinearComponent",
+    "SigmoidComponent",
+    "TanhComponent",
+    "SoftmaxComponent",
+    "LogSoftmaxComponent",
+    "SumBlockComponent",
+    "PerElementScaleComponent",
+    "NaturalGradientPerElementScaleComponent",
+    "PerElementOffsetComponent",
+    "LstmNonlinearityComponent",
+    "PnormComponent",
+    "ElementwiseProductComponent",
+    "SumGroupComponent",
+    "PermuteComponent",
+    "FixedScaleComponent",
+    "FixedBiasComponent",
+    "ConstantComponent",
+    "ConstantFunctionComponent",
+    "RepeatedAffineComponent",
+    "NaturalGradientRepeatedAffineComponent",
+    "BlockAffineComponent",
+    "ScaleAndOffsetComponent",
+    "DropoutComponent",  # test-mode scale by (1 - proportion)
+    "DropoutMaskComponent",  # test-mode constant mask
+    "CompositeComponent",  # sequential sub-component apply
+    # identity at test time (stats/training-only semantics):
     "NoOpComponent",
-    "DropoutComponent",
     "GeneralDropoutComponent",
     "SpecAugmentTimeMaskComponent",
     "BackpropTruncationComponent",
     "ClipGradientComponent",
 }
 
+# Types with no inference path in this build: reading one raises loudly at
+# load time, naming the type. None appears in the published TDNN/TDNN-F/
+# LSTM model family this framework targets.
+REJECTED_TYPES = {
+    "TimeHeightConvolutionComponent": (
+        "2-D convolution (nnet-convolutional-component.h:212) — CNN front "
+        "ends are outside the published TDNN/TDNN-F/LSTM family"
+    ),
+    "RestrictedAttentionComponent": (
+        "self-attention (nnet-attention-component.h:106) is not used by "
+        "any rhasspy-speech model"
+    ),
+    "StatisticsExtractionComponent": (
+        "x-vector statistics layer (nnet-general-component.h:201); no "
+        "speaker-embedding path in this framework"
+    ),
+    "StatisticsPoolingComponent": (
+        "x-vector statistics layer (nnet-general-component.h:337); no "
+        "speaker-embedding path in this framework"
+    ),
+    "DistributeComponent": (
+        "row-distributing reshape (nnet-general-component.h:56) used only "
+        "by multi-tower training configs"
+    ),
+    "ConvolutionComponent": (
+        "legacy nnet2-style convolution (nnet-combined-component.h:114)"
+    ),
+    "MaxpoolingComponent": (
+        "legacy CNN maxpooling (nnet-combined-component.h:488)"
+    ),
+    "GruNonlinearityComponent": (
+        "GRU cell (nnet-combined-component.h:713); no published "
+        "rhasspy-speech model uses GRUs"
+    ),
+    "OutputGruNonlinearityComponent": (
+        "GRU cell (nnet-combined-component.h:979); no published "
+        "rhasspy-speech model uses GRUs"
+    ),
+}
+
+
+def check_component_type(type_name: str) -> None:
+    """Raise a loud, specific error for component types outside the
+    supported inventory (audit: every factory type is either supported,
+    or rejected here by name at model-load time)."""
+    if type_name in SUPPORTED_TYPES:
+        return
+    reason = REJECTED_TYPES.get(type_name)
+    if reason is not None:
+        raise KaldiFormatError(
+            f"component type {type_name} is not supported by this build: "
+            f"{reason}"
+        )
+    raise KaldiFormatError(
+        f"unknown nnet3 component type {type_name}; the supported "
+        f"inventory is {sorted(SUPPORTED_TYPES)}"
+    )
 
 @dataclass
 class ComponentSpec:
@@ -349,6 +472,28 @@ class ComponentSpec:
         if t == "LstmNonlinearityComponent":
             cell = a["Params"].shape[1]
             return 5 * cell + (3 if a.get("UseDropout") else 0)
+        if t in ("PerElementScaleComponent",
+                 "NaturalGradientPerElementScaleComponent"):
+            return a["Params"].shape[0]
+        if t == "SumGroupComponent":
+            return int(sum(a["Sizes"]))
+        if t == "PermuteComponent":
+            return len(a["ColumnMap"])
+        if t == "FixedScaleComponent":
+            return a["Scales"].shape[0]
+        if t == "FixedBiasComponent":
+            return a["Bias"].shape[0]
+        if t == "ConstantComponent":
+            return a["Output"].shape[0]
+        if t in ("RepeatedAffineComponent",
+                 "NaturalGradientRepeatedAffineComponent"):
+            return a["LinearParams"].shape[1] * a["NumRepeats"]
+        if t == "BlockAffineComponent":
+            return a["LinearParams"].shape[1] * a["NumBlocks"]
+        if t == "DropoutMaskComponent":
+            return a["OutputDim"]
+        if t == "CompositeComponent":
+            return a["Components"][0].input_dim
         if "Dim" in a:
             return a["Dim"]
         if "InputDim" in a:
@@ -372,25 +517,85 @@ class ComponentSpec:
             return a["InputDim"] + (1 if a.get("AddLogStddev") else 0)
         if t == "LstmNonlinearityComponent":
             return 2 * a["Params"].shape[1]
+        if t in ("PnormComponent", "ElementwiseProductComponent"):
+            return a["OutputDim"]
+        if t == "SumGroupComponent":
+            return len(a["Sizes"])
+        if t == "ConstantFunctionComponent":
+            return a["Output"].shape[0]
+        if t in ("RepeatedAffineComponent",
+                 "NaturalGradientRepeatedAffineComponent"):
+            return a["LinearParams"].shape[0] * a["NumRepeats"]
+        if t == "BlockAffineComponent":
+            return a["LinearParams"].shape[0]
+        if t == "CompositeComponent":
+            return a["Components"][-1].output_dim
         return self.input_dim
+
+
+def _read_composite_body(r: KaldiReader) -> Dict[str, Any]:
+    """CompositeComponent body (nnet-simple-component.cc
+    CompositeComponent::Read): optional <LearningRateFactor>/<IsGradient>/
+    <LearningRate>, <MaxRowsProcess>, <NumComponents>, then each
+    sub-component serialized with its own <Type>...</Type> envelope."""
+    attrs: Dict[str, Any] = {}
+    tag = r.read_token()
+    if tag == "<LearningRateFactor>":
+        attrs["LearningRateFactor"] = r.read_float()
+        tag = r.read_token()
+    if tag == "<IsGradient>":
+        attrs["IsGradient"] = r.read_bool()
+        tag = r.read_token()
+    if tag == "<LearningRate>":
+        attrs["LearningRate"] = r.read_float()
+        tag = r.read_token()
+    if tag != "<MaxRowsProcess>":
+        raise KaldiFormatError(
+            f"CompositeComponent: expected <MaxRowsProcess>, got {tag!r}"
+        )
+    attrs["MaxRowsProcess"] = r.read_int()
+    r.expect_token("<NumComponents>")
+    n = r.read_int()
+    if not 0 <= n <= 100000:
+        raise KaldiFormatError(f"CompositeComponent: bad sub count {n}")
+    subs: List[ComponentSpec] = []
+    for i in range(n):
+        sub_type = r.read_token()
+        if not (sub_type.startswith("<") and sub_type.endswith("Component>")):
+            raise KaldiFormatError(
+                f"CompositeComponent: bad sub type token {sub_type!r}"
+            )
+        check_component_type(sub_type[1:-1])
+        sub_attrs = _read_component_body(r, sub_type)
+        subs.append(
+            ComponentSpec(name=f"sub{i}", type=sub_type[1:-1], attrs=sub_attrs)
+        )
+    attrs["Components"] = subs
+    r.expect_token("</CompositeComponent>")
+    return attrs
 
 
 def _read_component_body(r: KaldiReader, type_token: str) -> Dict[str, Any]:
     """Read `<Tag> payload` pairs until the closing `</Type>` token."""
+    type_name = type_token[1:-1]
+    if type_name == "CompositeComponent":
+        return _read_composite_body(r)
     close = "</" + type_token[1:]
     attrs: Dict[str, Any] = {}
     while True:
         tag = r.read_token()
         if tag == close:
             return attrs
-        kind = _TAG_KINDS.get(tag)
+        kind = _TYPE_TAG_OVERRIDES.get((type_name, tag)) or _TAG_KINDS.get(tag)
         if kind is None:
             raise KaldiFormatError(
                 f"unknown tag {tag!r} in component {type_token}; "
                 "add it to _TAG_KINDS"
             )
         key = tag[1:-1]
-        if kind == "i":
+        if kind == "flag":
+            attrs[key] = True
+        elif kind == "i":
             attrs[key] = r.read_int()
         elif kind == "f":
             attrs[key] = r.read_float()
@@ -514,6 +719,7 @@ def read_nnet3(r: KaldiReader) -> Nnet3Spec:
         type_token = r.read_token()
         if not (type_token.startswith("<") and type_token.endswith("Component>")):
             raise KaldiFormatError(f"bad component type token {type_token!r}")
+        check_component_type(type_token[1:-1])
         attrs = _read_component_body(r, type_token)
         components[name] = ComponentSpec(
             name=name, type=type_token[1:-1], attrs=attrs
@@ -552,11 +758,27 @@ def read_am_nnet3(path: str) -> Tuple[KaldiTransitionModel, Nnet3Spec]:
 def _write_component(w: KaldiWriter, comp: ComponentSpec) -> None:
     open_tok = f"<{comp.type}>"
     w.write_token(open_tok)
+    if comp.type == "CompositeComponent":
+        w.write_token("<MaxRowsProcess>")
+        w.write_int(comp.attrs.get("MaxRowsProcess", 4096))
+        w.write_token("<NumComponents>")
+        subs = comp.attrs["Components"]
+        w.write_int(len(subs))
+        for sub in subs:
+            _write_component(w, sub)
+        w.write_token("</CompositeComponent>")
+        return
     for key, value in comp.attrs.items():
         tag = f"<{key}>"
-        kind = _TAG_KINDS.get(tag)
+        kind = (
+            _TYPE_TAG_OVERRIDES.get((comp.type, tag)) or _TAG_KINDS.get(tag)
+        )
         if kind is None:
             raise KaldiFormatError(f"unknown attr {key} for writing")
+        if kind == "flag":
+            if value:
+                w.write_token(tag)
+            continue
         w.write_token(tag)
         if kind == "i":
             w.write_int(value)

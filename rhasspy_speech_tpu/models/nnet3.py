@@ -329,12 +329,37 @@ def _extract_params(comp: ComponentSpec) -> Dict[str, np.ndarray]:
         scale = target_rms / np.sqrt(var + eps)
         return {"scale": scale.astype(np.float32),
                 "offset": (-mean * scale).astype(np.float32)}
-    if t == "PerElementScaleComponent":
+    if t in ("PerElementScaleComponent",
+             "NaturalGradientPerElementScaleComponent"):
         return {"scale": a["Params"]}
     if t == "PerElementOffsetComponent":
         return {"offset": a["Offsets"]}
     if t == "LstmNonlinearityComponent":
         return {"lstm_params": a["Params"]}  # [3, C]: w_ic, w_fc, w_oc
+    if t == "FixedScaleComponent":
+        return {"scale": a["Scales"]}
+    if t == "FixedBiasComponent":
+        return {"offset": a["Bias"]}
+    if t in ("ConstantComponent", "ConstantFunctionComponent"):
+        return {"const": a["Output"]}
+    if t in ("RepeatedAffineComponent",
+             "NaturalGradientRepeatedAffineComponent",
+             "BlockAffineComponent"):
+        return {"w": a["LinearParams"], "b": a["BiasParams"]}
+    if t == "ScaleAndOffsetComponent":
+        # cu::EnsureNonzero with the component's epsilon, applied once at
+        # load (nnet-simple-component.cc ScaleAndOffsetComponent::
+        # PropagateInternal; Epsilon() = 1e-4, nnet-simple-component.h:1921)
+        eps = 1.0e-4
+        s = np.asarray(a["Scales"], dtype=np.float32)
+        s = np.where(np.abs(s) >= eps, s, np.where(s >= 0.0, eps, -eps))
+        return {"scale": s.astype(np.float32), "offset": a["Offsets"]}
+    if t == "CompositeComponent":
+        out: Dict[str, np.ndarray] = {}
+        for i, sub in enumerate(a["Components"]):
+            for k, v in _extract_params(sub).items():
+                out[f"sub{i}:{k}"] = v
+        return out
     return {}
 
 
@@ -417,10 +442,104 @@ def _component_forward(
         shape = x.shape
         xb = x.reshape(shape[:-1] + (in_dim // out_dim, out_dim))
         return scale * jnp.sum(xb, axis=-2)
-    if t == "PerElementScaleComponent":
+    if t in ("PerElementScaleComponent",
+             "NaturalGradientPerElementScaleComponent"):
         return x * params["scale"]
     if t == "PerElementOffsetComponent":
         return x + params["offset"]
+    if t == "PnormComponent":
+        # PnormComponent::Propagate = GroupPnorm(in, p=2.0) over
+        # consecutive groups (nnet-simple-component.cc:54-60)
+        in_dim, out_dim = a["InputDim"], a["OutputDim"]
+        xb = x.reshape(x.shape[:-1] + (out_dim, in_dim // out_dim))
+        return jnp.sqrt(jnp.maximum(jnp.sum(xb * xb, axis=-1), 0.0))
+    if t == "ElementwiseProductComponent":
+        # product over input_dim/output_dim consecutive blocks
+        # (nnet-simple-component.cc:257-272)
+        in_dim, out_dim = a["InputDim"], a["OutputDim"]
+        xb = x.reshape(x.shape[:-1] + (in_dim // out_dim, out_dim))
+        return jnp.prod(xb, axis=-2)
+    if t == "SumGroupComponent":
+        # sum over consecutive column ranges of the given sizes
+        # (nnet-simple-component.cc:3544 SumColumnRanges)
+        sizes = list(a["Sizes"])
+        if len(set(sizes)) == 1:
+            xb = x.reshape(x.shape[:-1] + (len(sizes), sizes[0]))
+            return jnp.sum(xb, axis=-1)
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        return jnp.stack(
+            [
+                jnp.sum(x[..., bounds[i] : bounds[i + 1]], axis=-1)
+                for i in range(len(sizes))
+            ],
+            axis=-1,
+        )
+    if t == "PermuteComponent":
+        # out column i = in column column_map[i]
+        # (nnet-simple-component.cc:3990 CopyCols)
+        return x[..., np.asarray(a["ColumnMap"], dtype=np.int32)]
+    if t == "FixedScaleComponent":
+        return x * params["scale"]
+    if t == "FixedBiasComponent":
+        return x + params["offset"]
+    if t in ("ConstantComponent", "ConstantFunctionComponent"):
+        # output is a learned constant row; input VALUES are ignored
+        # (nnet-general-component.h:628, nnet-simple-component.h:1679)
+        c = params["const"]
+        return jnp.broadcast_to(c, x.shape[:-1] + (c.shape[0],))
+    if t in ("RepeatedAffineComponent",
+             "NaturalGradientRepeatedAffineComponent"):
+        # shared per-block affine repeated num_repeats times
+        w, b = params["w"], params["b"]  # w [od_r, id_r], b [R*od_r]
+        reps = a["NumRepeats"]
+        xb = x.reshape(x.shape[:-1] + (reps, w.shape[1]))
+        y = jnp.einsum("...ri,oi->...ro", xb, w)
+        y = y.reshape(x.shape[:-1] + (reps * w.shape[0],))
+        return y + b
+    if t == "BlockAffineComponent":
+        # block-diagonal affine: block i uses rows [i*od_r, (i+1)*od_r)
+        # of linear_params (nnet-simple-component.h:505)
+        w, b = params["w"], params["b"]  # w [od, id_b], b [od]
+        blocks = a["NumBlocks"]
+        od_b = w.shape[0] // blocks
+        wb = w.reshape(blocks, od_b, w.shape[1])
+        xb = x.reshape(x.shape[:-1] + (blocks, w.shape[1]))
+        y = jnp.einsum("...ri,roi->...ro", xb, wb)
+        return y.reshape(x.shape[:-1] + (w.shape[0],)) + b
+    if t == "ScaleAndOffsetComponent":
+        # scales pre-bounded away from zero at load; block-repeated when
+        # Dim is a multiple of the stored scale dim
+        scale, offset = params["scale"], params["offset"]
+        dim = a["Dim"]
+        if dim != scale.shape[0]:
+            xb = x.reshape(x.shape[:-1] + (dim // scale.shape[0],
+                                           scale.shape[0]))
+            return (xb * scale + offset).reshape(x.shape)
+        return x * scale + offset
+    if t == "DropoutComponent":
+        # test-mode Propagate scales by (1 - proportion), NOT identity
+        # (nnet-simple-component.cc:139-151)
+        p = float(a.get("DropoutProportion", 0.0))
+        return x if p == 0.0 else x * (1.0 - p)
+    if t == "DropoutMaskComponent":
+        # test mode: constant mask — 1.0 in continuous mode, else (1-p)
+        # (nnet-general-component.cc:1435-1450)
+        p = float(a.get("DropoutProportion", 0.0))
+        fill = 1.0 if a.get("Continuous") else 1.0 - p
+        return jnp.full(x.shape[:-1] + (a["OutputDim"],), fill, x.dtype)
+    if t == "CompositeComponent":
+        # sequential application of simple sub-components
+        # (nnet-simple-component.h:1971; MaxRowsProcess is a memory knob,
+        # not a semantic one)
+        for i, sub in enumerate(a["Components"]):
+            prefix = f"sub{i}:"
+            sub_params = {
+                k[len(prefix):]: v
+                for k, v in params.items()
+                if k.startswith(prefix)
+            }
+            x = _component_forward(sub, sub_params, x, [])
+        return x
     if t == "LstmNonlinearityComponent":
         # cu-math.h ComputeLstmNonlinearity: input [.., 5C] =
         # (i_part, f_part, c_part, o_part, c_prev); params [3, C] =
@@ -438,9 +557,11 @@ def _component_forward(
         o_t = jax.nn.sigmoid(o_part + w[2] * c_t)
         m_t = o_t * jnp.tanh(c_t)
         return jnp.concatenate([c_t, m_t], axis=-1)
-    if t in ("NoOpComponent", "DropoutComponent", "GeneralDropoutComponent",
+    if t in ("NoOpComponent", "GeneralDropoutComponent",
              "SpecAugmentTimeMaskComponent", "BackpropTruncationComponent",
              "ClipGradientComponent"):
+        # identity at test time (GeneralDropout test-mode Propagate is a
+        # plain copy, nnet-general-component.cc:1562-1574)
         return x
     raise NotImplementedError(f"component type {t} forward not implemented")
 
