@@ -112,3 +112,80 @@ def write_flagship_model_dir(
             f,
         )
     return model_dir
+
+
+def build_flagship_graph(order: int = 3, with_fuzzy: bool = True,
+                         num_pdfs: int = 0):
+    """Build the flagship decode graph: the FULL test_en.yaml grammar
+    (3,763 sentences) -> order-N ARPA G (Witten-Bell) -> LG ->
+    triphone-machinery HCLG expansion (graph/context.py N=3/P=1 windows)
+    -> dense decode tensors. Shared by bench.py, the frontier-curve
+    example, and the frontier regression tests so they all measure the
+    same graph class.
+
+    Returns (graph, g_fuzzy_or_None, lang). Raising ``num_pdfs`` pads the
+    pdf axis like a real chain model that computes all its outputs.
+    """
+    import io as _io
+    import os as _os
+    import re as _re
+
+    import yaml as _yaml
+
+    from ..grammar import Intents, compile_intents
+    from ..graph.context import make_hclg_from_tree
+    from ..graph.dense import dense_from_hclg
+    from ..io.tree import ContextDependencyTree
+    from ..lang import make_grammar_g, make_lg, prepare_lang
+    from ..lang.graphs import compile_text_fst, make_fuzzy_g
+    from ..lang.ngram import arpa_to_fst, make_arpa_from_fst
+    from ..lexicon import LexiconDatabase
+
+    yaml_path = "/root/reference/tests/test_en.yaml"
+    if _os.path.exists(yaml_path):
+        raw = _yaml.safe_load(open(yaml_path, encoding="utf-8"))
+        sentences, lists = raw["sentences"], raw.get("lists", {})
+    else:  # fallback grammar (environment without the reference checkout)
+        sentences = ["turn (on|off) [the] (light|fan)", "never mind"]
+        lists = {}
+
+    intents = Intents.from_dict(
+        {
+            "language": "en",
+            "intents": {"All": {"data": [{"sentences": sentences}]}},
+            "lists": lists,
+        }
+    )
+    ctx = compile_intents(
+        intents, _io.StringIO(), LexiconDatabase(), number_language="en"
+    )
+
+    def pron(w):
+        return [c for c in _re.sub(r"[^a-z0-9]", "", w.lower())] or ["x"]
+
+    entries = [(w, pron(w)) for w in sorted(ctx.vocab)]
+    lang = prepare_lang(entries, silence_phones=["SIL", "SPN"])
+
+    ctx.fst_file.seek(0)
+    g_grammar = make_grammar_g(ctx.fst_file, lang.words)
+    arpa = make_arpa_from_fst(g_grammar, order=order, symbols=lang.words)
+    g_arpa = arpa_to_fst(arpa, lang.words)
+    g_fuzzy = None
+    if with_fuzzy:
+        ctx.fst_file.seek(0)
+        g_text = compile_text_fst(ctx.fst_file, lang.words)
+        g_fuzzy = make_fuzzy_g(g_text, ctx.vocab, lang.words, self_loops=True)
+    lg = make_lg(lang, g_arpa)
+
+    max_real_phone = max(
+        pid for (p, pid) in lang.phones if pid != 0 and not p.startswith("#")
+    )
+    ktm = KaldiTransitionModel.from_monophone_chain(max_real_phone)
+    tree = ContextDependencyTree.monophone_from_tuples(
+        ktm.tuples, max_phone=max_real_phone, n=3, p=1
+    )
+    hclg, tree_pdfs = make_hclg_from_tree(lang, lg, tree, ktm, lang.phones)
+    graph = dense_from_hclg(hclg, tree_pdfs)
+    if num_pdfs:
+        graph.num_pdfs = max(num_pdfs, tree_pdfs)
+    return graph, g_fuzzy, lang
