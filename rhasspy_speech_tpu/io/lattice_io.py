@@ -219,6 +219,130 @@ def determinize_compact_lattice(
     return out
 
 
+def insert_phone_labels(
+    clat: KaldiCompactLattice,
+    transition_model,
+) -> Tuple[KaldiCompactLattice, int]:
+    """Tag phone boundaries with synthetic labels (Kaldi's
+    DeterminizeLatticeInsertPhones, lat/determinize-lattice-pruned.cc:
+    1296-1349): every transition-id that starts a phone (hmm-state 0 and
+    not a self-loop) gets a label ``first_phone_label + phone`` inserted
+    into the word sequence at its position. Returns (tagged lattice,
+    first_phone_label). Arcs out of the start state skip the boundary at
+    string position 0, as the reference does (:1313-1314 ``state ==
+    fst->Start() continue`` — in its expanded per-tid form only the first
+    transition-id of a start arc leaves the start state).
+
+    A compact arc bundles a word with a multi-phone tid string, so
+    tagging splits it into a chain: the original word keeps the head
+    segment, each boundary's phone label carries the tids up to the next
+    boundary (when the boundary is the arc's first tid the word arc keeps
+    that tid and the phone arc is empty — mirroring the reference's
+    extra-arc insertion after an occupied word arc, :1333-1341)."""
+    tm = transition_model
+
+    def phone_start(tid: int) -> int:
+        """Phone id if ``tid`` starts a phone, else 0."""
+        if tid <= 0 or tid >= tm.id2tstate.shape[0]:
+            return 0
+        if bool(tm.id2self_loop[tid]):
+            return 0
+        ts = int(tm.id2tstate[tid])
+        phone, hmm_state = int(tm.tuples[ts - 1, 0]), int(
+            tm.tuples[ts - 1, 1]
+        )
+        return phone if hmm_state == 0 else 0
+
+    first_phone_label = 1 + max(
+        (arc[0] for arcs in clat.arcs for arc in arcs), default=0
+    )
+    out = KaldiCompactLattice(start=clat.start)
+    for _ in range(clat.num_states):
+        out.add_state()
+    out.finals = dict(clat.finals)
+    for s, arcs in enumerate(clat.arcs):
+        for word, g, a, tids, ns in arcs:
+            bounds = [
+                (i, p)
+                for i, t in enumerate(tids)
+                for p in (phone_start(int(t)),)
+                if p and not (s == clat.start and i == 0)
+            ]
+            if not bounds:
+                out.arcs[s].append((word, g, a, tids, ns))
+                continue
+            # segment cut points: word arc takes [0, c0) (at least the
+            # boundary tid itself when it sits at position 0), phone arc
+            # j takes [c_j, c_{j+1})
+            cuts = [i if i > 0 else 1 for i, _ in bounds]
+            cur = s
+            prev = 0
+            labels = [word] + [first_phone_label + p for _, p in bounds]
+            segs = []
+            for c in cuts:
+                segs.append(tids[prev:c])
+                prev = c
+            segs.append(tids[prev:])
+            # segs[0] rides the word arc; when the first boundary was at
+            # position 0 its phone arc gets segs[1] starting AFTER the
+            # boundary tid (which stayed on the word arc)
+            for k, lab in enumerate(labels):
+                last = k == len(labels) - 1
+                nxt = ns if last else out.add_state()
+                if k == 0:
+                    out.arcs[cur].append((lab, g, a, segs[0], nxt))
+                else:
+                    out.arcs[cur].append((lab, 0.0, 0.0, segs[k], nxt))
+                cur = nxt
+    return out, first_phone_label
+
+
+def delete_phone_labels(
+    clat: KaldiCompactLattice, first_phone_label: int
+) -> None:
+    """Turn inserted phone labels back into epsilons in place
+    (DeterminizeLatticeDeletePhones, determinize-lattice-pruned.cc:
+    1352-1375)."""
+    for s, arcs in enumerate(clat.arcs):
+        clat.arcs[s] = [
+            (0 if word >= first_phone_label else word, g, a, tids, ns)
+            for (word, g, a, tids, ns) in arcs
+        ]
+
+
+def determinize_lattice_phone_pruned(
+    clat: KaldiCompactLattice,
+    transition_model,
+    max_states: int = 200_000,
+) -> KaldiCompactLattice:
+    """Two-pass phone-then-word lattice determinization — Kaldi's
+    DeterminizeLatticePhonePruned (lat/determinize-lattice-pruned.cc:
+    1416-1473, the GetLattice path online-nnet3-decoding.cc:66-77).
+
+    Pass 1 determinizes at the (word + phone)-sequence level after
+    tagging phone boundaries, then deletes the tags: transition-id
+    timing variants of the same phone sequence (different self-loop
+    counts — the dominant alignment ambiguity in decode lattices) merge
+    early, each keeping its best path's alignment, which bounds subset
+    growth in pass 2. Pass 2 re-determinizes at the word level: one
+    epsilon-free path per word sequence at its best cost, carrying the
+    best path's transition-ids (both passes keep strings in the subset
+    identity, exactly the reference's SubsetEqual :450-468).
+
+    Lattices without transition-id strings (this package's decode
+    exports fold epsilon closures at graph build time and retain no
+    frame alignments) have no phone boundaries to tag: the phone pass
+    degenerates and a single word-level pass runs."""
+    tagged, first_phone_label = insert_phone_labels(clat, transition_model)
+    if tagged.num_arcs() == clat.num_arcs():
+        # no boundary was tagged: the phone pass would equal the word
+        # pass; run word-level determinization once
+        return determinize_compact_lattice(clat, max_states=max_states)
+    det1 = determinize_compact_lattice(tagged, max_states=max_states)
+    delete_phone_labels(det1, first_phone_label)
+    return determinize_compact_lattice(det1, max_states=max_states)
+
+
 def _read_compact_weight(f: BinaryIO, fmt: str, size: int) -> CompactWeight:
     g, a = (
         struct.unpack(fmt, _read_exact(f, size))[0],

@@ -1012,7 +1012,7 @@ class Nnet3WavTranscriber:
         path per word sequence at its best cost."""
         from ..io.lattice_io import (
             compact_lattice_from_decode,
-            determinize_compact_lattice,
+            determinize_lattice_phone_pruned,
         )
 
         lat = self.get_lattice(wav_path, lattice_beam=lattice_beam)
@@ -1021,7 +1021,14 @@ class Nnet3WavTranscriber:
         clat = compact_lattice_from_decode(lat, self.artifacts.graph)
         if determinize:
             try:
-                clat = determinize_compact_lattice(clat)
+                # phone-then-word two-pass; decode exports carry no
+                # transition-id strings, so the phone pass degenerates
+                # and this equals word-level determinization — but
+                # lattices READ from Kaldi arks (read_lattice) carry
+                # real tid strings and take the full two-pass path
+                clat = determinize_lattice_phone_pruned(
+                    clat, self.am.transition_model
+                )
             except ValueError as exc:
                 # Kaldi's DeterminizeLatticePhonePrunedWrapper likewise
                 # degrades to the input lattice when determinization blows

@@ -217,3 +217,128 @@ def test_determinize_exported_decode_lattice():
     assert got.keys() == pre_best.keys()
     for w, c in pre_best.items():
         np.testing.assert_allclose(got[w], c, rtol=1e-4, atol=1e-4)
+
+
+def _toy_transition_model(num_phones=3):
+    """1-state chain-topology transition model: phone p has transition
+    state p with tids 2p-1 (self-loop) and 2p (forward = phone start
+    marker: hmm-state 0, not a self-loop)."""
+    from rhasspy_speech_tpu.io.transition_model import (
+        KaldiHmmTopology,
+        KaldiTransitionModel,
+    )
+
+    phones = list(range(1, num_phones + 1))
+    topo = KaldiHmmTopology.chain(phones)
+    tuples = np.zeros((num_phones, 4), dtype=np.int64)
+    for i, p in enumerate(phones):
+        tuples[i] = (p, 0, 2 * i, 2 * i + 1)
+    log_probs = np.full(2 * num_phones + 1, np.log(0.5), dtype=np.float32)
+    log_probs[0] = 0.0
+    return KaldiTransitionModel(
+        topology=topo, tuples=tuples, log_probs=log_probs
+    )
+
+
+def test_phone_pruned_determinization_merges_timing_variants():
+    """DeterminizeLatticePhonePruned semantics: two alignments of the
+    same phone sequence (different self-loop counts) merge in the phone
+    pass, keeping the best path's transition-ids; the final lattice is
+    canonical (epsilon-free, one path per word sequence, best cost, best
+    alignment) and path-identical to word-level determinization."""
+    from rhasspy_speech_tpu.io.lattice_io import (
+        determinize_lattice_phone_pruned,
+        insert_phone_labels,
+    )
+
+    tm = _toy_transition_model()
+    # word 5 = phone 1 with two timings: A=(1,1,2) cost 1.0 (best),
+    # B=(1,2) cost 2.0; word 7 = phone 2, shared continuation
+    lat = KaldiCompactLattice()
+    for _ in range(4):
+        lat.add_state()
+    lat.start = 0
+    lat.arcs[0].append((5, 0.5, 0.5, (1, 1, 2), 1))
+    lat.arcs[0].append((5, 1.0, 1.0, (1, 2), 2))
+    lat.arcs[1].append((7, 0.25, 0.25, (3, 4), 3))
+    lat.arcs[2].append((7, 0.25, 0.25, (3, 4), 3))
+    lat.finals[3] = (0.0, 0.0, ())
+
+    # the phone pass genuinely tags boundaries (arc counts grow), and
+    # pass 1 merges the two timings of word 5's phone sequence
+    tagged, fpl = insert_phone_labels(lat, tm)
+    assert fpl == 8  # max word label 7 + 1
+    assert tagged.num_arcs() > lat.num_arcs()
+    det1 = determinize_compact_lattice(tagged)
+    tagged_paths = _all_paths(tagged)
+    det1_paths = _all_paths(det1)
+    assert len(tagged_paths) == 2 and len(det1_paths) == 1
+
+    det = determinize_lattice_phone_pruned(lat, tm)
+    paths = _all_paths(det)
+    assert len(paths) == 1
+    words, cost, tids = paths[0]
+    assert words == (5, 7)
+    np.testing.assert_allclose(cost, 1.0 + 0.5)
+    # best path's alignment survives the merge
+    assert tids == (1, 1, 2, 3, 4)
+    assert not any(
+        word == 0 for arcs in det.arcs for (word, *_rest) in arcs
+    )
+
+    # path-identical to plain word-level determinization (the passes
+    # differ in intermediate growth, not final semantics)
+    det_w = determinize_compact_lattice(lat)
+    assert sorted(_all_paths(det_w)) == sorted(paths)
+
+
+def test_phone_pruned_skips_boundary_on_start_arcs():
+    """A phone-start tid at string position 0 of an arc leaving the
+    start state gets no tag (reference skips arcs out of Start(),
+    determinize-lattice-pruned.cc:1313-1314)."""
+    from rhasspy_speech_tpu.io.lattice_io import insert_phone_labels
+
+    tm = _toy_transition_model()
+    lat = KaldiCompactLattice()
+    for _ in range(2):
+        lat.add_state()
+    lat.start = 0
+    # forward tid 2 at position 0 out of start: skipped; the same tid at
+    # position 1 of a non-start arc: tagged
+    lat.arcs[0].append((5, 0.0, 0.0, (2,), 1))
+    lat.finals[1] = (0.0, 0.0, ())
+    tagged, _fpl = insert_phone_labels(lat, tm)
+    assert tagged.num_arcs() == lat.num_arcs()
+
+    lat.add_state()
+    lat.arcs[1].append((7, 0.0, 0.0, (1, 4), 2))
+    lat.finals[2] = (0.0, 0.0, ())
+    del lat.finals[1]
+    tagged2, _ = insert_phone_labels(lat, tm)
+    assert tagged2.num_arcs() == lat.num_arcs() + 1
+
+
+def test_phone_pruned_degenerates_without_alignments():
+    """Decode exports carry empty tid strings: the phone pass is a no-op
+    and phone-pruned output equals word-level determinization exactly."""
+    from rhasspy_speech_tpu.io.lattice_io import (
+        determinize_lattice_phone_pruned,
+    )
+
+    tm = _toy_transition_model()
+    lat = KaldiCompactLattice()
+    for _ in range(5):
+        lat.add_state()
+    lat.start = 0
+    lat.arcs[0].append((5, 1.0, 2.5, (), 1))
+    lat.arcs[0].append((0, 0.0, 0.25, (), 2))
+    lat.arcs[2].append((5, 0.5, 0.25, (), 3))
+    lat.arcs[0].append((7, 0.5, 1.5, (), 2))
+    lat.arcs[1].append((8, 0.25, 0.0, (), 4))
+    lat.arcs[3].append((8, 0.25, 0.0, (), 4))
+    lat.arcs[2].append((8, 0.75, 0.25, (), 4))
+    lat.finals[4] = (0.0, 0.0, ())
+
+    det_p = determinize_lattice_phone_pruned(lat, tm)
+    det_w = determinize_compact_lattice(lat)
+    assert sorted(_all_paths(det_p)) == sorted(_all_paths(det_w))
