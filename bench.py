@@ -251,7 +251,6 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
 
                 completed = 0
                 harvested = 0
-                harvest_due = set()
 
                 def tick(i):
                     nonlocal completed, harvested
@@ -262,19 +261,15 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                             # (closing bumps the slot generation and would
                             # drop the pending device finalize — its word
                             # assembly + fuzzy tail must stay in the
-                            # measured loop). A slot whose device trace is
-                            # still in flight (result None) waits one more
-                            # tick: the next step()'s harvest assembles it
-                            # from the landed async copy, so poll never
-                            # blocks on the device (a real server polls
-                            # the same way).
-                            key = (sid, st.gen)
-                            if st.result is None and key not in harvest_due:
-                                harvest_due.add(key)
+                            # measured loop). Strictly non-blocking: a
+                            # slot whose device trace hasn't landed yet
+                            # (result None) just waits another tick — a
+                            # blocking poll here would serialize the host
+                            # against the device queue (a real server
+                            # polls the same way).
+                            if sched.poll(sid, block=False) is None:
                                 continue
-                            if sched.poll(sid) is not None:
-                                harvested += 1
-                            harvest_due.discard(key)
+                            harvested += 1
                             sched.close(sid)
                             nsid = sched.open_stream()
                             remaining[nsid] = utt_ticks

@@ -288,16 +288,19 @@ class StreamScheduler:
                     self.am.transition_model, model_phones
                 )
 
-        # Device-resident endpoint signals: per-(lane, state) DP columns
-        # updated inside the decode scan — trail[s] = consecutive trailing
-        # silence frames of the Viterbi path into s, nonsil[s] = that path
-        # saw a non-silence frame. One [N, 3] stats row (trail, nonsil,
-        # relative final cost at the tick-end best state) leaves the chip
-        # per tick; the rules run on host against the PREVIOUS tick's
-        # landed stats, so endpoint detection lags one chunk (0.21 s) and
-        # never blocks the tick. (The old host path walked per-lane
-        # backpointers and capped at 400 frames; the DP walks the whole
-        # path — Kaldi's TrailingSilenceLength semantics.)
+        # Device-resident endpoint signals: at tick end the program
+        # backtraces the best path through the device bp ring — trail =
+        # consecutive trailing silence frames of that path, nonsil =
+        # the path saw a non-silence frame (whole-path, uncapped —
+        # Kaldi's TrailingSilenceLength semantics, online-endpoint.h).
+        # One [N, 3] stats row (trail, nonsil, relative final cost at
+        # the tick-end best state) leaves the chip per tick; the rules
+        # run on host against the PREVIOUS tick's landed stats, so
+        # endpoint detection lags one chunk (0.21 s) and never blocks
+        # the tick. (The old host path walked per-lane backpointers and
+        # capped at 400 frames; an earlier per-(lane, state) in-scan DP
+        # was exact too but cost [N, A]-sized work every decode frame —
+        # 220 ms/tick at 512 lanes, ~6x the decode scan itself.)
         self._ep_device = (
             endpointing is not None
             and (silence_weight in (None, 1.0) or self._sw_device)
@@ -380,7 +383,7 @@ class StreamScheduler:
 
         def batch_chunk(
             alpha, windows, n_valid, reset, gamma, X, iv_wins, iv_ws,
-            am_state, ring, offs, feats_ring, t0s, haves, ep_state, sw_w,
+            am_state, ring, offs, feats_ring, t0s, haves, sw_w,
             cum_ring
         ):
             """alpha [N, S]; windows [N, W, D]; n_valid [N]; reset [N] bool
@@ -541,110 +544,16 @@ class StreamScheduler:
             am_costs = -scale * jnp.swapaxes(log_probs, 0, 1)  # [7, N, P]
             ts = jnp.arange(chunk_out, dtype=jnp.int32)
 
-            new_ep = None
-            ep_stats = None
-            if ep_state is None:
-
-                def step(a, xs):
-                    am_t, t = xs
-                    new_alpha, bp = decode_step(graph, a, am_t)
-                    active = (t < n_valid)[:, None]
-                    return (
-                        jnp.where(active, new_alpha, a),
-                        jnp.where(active, bp, -3),
-                    )
-
-                new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
-            else:
-                # endpoint DP columns ride the decode scan: per state, the
-                # trailing-silence run length and the saw-nonsilence flag
-                # of the Viterbi path into it (exactly Kaldi's
-                # TrailingSilenceLength walk, maintained incrementally)
-                trail, nonsil = ep_state
-                trail = jnp.where(reset[:, None], 0, trail)
-                nonsil = jnp.where(reset[:, None], False, nonsil)
-                # Static-index formulation (decoder-style). The naive
-                # per-dest walk — src = arc_src[bp]; take_along_axis(tr,
-                # src) — is a data-dependent [N, S] gather, which TPUs
-                # execute element-at-a-time (~17-29 ms per gather at
-                # N=128, S=14k: measured 318 ms for the 7-frame DP, 12x
-                # the whole rest of the tick). Recast over ARCS with
-                # static index vectors, the same pattern decode_step is
-                # fast with: gather tr/ns at the static arc_src vector,
-                # identify each dest's winning arc by comparing bp
-                # (gathered at the static arc_dst vector) with the arc's
-                # own id, and scatter-max the single winner per dest.
-                arc_src_d = jnp.asarray(graph.base.arc_src)
-                arc_dst_d = jnp.asarray(graph.base.arc_dst)
-                n_arcs = arc_src_d.shape[0]
-                arc_ids_d = jnp.arange(n_arcs, dtype=jnp.int32)
-
-                def step_ep(carry, xs):
-                    a, tr, ns = carry
-                    am_t, t = xs
-                    new_alpha, bp = decode_step(graph, a, am_t)
-                    active = (t < n_valid)[:, None]
-                    tr_arc = tr[:, arc_src_d]  # [N, A] static gather
-                    ns_arc = ns[:, arc_src_d]
-                    win = bp[:, arc_dst_d] == arc_ids_d[None, :]
-                    tr_val = jnp.where(
-                        win & arc_sil_dev[None, :], tr_arc + 1, 0
-                    )
-                    tr_val = jnp.where(win, tr_val, -1)
-                    new_tr = jnp.maximum(
-                        jnp.full(tr.shape, -1, tr.dtype)
-                        .at[:, arc_dst_d]
-                        .max(tr_val),
-                        0,
-                    )  # unreached dests (bp=-1 matches no arc) -> 0
-                    ns_val = jnp.where(
-                        win,
-                        (ns_arc | ~arc_sil_dev[None, :]).astype(jnp.int8),
-                        jnp.int8(0),
-                    )
-                    new_ns = (
-                        jnp.zeros(ns.shape, jnp.int8)
-                        .at[:, arc_dst_d]
-                        .max(ns_val)
-                        .astype(bool)
-                    )
-                    return (
-                        jnp.where(active, new_alpha, a),
-                        jnp.where(active, new_tr, tr),
-                        jnp.where(active, new_ns, ns),
-                    ), jnp.where(active, bp, -3)
-
-                (new_alpha, trail, nonsil), bps = jax.lax.scan(
-                    step_ep, (alpha, trail, nonsil), (am_costs, ts)
+            def step(a, xs):
+                am_t, t = xs
+                new_alpha, bp = decode_step(graph, a, am_t)
+                active = (t < n_valid)[:, None]
+                return (
+                    jnp.where(active, new_alpha, a),
+                    jnp.where(active, bp, -3),
                 )
-                new_ep = (trail, nonsil)
-                # tick-end per-lane signals at the best (final if
-                # reachable, else overall-best) state — [N, 3] f32:
-                # trailing-silence frames, contains-nonsilence, relative
-                # final cost
-                fw = graph.base.final_weight
-                totals = new_alpha + fw[None, :]
-                fcost = jnp.min(totals, axis=1)
-                has_final = fcost < 1.0e29
-                best_any = jnp.min(new_alpha, axis=1)
-                ep_idx = jnp.where(
-                    has_final,
-                    jnp.argmin(totals, axis=1),
-                    jnp.argmin(new_alpha, axis=1),
-                )
-                lanes_i = jnp.arange(new_alpha.shape[0])
-                ep_stats = jnp.stack(
-                    [
-                        trail[lanes_i, ep_idx].astype(jnp.float32),
-                        nonsil[lanes_i, ep_idx].astype(jnp.float32),
-                        jnp.where(
-                            has_final,
-                            fcost - best_any,
-                            jnp.float32(jnp.inf),
-                        ),
-                    ],
-                    axis=1,
-                )
+
+            new_alpha, bps = jax.lax.scan(step, alpha, (am_costs, ts))
             new_sw = None
             if sw_device:
                 # OnlineSilenceWeighting's per-chunk traceback, on device:
@@ -681,21 +590,119 @@ class StreamScheduler:
             if device_bp:
                 enc = (bps + 3).astype(jnp.uint16)  # [chunk, N, S]
                 rows = jnp.swapaxes(enc, 0, 1)  # [N, chunk, S]
+                # The barrier keeps the ring write OUT of the decode
+                # scan: without it XLA sinks this vmapped update into
+                # the while loop as a per-frame element scatter —
+                # measured 176 vs 45 ms for scan+write at 512 lanes x
+                # 14k states (the whole-tick profile showed 165 ms
+                # inside the scan's while op, ~18 ms per frame row).
+                ring, rows, offs = jax.lax.optimization_barrier(
+                    (ring, rows, offs)
+                )
                 ring = jax.vmap(
                     lambda buf, chunk_rows, off: jax.lax.dynamic_update_slice(
                         buf, chunk_rows, (off, 0)
                     )
                 )(ring, rows, offs)
                 new_offs = offs + n_valid
+                # Combined whole-path walk over the updated ring, once
+                # per tick: from each lane's best (final if reachable,
+                # else overall-best) state back to frame 0, emitting
+                #   - the arc trace (the FINALIZE backtrace for every
+                #     lane — the packed [N, F + 2] output replaces the
+                #     separate finalize_trace dispatches, which paid a
+                #     full-ring defensive copy crossing programs: 19 ms
+                #     per dispatch, 2/tick at 512 lanes)
+                #   - endpoint signals (trail / nonsil: exactly Kaldi's
+                #     TrailingSilenceLength walk, online-endpoint.h:
+                #     122-148 — whole-path, uncapped; the per-(lane,
+                #     state) in-scan DP this replaces cost [N, A] work
+                #     per decode frame, 220 ms/tick at 512 lanes)
+                # Each step is a [N, S] slice + [N] point gather (the
+                # shape that lowers well); unroll=8 amortizes loop-step
+                # overhead. Masking by per-lane frames makes the fixed
+                # full-ring trip count exact.
+                fw = graph.base.final_weight
+                totals = new_alpha + fw[None, :]
+                fcost = jnp.min(totals, axis=1)
+                has_final = fcost < 1.0e29
+                best_any = jnp.min(new_alpha, axis=1)
+                ep_idx = jnp.where(
+                    has_final,
+                    jnp.argmin(totals, axis=1),
+                    jnp.argmin(new_alpha, axis=1),
+                ).astype(jnp.int32)
+                lanes_i = jnp.arange(new_alpha.shape[0])
+                arc_src_w = jnp.asarray(graph.base.arc_src)
+                frames = new_offs
+
+                def walk_step(carry, f):
+                    state, trail, nonsil, done = carry
+                    bp_t = jax.lax.dynamic_index_in_dim(
+                        ring, f, axis=1, keepdims=False
+                    )  # [N, S]
+                    e = bp_t[lanes_i, state].astype(jnp.int32) - 3
+                    active = f < frames
+                    is_real = active & (e >= 0)
+                    emit = jnp.where(active, e, jnp.int32(-2))
+                    if ep_device:
+                        sil = jnp.where(
+                            is_real,
+                            arc_sil_dev[jnp.maximum(e, 0)],
+                            False,
+                        )
+                        trail = jnp.where(
+                            is_real & sil & ~done, trail + 1, trail
+                        )
+                        done = done | (active & ~(is_real & sil))
+                        nonsil = nonsil | (is_real & ~sil)
+                    state = jnp.where(
+                        is_real,
+                        arc_src_w[jnp.maximum(e, 0)].astype(jnp.int32),
+                        state,
+                    )
+                    return (state, trail, nonsil, done), emit
+
+                F = ring.shape[1]
+                ts_desc = jnp.arange(F - 1, -1, -1, dtype=jnp.int32)
+                zeros_i = jnp.zeros(frames.shape[0], jnp.int32)
+                zeros_b = jnp.zeros(frames.shape[0], jnp.bool_)
+                (_, trail, nonsil, _), arcs_rev = jax.lax.scan(
+                    walk_step,
+                    (ep_idx, zeros_i, zeros_b, zeros_b),
+                    ts_desc,
+                    unroll=8,
+                )
+                arcs = jnp.swapaxes(arcs_rev[::-1], 0, 1)  # [N, F]
+                cost_bits = jax.lax.bitcast_convert_type(
+                    fcost, jnp.int32
+                )
+                packed = jnp.concatenate(
+                    [arcs, ep_idx[:, None], cost_bits[:, None]], axis=1
+                )
+                ep_stats = None
+                if ep_device:
+                    ep_stats = jnp.stack(
+                        [
+                            trail.astype(jnp.float32),
+                            nonsil.astype(jnp.float32),
+                            jnp.where(
+                                has_final,
+                                fcost - best_any,
+                                jnp.float32(jnp.inf),
+                            ),
+                        ],
+                        axis=1,
+                    )
                 return (
                     new_alpha, None, new_gamma, new_X, new_state,
-                    ring, new_offs, new_iv_carry, new_ep, ep_stats, new_sw,
+                    ring, new_offs, new_iv_carry, packed, ep_stats, new_sw,
                 )
             if bp_compact:
                 bps = (bps + 3).astype(jnp.uint16)
             return (
                 new_alpha, bps, new_gamma, new_X, new_state,
-                ring, offs, new_iv_carry, new_ep, ep_stats, new_sw,
+                ring, offs, new_iv_carry, None, None, new_sw,
             )
 
         device_bp = self._device_bp
@@ -705,9 +712,8 @@ class StreamScheduler:
         self._batch_chunk = jax.jit(
             batch_chunk,
             donate_argnums=(9,)
-            + ((14,) if self._ep_device else ())
-            + ((15,) if self._sw_device else ()),
-            # cum_ring (16) is only threaded on the fused path
+            + ((14,) if self._sw_device else ()),
+            # cum_ring (15) is only threaded on the fused path
         )
 
         frontend_params = self.am.frontend_params
@@ -732,6 +738,12 @@ class StreamScheduler:
             if pcm_buf.dtype != jnp.float32:
                 pcm_buf = pcm_buf.astype(jnp.float32)
             rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
+            # barrier: keep the ring updates out of the MFCC loops (the
+            # same scatter-sinking pathology as the decode-scan ring
+            # write; see the bp-ring barrier in batch_chunk)
+            feats_ring, rows, counts = jax.lax.optimization_barrier(
+                (feats_ring, rows, counts)
+            )
             write = jax.vmap(
                 lambda buf, lane_rows, cnt, w: jnp.where(
                     w, jax.lax.dynamic_update_slice(buf, lane_rows, (cnt, 0)), buf
@@ -749,12 +761,15 @@ class StreamScheduler:
                     0.0,
                 )
                 cum_rows = prev[:, None, :] + jnp.cumsum(rows, axis=1)
+                cum_ring, cum_rows = jax.lax.optimization_barrier(
+                    (cum_ring, cum_rows)
+                )
                 cum_ring = write(cum_ring, cum_rows, counts, has_new)
             return new_feats, cum_ring
 
         def batch_chunk_fused(
             alpha, pcm_buf, meta, gamma, X, iv_wins, am_state, ring,
-            feats_ring, offs, ep_state, sw_w, cum_ring
+            feats_ring, offs, sw_w, cum_ring
         ):
             """One-dispatch serving tick (device-feats mode): PCM -> MFCC
             rows into the feature ring -> AM windows -> decode, all in a
@@ -782,7 +797,7 @@ class StreamScheduler:
             out = batch_chunk(
                 alpha, dummy_win, n_valid, reset, gamma, X, iv_wins,
                 iv_ws, am_state, ring, offs, feats_ring, t0s, haves,
-                ep_state, sw_w, cum_ring,
+                sw_w, cum_ring,
             )
             return out + (feats_ring, cum_ring)
 
@@ -793,9 +808,8 @@ class StreamScheduler:
         fused_donate = (
             (0, 3, 4, 6, 7, 8)
             + ((5,) if self._iv_inline else ())
-            + ((10,) if self._ep_device else ())
-            + ((11,) if self._sw_device else ())
-            + ((12,) if self._iv_cmvn_device else ())
+            + ((10,) if self._sw_device else ())
+            + ((11,) if self._iv_cmvn_device else ())
         )
         self._batch_chunk_fused = (
             jax.jit(batch_chunk_fused, donate_argnums=fused_donate)
@@ -865,6 +879,9 @@ class StreamScheduler:
         )
         self._tick_ring: List[_TickBps] = []
         self._alpha_host: Optional[_TickBps] = None
+        # this tick's in-program [N, F + 2] finalize backtrace (device
+        # ref; harvested lazily for lanes that flush)
+        self._tick_packed = None
         self._fuzzy_cache: dict = {}
         self._pending_finalize: list = []
         # lanes quarantined this tick (ring-capacity overflow): they are
@@ -873,16 +890,10 @@ class StreamScheduler:
         self._quarantined: Set[int] = set()
         # per-tick snapshot of the pool's finished flags (fast drain path)
         self._fin_snap: Optional[np.ndarray] = None
-        # device endpoint DP columns + last tick's [N, 3] signal stats
-        if self._ep_device:
-            S_ = self.graph.num_states
-            self._ep_state = (
-                jnp.zeros((max_streams, S_), jnp.int32),
-                jnp.zeros((max_streams, S_), jnp.bool_),
-            )
-        else:
-            self._ep_state = None
+        # last tick's [N, 3] endpoint signal stats (computed by the
+        # in-program ring backtrace; no per-state DP columns to carry)
         self._ep_stats_prev = None
+        self._ep_stats_deferred = 0
         self._ep_tick_stats = None
         self._pending_drain = False
         # device silence-weighting fold weights for the next tick (a new
@@ -951,10 +962,6 @@ class StreamScheduler:
             }
             self._ring = jax.device_put(self._ring, _lane_spec(self._ring))
             self._offs = jax.device_put(self._offs, _lane_spec(self._offs))
-            if self._ep_state is not None:
-                self._ep_state = tuple(
-                    jax.device_put(a, _lane_spec(a)) for a in self._ep_state
-                )
             if self._sw_w is not None:
                 self._sw_w = jax.device_put(
                     self._sw_w, _lane_spec(self._sw_w)
@@ -1015,7 +1022,12 @@ class StreamScheduler:
                 return src, emit
 
             ts = jnp.arange(steps - 1, -1, -1, dtype=jnp.int32)
-            _, arcs_rev = jax.lax.scan(back, fstate, (rows_rev, ts))
+            # unroll: each step is a [Fm, S] slice + [Fm] point gather —
+            # loop overhead dominates (measured ~19 ms per finalize
+            # dispatch at steps=128 without it)
+            _, arcs_rev = jax.lax.scan(
+                back, fstate, (rows_rev, ts), unroll=8
+            )
             arcs = jnp.swapaxes(arcs_rev[::-1], 0, 1)
             cost_bits = jax.lax.bitcast_convert_type(cost, jnp.int32)
             return jnp.concatenate(
@@ -1144,14 +1156,14 @@ class StreamScheduler:
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-                ep_state, ep_stats, sw_w, feats_ring, cum_ring,
+                packed, ep_stats, sw_w, feats_ring, cum_ring,
             ) = self._aot_call(
                 "sched_tick",
                 self._batch_chunk_fused,
                 (
                     self._alpha, pcm_dev, meta_dev, self._iv_gamma,
                     self._iv_X, ivw, self._am_state, self._ring,
-                    self._feats_ring, self._offs, self._ep_state,
+                    self._feats_ring, self._offs,
                     self._sw_w, self._cum_ring,
                 ),
                 donate=self._fused_donate,
@@ -1163,12 +1175,11 @@ class StreamScheduler:
             self._iv_gamma, self._iv_X = gamma, X
             self._ring, self._offs = ring, offs
             self._feats_ring = feats_ring
+            self._tick_packed = packed
             if self._iv_cmvn_device:
                 self._cum_ring = cum_ring
             if self._iv_inline:
                 self._iv_carry = iv_carry
-            if self._ep_device:
-                self._ep_state = ep_state
             if self._sw_device:
                 self._sw_w = sw_w
         if self._ivp is not None:
@@ -1634,6 +1645,7 @@ class StreamScheduler:
                 self._harvest_finalizes(block=False)
         prep = None
         self._pending_drain = False
+        self._tick_packed = None
         with StageTimer("stream_features", metrics):
             if device_feats:
                 prep = self._prep_features_device()
@@ -1773,14 +1785,14 @@ class StreamScheduler:
                     hv_dev = jnp.asarray(haves)
                 (
                     alpha, bps, gamma, X, am_state, ring, offs, iv_carry,
-                    ep_state, ep_stats, sw_w,
+                    packed, ep_stats, sw_w,
                 ) = self._batch_chunk(
                     self._alpha, win_dev, nv_dev, rs_dev,
                     self._iv_gamma, self._iv_X,
                     ivw_dev, ivs_dev,
                     self._am_state,
                     self._ring, self._offs,
-                    self._feats_ring, t0_dev, hv_dev, self._ep_state,
+                    self._feats_ring, t0_dev, hv_dev,
                     self._sw_w, self._cum_ring,
                 )
                 self._pending_reset[:] = False
@@ -1788,10 +1800,11 @@ class StreamScheduler:
                 self._am_state = am_state
                 self._iv_gamma, self._iv_X = gamma, X
                 self._ring, self._offs = ring, offs
+                if self._device_bp:
+                    self._tick_packed = packed
                 if self._iv_inline:
                     self._iv_carry = iv_carry
                 if self._ep_device:
-                    self._ep_state = ep_state
                     try:
                         ep_stats.copy_to_host_async()
                     except Exception:  # pragma: no cover
@@ -1972,8 +1985,27 @@ class StreamScheduler:
         contains-nonsilence, relative final cost). Slots recycled since
         the stats were computed are skipped via the generation guard."""
         stats_dev, gens, out_snap = self._ep_stats_prev
+        # Non-blocking: if the async stats copy hasn't landed (the device
+        # is still working through the previous tick's queue), keep the
+        # reference and re-check next tick — endpoint detection briefly
+        # lags one extra chunk instead of the host serializing against
+        # the whole device queue (measured 108 ms/tick blocked here at
+        # 512 lanes). Deferral is capped at one tick: a fresher stats
+        # row normally replaces this one, but when no further tick runs
+        # (audio exhausted, endpoint pending on trailing silence) the
+        # rules must still see the signals — and on some backends
+        # is_ready() never flips without an explicit read (observed on
+        # the 8-virtual-device CPU mesh), so the cap also guarantees
+        # progress there.
+        try:
+            if not stats_dev.is_ready() and self._ep_stats_deferred < 1:
+                self._ep_stats_deferred += 1
+                return set()
+        except AttributeError:  # pragma: no cover - non-jax array
+            pass
+        self._ep_stats_deferred = 0
         self._ep_stats_prev = None
-        stats = np.asarray(stats_dev)  # async copy landed a tick ago
+        stats = np.asarray(stats_dev)  # landed, or forced after deferral
         fired: Set[int] = set()
         out_frame_sec = self.am.subsampling * self._frame_shift / 16000.0
         for sid, state in enumerate(self.slots):
@@ -2048,6 +2080,29 @@ class StreamScheduler:
                 continue
             todo.append(sid)
 
+        if not todo:
+            return
+        if self._tick_packed is not None:
+            # This tick's fused program already emitted every lane's
+            # backtrace ([N, F + 2] packed rows) — no separate finalize
+            # dispatch, no cross-program ring handoff. Row index == sid.
+            with StageTimer("stream_fin_trace", get_metrics()):
+                packed = self._tick_packed
+                try:
+                    packed.copy_to_host_async()
+                except Exception:  # pragma: no cover
+                    pass
+                frames = np.asarray(
+                    [self.slots[s].out_frames for s in todo],
+                    dtype=np.int32,
+                )
+                gens = [self.slots[s_].gen for s_ in todo]
+                self._pending_finalize.append(
+                    (todo, gens, frames, packed, list(todo))
+                )
+            return
+        # no fused tick ran this step (drain-out / endpoint on an idle
+        # lane): fall back to the standalone bucketed trace program
         for start in range(0, len(todo), self._FINALIZE_BATCH):
             group = todo[start : start + self._FINALIZE_BATCH]
             pad = self._FINALIZE_BATCH - len(group)
@@ -2082,7 +2137,9 @@ class StreamScheduler:
             except Exception:  # pragma: no cover
                 pass
             gens = [self.slots[s_].gen for s_ in group]
-            self._pending_finalize.append((group, gens, frames, packed))
+            self._pending_finalize.append(
+                (group, gens, frames, packed, list(range(len(group))))
+            )
 
     def _harvest_finalizes(self, block: bool = True) -> None:
         """Assemble words for dispatched finalize traces. With
@@ -2093,7 +2150,7 @@ class StreamScheduler:
         graph = self.graph
         pending, self._pending_finalize = self._pending_finalize, []
         for entry in pending:
-            group, gens, frames, packed_d = entry
+            group, gens, frames, packed_d, rows = entry
             if not block:
                 try:
                     if not packed_d.is_ready():
@@ -2108,12 +2165,13 @@ class StreamScheduler:
             costs = packed[:, -1:].view(np.float32)[:, 0]
             for i, sid in enumerate(group):
                 state = self.slots[sid]
+                r = rows[i]
                 if state.gen != gens[i]:
                     continue  # slot was recycled; result is obsolete
-                if costs[i] >= 1.0e29:
+                if costs[r] >= 1.0e29:
                     state.result = []
                     continue
-                trace = arcs[i, : frames[i]]
+                trace = arcs[r, : frames[i]]
                 if (trace == -1).any():
                     state.result = []
                     continue
@@ -2121,7 +2179,7 @@ class StreamScheduler:
                 if real.shape[0]:
                     first_state = int(graph.arc_src[real[0]])
                 else:
-                    first_state = int(fstates[i])
+                    first_state = int(fstates[r])
                 words: List[int] = list(
                     graph.words_of(int(graph.init_wseq[first_state]))
                 )
@@ -2129,7 +2187,7 @@ class StreamScheduler:
                 for wid in wseqs[wseqs != 0]:
                     words.extend(graph.words_of(int(wid)))
                 words.extend(
-                    graph.words_of(int(graph.final_wseq[int(fstates[i])]))
+                    graph.words_of(int(graph.final_wseq[int(fstates[r])]))
                 )
                 with StageTimer("stream_fin_words", get_metrics()):
                     state.result = self._words_to_result(words)
