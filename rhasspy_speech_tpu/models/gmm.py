@@ -81,3 +81,44 @@ class GmmAm:
             jnp.sum(jnp.exp(ll - safe[..., None]), axis=-1)
         )
         return jnp.where(jnp.isfinite(m), out, NEG_HUGE)
+
+
+class GmmChunkModel:
+    """Streaming chunk-model adapter: the StreamScheduler's model
+    contract (``ranges``/``recurrent``/``cast``/``forward``) over
+    deltas + delta-deltas + :meth:`GmmAm.log_likes`.
+
+    Mirrors the batch GMM path (pipeline/transcribe.py log_probs:
+    add_deltas(order=2) -> per-pdf log-likelihoods, subsampling 1, no
+    i-vector) on a per-chunk window: the window carries ±4 context
+    frames (delta window 2 per order x order 2), so the sliced center
+    chunk's deltas are exact mid-utterance, and the feature ring's
+    edge clamping replicates boundary rows exactly like add_deltas'
+    own std::min/max indexing (feat/delta-feats.cc semantics) at
+    utterance edges. This goes beyond the reference, whose GMM
+    streaming is dead code (transcribe_wav.py:238-484)."""
+
+    recurrent = False
+
+    def __init__(self, gmm: GmmAm, chunk_out: int, order: int = 2,
+                 window: int = 2):
+        self.gmm = gmm
+        self._ctx = order * window
+        self._chunk = chunk_out
+        self.ranges = {"input": (-self._ctx, chunk_out + self._ctx)}
+        self.left_context = self._ctx
+        self.right_context = self._ctx
+        self._order = order
+
+    def cast(self, dtype):
+        """Log-likelihoods stay f32 (no MXU-heavy matmuls to cast)."""
+        return self
+
+    def forward(self, windows):
+        """[N, W, D] window -> [N, chunk, P] log-likelihoods."""
+        from ..ops.deltas import add_deltas
+
+        full = add_deltas(windows, order=self._order)
+        return self.gmm.log_likes(
+            full[:, self._ctx : self._ctx + self._chunk]
+        )

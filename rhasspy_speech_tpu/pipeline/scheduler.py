@@ -173,20 +173,22 @@ class StreamScheduler:
             LangArtifacts.load(lang_dir) if lang_dir is not None else self.artifacts
         )
 
-        if self.am.spec is None:
-            raise NotImplementedError(
-                "GMM acoustic models are not supported on the streaming "
-                "chunk path (the reference's GMM streaming is dead code, "
-                "transcribe_wav.py:238-484); use Nnet3WavTranscriber batch "
-                "decoding"
-            )
         self.pool = StreamPool(max_streams, pool_capacity_samples)
         self.slots: List[_SlotState] = [_SlotState() for _ in range(max_streams)]
         self._featurizer = StreamFeaturizer(self.am)
 
-        self._chunk_model = compile_nnet3(
-            self.am.spec, self._chunk_out, subsampling=self.am.subsampling
-        )
+        if self.am.spec is None:
+            # GMM chunk model: deltas + delta-deltas over the window,
+            # per-pdf log-likelihoods — identical math to the batch GMM
+            # path, chunked (the reference's own GMM streaming is dead
+            # code, transcribe_wav.py:238-484)
+            from ..models.gmm import GmmChunkModel
+
+            self._chunk_model = GmmChunkModel(self.am.gmm, self._chunk_out)
+        else:
+            self._chunk_model = compile_nnet3(
+                self.am.spec, self._chunk_out, subsampling=self.am.subsampling
+            )
         self._recurrent = self._chunk_model.recurrent
         # bf16 operating point: cast the chunk AM (MXU-native matmuls,
         # f32 accumulation); decode costs stay f32. Recurrent models keep
@@ -1986,19 +1988,19 @@ class StreamScheduler:
         the stats were computed are skipped via the generation guard."""
         stats_dev, gens, out_snap = self._ep_stats_prev
         # Non-blocking: if the async stats copy hasn't landed (the device
-        # is still working through the previous tick's queue), keep the
-        # reference and re-check next tick — endpoint detection briefly
-        # lags one extra chunk instead of the host serializing against
-        # the whole device queue (measured 108 ms/tick blocked here at
-        # 512 lanes). Deferral is capped at one tick: a fresher stats
-        # row normally replaces this one, but when no further tick runs
-        # (audio exhausted, endpoint pending on trailing silence) the
-        # rules must still see the signals — and on some backends
-        # is_ready() never flips without an explicit read (observed on
-        # the 8-virtual-device CPU mesh), so the cap also guarantees
-        # progress there.
+        # is still working through the previous tick's queue), skip the
+        # apply — a fresher row replaces this one at the end of the
+        # tick, so endpoint detection briefly lags instead of the host
+        # serializing against the whole device queue (measured 108-158
+        # ms/tick blocked here at 512 lanes). ``_ep_stats_deferred``
+        # counts CONSECUTIVE skips and forces a blocking read at 3:
+        # under sustained device saturation the rules still run at
+        # least every 4th tick (no endpoint starvation into the ring
+        # quarantine), and on backends where is_ready() never flips
+        # without an explicit read (the 8-virtual-device CPU mesh) a
+        # drained stream still sees its trailing-silence signals.
         try:
-            if not stats_dev.is_ready() and self._ep_stats_deferred < 1:
+            if not stats_dev.is_ready() and self._ep_stats_deferred < 3:
                 self._ep_stats_deferred += 1
                 return set()
         except AttributeError:  # pragma: no cover - non-jax array

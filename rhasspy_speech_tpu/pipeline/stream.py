@@ -99,21 +99,23 @@ class Nnet3StreamTranscriber:
         self.silence_weight = silence_weight
 
         self.am = AcousticModel(self.model_dir)
-        if self.am.spec is None:
-            raise NotImplementedError(
-                "GMM acoustic models are not supported on the streaming "
-                "chunk path (the reference's GMM streaming is dead code, "
-                "transcribe_wav.py:238-484); use Nnet3WavTranscriber batch "
-                "decoding"
-            )
         self.artifacts = LangArtifacts.load(self.graph_dir)
         assert self.artifacts.graph is not None
         self.device_graph = make_decode_graph(self.artifacts.graph)
         self._featurizer = StreamFeaturizer(self.am)
 
-        self._chunk_model = compile_nnet3(
-            self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
-        )
+        if self.am.spec is None:
+            # GMM chunk model: deltas + delta-deltas over the window,
+            # per-pdf log-likelihoods — identical math to the batch GMM
+            # path, chunked (the reference's own GMM streaming is dead
+            # code, transcribe_wav.py:238-484)
+            from ..models.gmm import GmmChunkModel
+
+            self._chunk_model = GmmChunkModel(self.am.gmm, CHUNK_OUT_FRAMES)
+        else:
+            self._chunk_model = compile_nnet3(
+                self.am.spec, CHUNK_OUT_FRAMES, subsampling=self.am.subsampling
+            )
         self._lc = self._chunk_model.left_context
         self._rc = self._chunk_model.right_context
         self._chunk_in = CHUNK_OUT_FRAMES * self.am.subsampling

@@ -114,9 +114,35 @@ def test_gmm_nbest_and_fuzzy(gmm_trained):
     assert out == [["turn off the light"]]
 
 
-def test_gmm_streaming_raises_clearly(gmm_trained):
+def test_gmm_streaming_matches_batch(gmm_trained):
+    """GMM models ride the streaming scheduler too (deltas over the
+    chunk window, per-pdf log-likes — beyond the reference, whose GMM
+    streaming is dead code): chunked transcripts equal the batch path."""
     from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
 
     profile, lang_dir = gmm_trained
-    with pytest.raises(NotImplementedError, match="GMM"):
-        StreamScheduler(profile.model_dir, lang_dir, max_streams=2)
+    batch_t = Nnet3WavTranscriber(profile.model_dir, lang_dir)
+    sched = StreamScheduler(profile.model_dir, lang_dir, max_streams=2)
+    assert sched.am.subsampling == 1 and not sched._recurrent
+    sentences = ["turn on the light", "turn off the fan"]
+    for i, s in enumerate(sentences):
+        pcm = synthesize_sentence(profile, s, seed=70 + i)
+        assert batch_t.transcribe_pcm_batch([pcm]) == [[s]]
+        sid = sched.open_stream()
+        for start in range(0, pcm.shape[0], 1024):
+            sched.feed(sid, pcm[start : start + 1024])
+            sched.step()
+        sched.finish(sid)
+        sched.run_until_idle()
+        assert sched.poll(sid) == [s]
+        sched.close(sid)
+
+
+def test_gmm_stream_transcriber_matches_batch(gmm_trained):
+    """Single-stream Nnet3StreamTranscriber drives GMM models as well."""
+    from rhasspy_speech_tpu.pipeline.stream import Nnet3StreamTranscriber
+
+    profile, lang_dir = gmm_trained
+    t = Nnet3StreamTranscriber(profile.model_dir, lang_dir)
+    pcm = synthesize_sentence(profile, "turn on fan", seed=81)
+    assert t.transcribe_pcm(pcm, chunk_samples=1024) == ["turn on fan"]
