@@ -21,6 +21,7 @@ Two entry points:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -205,7 +206,7 @@ def viterbi_step_padded(
     D = graph.width
     folded = graph.base.src_pdf is not None
     if folded:
-        alpha = alpha + am_cost[:, graph.base.src_pdf]
+        alpha = alpha + _fold_am(graph, am_cost)
         scores = (
             alpha[:, graph.slot_src] + graph.slot_weight[None, :]
         ).reshape(B, S, D)
@@ -452,7 +453,7 @@ def viterbi_step_selfloop(
         # pdf-per-source fold: after this, BOTH lanes are entirely
         # gather-free (the am terms below vanish) — the layout's original
         # weakness (two extra [B, S] am gathers) disappears.
-        alpha = alpha + am_cost[:, base.src_pdf]
+        alpha = alpha + _fold_am(graph, am_cost)
 
     # self-loop lane: elementwise
     s_self = alpha + graph.self_weight[None, :]
@@ -552,10 +553,10 @@ def viterbi_step_hybrid(
 
     folded = base.src_pdf is not None
     if folded:
-        # pdf-per-source fold: ONE [B, S] am gather replaces the [B, S*W]
+        # pdf-per-source fold: ONE [B, S] am fold replaces the [B, S*W]
         # slot-pdf gather AND the [B, Nspill] spill-pdf gather below — the
         # largest HBM streams of the decode frame.
-        alpha = alpha + am_cost[:, base.src_pdf]
+        alpha = alpha + _fold_am(graph, am_cost)
         pad_scores = (
             alpha[:, graph.slot_src] + graph.slot_weight[None, :]
         ).reshape(B, S, W)
@@ -639,8 +640,8 @@ def viterbi_step(
     S = graph.num_states
     A = graph.num_arcs
     if graph.src_pdf is not None:
-        # pdf-per-source fold: one [B, S] am gather instead of [B, A]
-        alpha_e = alpha + am_cost[:, graph.src_pdf]
+        # pdf-per-source fold: one [B, S] am fold instead of [B, A]
+        alpha_e = alpha + _fold_am(graph, am_cost)
         scores = alpha_e[:, graph.arc_src] + graph.arc_weight[None, :]
     else:
         scores = (
@@ -787,7 +788,17 @@ def viterbi_decode(
     Returns (arc_trace [B, T] int32 winning arc per frame (STAY/-1 for
     masked/dead frames), final_state [B] int32, total_cost [B] f32 = best
     alpha+final, +inf-like NEG_INF if no complete path). Decode words on
-    host with trace_to_words."""
+    host with trace_to_words.
+
+    RSTPU_DECODE_IMPL=alpha opts into the alpha-storing implementation
+    (viterbi_decode_alpha, bit-identical outputs). On the flagship graph
+    the backpointer path measured faster end-to-end (143.7 ms vs 236.4 ms
+    at B=512/T=101 on TPU v5e: the alpha variant's forward win is undone
+    by its random-gather backtrace), so bp is the default."""
+    if os.environ.get("RSTPU_DECODE_IMPL", "bp") == "alpha" and (
+        _max_indeg(graph) <= _ALPHA_MAX_INDEG
+    ):
+        return viterbi_decode_alpha(graph, log_probs, acoustic_scale, lengths)
     base = graph.base
     compact = base.num_arcs <= _COMPACT_BP_MAX_ARC
     alpha_final, bps = viterbi(
@@ -815,6 +826,314 @@ def viterbi_decode(
     _, arcs_rev = jax.lax.scan(back_step, final_state, bps[::-1])
     arc_trace = arcs_rev[::-1].T  # [B, T]
     return arc_trace, final_state, total_cost
+
+
+# ---------------------------------------------------------------------------
+# Alpha-storing decode: no forward arc tracking. The isolated forward is
+# much cheaper (TPU scatter-min of winner-id candidates measured ~6x a
+# gather; 1.12 -> 0.46 ms/frame at B=512 in the microbench), but the
+# arc-recomputing backtrace is latency-bound on its [B, max_indeg] random
+# gathers, and END-TO-END the bp implementation won on the flagship graph
+# (143.7 vs 236.4 ms at B=512/T=101, TPU v5e). Kept as an opt-in
+# (RSTPU_DECODE_IMPL=alpha) with bit-exact parity pinned by tests: it wins
+# when T is large and backtrace cost amortizes differently, and it is the
+# reference semantics for the fused Pallas kernel work.
+# ---------------------------------------------------------------------------
+
+
+def _relax_costs(graph, alpha: jnp.ndarray, am_t: jnp.ndarray) -> jnp.ndarray:
+    """Cost half of decode_step: new_alpha [B, S] with NO winner tracking.
+
+    Candidate costs are computed with the exact same expressions and clamps
+    as the id-tracking steps, so the result is bit-identical to the alpha
+    returned by decode_step for every layout."""
+    base = graph.base
+    B = alpha.shape[0]
+    S = base.num_states
+    folded = base.src_pdf is not None
+
+    if isinstance(graph, SelfLoopHybridGraph):
+        if folded:
+            alpha_e = alpha + _fold_am(graph, am_t)
+        else:
+            alpha_e = alpha
+        s_self = alpha_e + graph.self_weight[None, :]
+        if not folded:
+            s_self = s_self + am_t[:, graph.self_pdf]
+        best = jnp.minimum(s_self, INF_COST)
+        alpha_prev = jnp.pad(
+            alpha_e[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF_F32
+        )
+        s_fwd = alpha_prev + graph.fwd_weight[None, :]
+        if not folded:
+            s_fwd = s_fwd + am_t[:, graph.fwd_pdf]
+        best = jnp.minimum(best, jnp.minimum(s_fwd, INF_COST))
+        ps = alpha_e[:, graph.slot_src] + graph.slot_weight[None, :]
+        if not folded:
+            ps = ps + am_t[:, graph.slot_pdf]
+        ps = jnp.minimum(ps.reshape(B, S, graph.width), INF_COST)
+        best = jnp.minimum(best, jnp.min(ps, axis=-1))
+        if graph.spill_src.shape[0]:
+            ss = alpha_e[:, graph.spill_src] + graph.spill_weight[None, :]
+            if not folded:
+                ss = ss + am_t[:, graph.spill_pdf]
+            ss = jnp.minimum(ss, INF_COST)
+            spill = (
+                jnp.full((B, S), INF_COST).at[:, graph.spill_dst].min(ss)
+            )
+            best = jnp.minimum(best, spill)
+        return best
+
+    if isinstance(graph, HybridDeviceGraph):
+        if folded:
+            alpha_e = alpha + _fold_am(graph, am_t)
+            ps = alpha_e[:, graph.slot_src] + graph.slot_weight[None, :]
+        else:
+            alpha_e = alpha
+            ps = (
+                alpha[:, graph.slot_src]
+                + graph.slot_weight[None, :]
+                + am_t[:, graph.slot_pdf]
+            )
+        ps = jnp.minimum(ps.reshape(B, S, graph.width), INF_COST)
+        best = jnp.min(ps, axis=-1)
+        if graph.spill_src.shape[0]:
+            ss = alpha_e[:, graph.spill_src] + graph.spill_weight[None, :]
+            if not folded:
+                ss = ss + am_t[:, graph.spill_pdf]
+            ss = jnp.minimum(ss, INF_COST)
+            spill = (
+                jnp.full((B, S), INF_COST).at[:, graph.spill_dst].min(ss)
+            )
+            best = jnp.minimum(best, spill)
+        return best
+
+    # scatter / padded forms: relax over the flat arc table
+    if folded:
+        alpha_e = alpha + _fold_am(graph, am_t)
+        scores = alpha_e[:, base.arc_src] + base.arc_weight[None, :]
+    else:
+        scores = (
+            alpha[:, base.arc_src]
+            + base.arc_weight[None, :]
+            + am_t[:, base.arc_pdf]
+        )
+    scores = jnp.minimum(scores, INF_COST)
+    return jnp.full((B, S), INF_COST).at[:, base.arc_dst].min(scores)
+
+
+# one-hot am fold: opt-in (RSTPU_ONEHOT=1). In the isolated microbench the
+# MXU fold beat the am gather 0.46 vs 1.12 ms/frame (B=512, P=3072), but on
+# the flagship graph (P=212 used pdfs: the am row is 434 KB and streams
+# fine) it measured a wash end-to-end (143.7 vs 146.0 ms at B=512/T=101)
+# while the 7 MB one-hot HLO literal blew compile up 38.7 -> 345 s. Worth
+# enabling only for models whose graphs reference thousands of pdfs.
+_ONEHOT_MAX_ELEMS = 16 * 1024 * 1024
+
+
+def _onehot_enabled() -> bool:
+    return os.environ.get("RSTPU_ONEHOT", "0") == "1"
+
+
+def _onehot_tables(graph):
+    """(sel [NU] i32, onehot [NU, S] f32) NUMPY tables over the graph's
+    USED pdfs, or (None, None). Cached on the layout object as host arrays
+    (device conversion happens at the use site: a cache built while
+    tracing must not hold tracers)."""
+    cached = getattr(graph, "_onehot_cache", None)
+    if cached is not None:
+        return cached
+    base = graph.base
+    sel = onehot = None
+    if base.src_pdf is not None:
+        sp = np.asarray(base.src_pdf)
+        used = np.unique(sp)
+        if used.size * base.num_states <= _ONEHOT_MAX_ELEMS:
+            remap = np.zeros(int(sp.max()) + 1, np.int64)
+            remap[used] = np.arange(used.size)
+            oh = np.zeros((used.size, base.num_states), np.float32)
+            oh[remap[sp], np.arange(base.num_states)] = 1.0
+            onehot = oh
+            sel = used.astype(np.int32)
+    cached = (sel, onehot)
+    object.__setattr__(graph, "_onehot_cache", cached)
+    return cached
+
+
+def _fold_am(graph, am_t: jnp.ndarray) -> jnp.ndarray:
+    """am_t[:, src_pdf] as an MXU one-hot matmul when exact, else a gather.
+
+    The [B, S] am gather is decode's costliest HBM pattern — inside the
+    decode scan XLA lowers it as random element reads of the un-staged am
+    row (latency-bound). A Precision.HIGHEST one-hot matmul over the
+    graph's USED pdfs computes the identical values (verified bit-equal on
+    TPU v5e: HIGHEST f32 is exact for one-hot operands) on the
+    otherwise-idle MXU, streaming the am row once. Falls back to the
+    gather when disabled (default — see _ONEHOT_MAX_ELEMS note) or when
+    the used-pdf count would make the one-hot table large."""
+    base = graph.base
+    if not _onehot_enabled():
+        return am_t[:, base.src_pdf]
+    sel, onehot = _onehot_tables(graph)
+    if onehot is None:
+        return am_t[:, base.src_pdf]
+    return jax.lax.dot(
+        am_t[:, sel].astype(onehot.dtype),
+        onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@dataclass(frozen=True)
+class _AlphaTables:
+    """Backtrace-side tables for the alpha-storing decode (host numpy —
+    a cache built while tracing must not hold tracers; users convert)."""
+
+    in_src: np.ndarray  # i32 [S, D] in-arc sources (ascending arc id)
+    in_weight: np.ndarray  # f32 [S, D] (INF pad)
+    in_arc: np.ndarray  # i32 [S, D] (A pad)
+    in_pdf: np.ndarray  # i32 [S, D]
+    max_indeg: int
+    onehot: Optional[np.ndarray]  # f32 [NU, S] (None: gather fallback)
+    sel: Optional[np.ndarray]  # i32 [NU] used pdf ids
+
+
+def _alpha_tables(graph) -> _AlphaTables:
+    cached = getattr(graph, "_alpha_tables_cache", None)
+    if cached is not None:
+        return cached
+    base = graph.base
+    S = base.num_states
+    A = base.num_arcs
+    arc_src = np.asarray(base.arc_src)
+    arc_dst = np.asarray(base.arc_dst)
+    arc_pdf = np.asarray(base.arc_pdf)
+    arc_w = np.asarray(base.arc_weight)
+
+    order = np.argsort(arc_dst, kind="stable")  # ascending arc id per dst
+    dst_sorted = arc_dst[order].astype(np.int64)
+    indeg = np.bincount(dst_sorted, minlength=S)
+    D = max(int(indeg.max()) if A else 1, 1)
+    starts = np.concatenate([[0], np.cumsum(indeg)[:-1]])
+    rank = np.arange(order.size, dtype=np.int64) - starts[dst_sorted]
+    slot = dst_sorted * D + rank
+    in_src = np.zeros(S * D, np.int32)
+    in_w = np.full(S * D, NEG_INF_F32, np.float32)
+    in_arc = np.full(S * D, A, np.int32)
+    in_pdf = np.zeros(S * D, np.int32)
+    in_src[slot] = arc_src[order]
+    in_w[slot] = arc_w[order]
+    in_arc[slot] = order
+    in_pdf[slot] = arc_pdf[order]
+
+    sel, onehot = _onehot_tables(graph)
+
+    tabs = _AlphaTables(
+        in_src=in_src.reshape(S, D),
+        in_weight=in_w.reshape(S, D),
+        in_arc=in_arc.reshape(S, D),
+        in_pdf=in_pdf.reshape(S, D),
+        max_indeg=D,
+        onehot=onehot,
+        sel=sel,
+    )
+    object.__setattr__(graph, "_alpha_tables_cache", tabs)
+    return tabs
+
+
+# in-arc tables above this width would dwarf the forward win (pathological
+# hub graphs); such graphs stay on the backpointer impl
+_ALPHA_MAX_INDEG = 512
+
+
+def _max_indeg(graph) -> int:
+    cached = getattr(graph, "_max_indeg_cache", None)
+    if cached is None:
+        base = graph.base
+        arc_dst = np.asarray(base.arc_dst)
+        cached = (
+            int(np.bincount(arc_dst, minlength=base.num_states).max())
+            if arc_dst.size
+            else 1
+        )
+        object.__setattr__(graph, "_max_indeg_cache", cached)
+    return cached
+
+
+def viterbi_decode_alpha(
+    graph: DeviceGraph,
+    log_probs: jnp.ndarray,
+    acoustic_scale: float = 1.0,
+    lengths: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """viterbi_decode with NO forward arc tracking.
+
+    The forward scan stores each frame's PRE-update alpha [T, B, S] instead
+    of backpointers; the reverse scan recomputes the winning arc of the
+    traced state only — a [B, max_indeg] gather per frame — picking the
+    first (= lowest arc id) candidate achieving the stored minimum.
+    Candidates recompute with the identical f32 expressions, and min is
+    exact, so (arc_trace, final_state, total_cost) are bit-identical to
+    viterbi_decode's. Replaces the forward's two scatter-min passes, the
+    winner-candidate gather, and the [T, B, S] bp write; costs one f32
+    alpha row per frame instead (2x the compact bp bytes). Measured on the
+    flagship graph (TPU v5e, B=512/T=101): the forward is ~2.4x faster but
+    the random-gather backtrace loses the end-to-end race vs the bp path
+    (236.4 vs 143.7 ms) — hence opt-in, not default (reference hot loop:
+    lattice-faster-decoder.cc:714-820)."""
+    base = graph.base
+    tabs = _alpha_tables(graph)
+    in_src = jnp.asarray(tabs.in_src)
+    in_weight = jnp.asarray(tabs.in_weight)
+    in_arc = jnp.asarray(tabs.in_arc)
+    in_pdf = jnp.asarray(tabs.in_pdf)
+    B, T, _P = log_probs.shape
+    am_costs = -acoustic_scale * jnp.swapaxes(log_probs, 0, 1)  # [T, B, P]
+    alpha0 = jnp.broadcast_to(base.init_weight[None, :], (B, base.num_states))
+    ts = jnp.arange(T, dtype=jnp.int32)
+
+    def fwd(alpha, xs):
+        am_t, t = xs
+        new_alpha = _relax_costs(graph, alpha, am_t)
+        if lengths is not None:
+            new_alpha = jnp.where((t < lengths)[:, None], new_alpha, alpha)
+        return new_alpha, alpha  # emit the PRE-frame alpha
+
+    alpha_final, alphas = jax.lax.scan(fwd, alpha0, (am_costs, ts))
+
+    totals = alpha_final + base.final_weight[None, :]
+    final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)
+    total_cost = jnp.take_along_axis(totals, final_state[:, None], axis=1)[
+        :, 0
+    ]
+
+    rows = jnp.arange(B)[:, None]
+    folded = base.src_pdf is not None
+
+    def back(state, xs):
+        alpha_t, am_t, t = xs
+        srcs = in_src[state]  # [B, D]
+        cand = alpha_t[rows, srcs] + in_weight[state]
+        if folded:
+            cand = cand + am_t[rows, base.src_pdf[srcs]]
+        else:
+            cand = cand + am_t[rows, in_pdf[state]]
+        cand = jnp.minimum(cand, INF_COST)
+        j = jnp.argmin(cand, axis=1)  # first min = lowest arc id
+        best = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]
+        arc = jnp.take_along_axis(in_arc[state], j[:, None], axis=1)[:, 0]
+        arc = jnp.where(best >= INF_COST, -1, arc)
+        if lengths is not None:
+            arc = jnp.where(t < lengths, arc, STAY)
+        new_state = jnp.where(
+            arc < 0, state, base.arc_src[jnp.maximum(arc, 0)]
+        )
+        return new_state, arc
+
+    _, arcs = jax.lax.scan(
+        back, final_state, (alphas, am_costs, ts), reverse=True
+    )
+    return arcs.T.astype(jnp.int32), final_state, total_cost
 
 
 def traces_to_words_batch(
@@ -1040,7 +1359,7 @@ def kbest_step(
     A = graph.num_arcs
     # candidate costs for (arc a, prev-rank k): [B, A, K]
     if graph.src_pdf is not None:
-        alpha = alpha + am_cost[:, graph.src_pdf, None]
+        alpha = alpha + _fold_am(graph, am_cost)[:, :, None]
         cand = alpha[:, graph.arc_src, :] + graph.arc_weight[None, :, None]
     else:
         cand = (

@@ -575,6 +575,31 @@ def _make_src_pdf_graph(rng, num_states=16, extra_arcs=50) -> DenseGraph:
     return graph
 
 
+def _hubby_graph(rng, num_states=40, width=2):
+    """src-pdf-folded graph with genuine hub states (in-degree far above
+    any slot width) — shared fixture for the hub-handling paths of the
+    alternative decode implementations (alpha decode, Pallas kernel)."""
+    g = _make_src_pdf_graph(rng, num_states=num_states, extra_arcs=60)
+    hub_arcs = []
+    for hub in (num_states - 1, num_states // 2):
+        for s in range(0, num_states, 2):
+            hub_arcs.append((s, hub))
+    state_pdf = np.zeros(num_states, np.int32)
+    state_pdf[g.arc_src] = g.arc_pdf
+    add_src = np.asarray([a[0] for a in hub_arcs], np.int32)
+    add_dst = np.asarray([a[1] for a in hub_arcs], np.int32)
+    g.arc_src = np.concatenate([g.arc_src, add_src])
+    g.arc_dst = np.concatenate([g.arc_dst, add_dst])
+    g.arc_pdf = np.concatenate([g.arc_pdf, state_pdf[add_src]])
+    g.arc_weight = np.concatenate(
+        [g.arc_weight, rng.rand(len(hub_arcs)).astype(np.float32)]
+    )
+    g.arc_wseq = np.concatenate(
+        [g.arc_wseq, np.zeros(len(hub_arcs), np.int32)]
+    )
+    return g
+
+
 def test_src_pdf_fold_detection():
     from rhasspy_speech_tpu.ops.decoder import _state_pdf
 
