@@ -254,6 +254,10 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
 
                 def tick(i):
                     nonlocal completed, harvested
+                    from rhasspy_speech_tpu.utils.metrics import StageTimer
+
+                    feed_timer = StageTimer("stream_feed")
+                    feed_timer.__enter__()
                     for sid in range(lanes):
                         st = sched.slots[sid]
                         if st.done:
@@ -283,6 +287,7 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                             remaining[sid] -= 1
                             if remaining[sid] == 0:
                                 sched.finish(sid)
+                    feed_timer.__exit__()
                     return sched.step()
 
                 tc = time.time()

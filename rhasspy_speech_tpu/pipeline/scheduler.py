@@ -16,6 +16,7 @@ alpha rows carried between steps.
 from __future__ import annotations
 
 import logging
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import List, Optional, Set, Tuple, Union
@@ -65,41 +66,83 @@ def _pcm_bucket(n: int) -> int:
     return b
 
 
-class _TickBps:
-    """A device tensor transferred to host lazily (bps or alpha).
+class _AsyncFetch:
+    """Device→host copy running in a daemon thread.
 
-    The device→host copy is started asynchronously right after the chunk
-    program is dispatched; ``force()`` materializes the numpy array (a
-    no-op wait when the async copy already landed) and drops the device
-    reference. With endpointing/silence-weighting off, nothing forces the
-    per-tick [chunk, N, S] backpointers until a stream finalizes —
-    steady-state ticks never block on the largest transfer of the serving
-    path, and finalizes read the tick-end alpha from one shared async
-    copy instead of a per-lane device slice dispatch.
+    ``copy_to_host_async()`` + ``is_ready()`` polling is the natural
+    PJRT pattern, but on remote-dispatch transports (the axon tunnel)
+    the async copy wedges the array: ``is_ready()`` never flips true and
+    the eventual blocking read pays orders of magnitude over a plain
+    ``np.asarray`` (measured 300+ ms vs ~30 ms for a [512, 3] f32 — and
+    the stuck transfers back up the transport enough to inflate every
+    H2D upload sharing it). A plain ``np.asarray`` in a thread releases
+    the GIL during the RPC wait, so the tick loop never blocks, the data
+    lands as soon as the device drains, and the transport stays healthy.
+    On backends where ``is_ready()`` never flips without an explicit
+    read (the virtual CPU mesh), the thread IS the read — results land
+    without the tick loop ever forcing one.
+    """
+
+    __slots__ = ("_thread", "_box")
+
+    def __init__(self, dev):
+        self._box: list = [None, None]  # [value, exception]
+        self._thread = threading.Thread(
+            target=self._run, args=(dev,), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, dev) -> None:
+        try:
+            self._box[0] = np.asarray(dev)
+        except BaseException as exc:  # pragma: no cover - device failure
+            self._box[1] = exc
+
+    def ready(self) -> bool:
+        return not self._thread.is_alive()
+
+    def get(self, block: bool = True) -> Optional[np.ndarray]:
+        """The landed array; None when still in flight and not blocking.
+        A fetch-thread exception re-raises here (device errors must not
+        vanish into the background)."""
+        if block:
+            self._thread.join()
+        elif self._thread.is_alive():
+            return None
+        if self._box[1] is not None:
+            raise self._box[1]
+        return self._box[0]
+
+
+class _TickBps:
+    """A device tensor transferred to host in the background (bps or
+    alpha) via ``_AsyncFetch``; ``force()`` materializes the numpy array
+    (a no-op wait when the background copy already landed) and drops the
+    device reference. With endpointing/silence-weighting off, nothing
+    forces the per-tick [chunk, N, S] backpointers until a stream
+    finalizes — steady-state ticks never block on the largest transfer
+    of the serving path, and finalizes read the tick-end alpha from one
+    shared background copy instead of a per-lane device slice dispatch.
 
     ``encoded`` marks uint16 ``bp + 3`` packing (0 = inactive lane frame,
     1 = STAY, 2 = dead; arc ids ≤ 65532): half the transfer bytes of the
     int32 form whenever the graph fits.
     """
 
-    __slots__ = ("_dev", "_np", "encoded")
+    __slots__ = ("_fetch", "_np", "encoded")
 
     def __init__(self, dev, encoded: bool = False):
-        self._dev = dev
+        self._fetch = _AsyncFetch(dev)
         self._np = None
         self.encoded = encoded
-        try:
-            dev.copy_to_host_async()
-        except Exception:  # pragma: no cover - non-jax arrays in tests
-            pass
 
     def force(self) -> np.ndarray:
         if self._np is None:
-            arr = np.asarray(self._dev)
+            arr = self._fetch.get()
             if self.encoded:
                 arr = arr.astype(np.int32) - 3
             self._np = arr
-            self._dev = None
+            self._fetch = None
         return self._np
 
 
@@ -1146,7 +1189,7 @@ class StreamScheduler:
         meta[:, 5] = has_new
         if self._ivp is not None:
             meta[:, 6] = self._iv_pending_n
-        with StageTimer("stream_chunk", metrics):
+        with StageTimer("stream_upload", metrics):
             if self._lane_spec is not None:
                 pcm_dev = jax.device_put(
                     pcm_batch, self._lane_spec(pcm_batch)
@@ -1155,6 +1198,7 @@ class StreamScheduler:
             else:
                 pcm_dev = jnp.asarray(pcm_batch)
                 meta_dev = jnp.asarray(meta)
+        with StageTimer("stream_chunk", metrics):
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
@@ -1188,6 +1232,8 @@ class StreamScheduler:
             # everything passed this tick was folded into gamma/X — clear
             # so nothing is double-counted next tick
             self._iv_pending_n[:] = 0
+        book_timer = StageTimer("stream_book", metrics)
+        book_timer.__enter__()
         for sid, state in enumerate(self.slots):
             k = int(n_valid[sid])
             if k <= 0:
@@ -1210,16 +1256,13 @@ class StreamScheduler:
                 and state.frames_consumed >= int(self._feat_counts[sid])
             ):
                 flushed.append(sid)
+        book_timer.__exit__()
         if self._ep_device:
-            try:
-                ep_stats.copy_to_host_async()
-            except Exception:  # pragma: no cover
-                pass
             # applied next tick, guarded by slot generation; out_frames
             # snapshot AFTER this tick so utterance_length matches the
             # alpha the stats were computed from
             self._ep_stats_prev = (
-                ep_stats,
+                _AsyncFetch(ep_stats),
                 [s.gen for s in self.slots],
                 np.array(
                     [s.out_frames for s in self.slots], dtype=np.int64
@@ -1655,11 +1698,14 @@ class StreamScheduler:
                 self._drain_features_all()
         # device endpoint lane: apply the PREVIOUS tick's landed signal
         # stats (detection lags one chunk; never blocks on the device)
-        ep_fired: Set[int] = (
-            self._apply_endpoint_stats()
-            if self._ep_device and self._ep_stats_prev is not None
-            else set()
-        )
+        with StageTimer("stream_ep_apply", metrics):
+            ep_fired: Set[int] = (
+                self._apply_endpoint_stats()
+                if self._ep_device and self._ep_stats_prev is not None
+                else set()
+            )
+        ready_timer = StageTimer("stream_ready", metrics)
+        ready_timer.__enter__()
         for sid, state in enumerate(self.slots):
             if not state.active or state.done:
                 continue
@@ -1720,6 +1766,7 @@ class StreamScheduler:
             chunk_t0[sid] = t0
             chunk_have[sid] = have
 
+        ready_timer.__exit__()
         lanes = int((n_valid > 0).sum())
         if device_feats:
             if lanes:
@@ -1807,11 +1854,7 @@ class StreamScheduler:
                 if self._iv_inline:
                     self._iv_carry = iv_carry
                 if self._ep_device:
-                    try:
-                        ep_stats.copy_to_host_async()
-                    except Exception:  # pragma: no cover
-                        pass
-                    self._ep_tick_stats = ep_stats
+                    self._ep_tick_stats = _AsyncFetch(ep_stats)
                 else:
                     self._ep_tick_stats = None
                 if self._sw_device:
@@ -1986,28 +2029,31 @@ class StreamScheduler:
         device-computed [N, 3] signals (trailing-silence frames,
         contains-nonsilence, relative final cost). Slots recycled since
         the stats were computed are skipped via the generation guard."""
-        stats_dev, gens, out_snap = self._ep_stats_prev
-        # Non-blocking: if the async stats copy hasn't landed (the device
-        # is still working through the previous tick's queue), skip the
-        # apply — a fresher row replaces this one at the end of the
-        # tick, so endpoint detection briefly lags instead of the host
-        # serializing against the whole device queue (measured 108-158
-        # ms/tick blocked here at 512 lanes). ``_ep_stats_deferred``
-        # counts CONSECUTIVE skips and forces a blocking read at 3:
-        # under sustained device saturation the rules still run at
-        # least every 4th tick (no endpoint starvation into the ring
-        # quarantine), and on backends where is_ready() never flips
-        # without an explicit read (the 8-virtual-device CPU mesh) a
-        # drained stream still sees its trailing-silence signals.
-        try:
-            if not stats_dev.is_ready() and self._ep_stats_deferred < 3:
-                self._ep_stats_deferred += 1
-                return set()
-        except AttributeError:  # pragma: no cover - non-jax array
-            pass
+        stats_fetch, gens, out_snap = self._ep_stats_prev
+        # Non-blocking: if the background stats copy hasn't landed (the
+        # device is still working through the previous tick's queue),
+        # skip the apply — a fresher row replaces this one at the end of
+        # the tick, so endpoint detection briefly lags instead of the
+        # host serializing against the whole device queue (measured
+        # 108-158 ms/tick blocked here at 512 lanes before the fetch
+        # thread; 78 ms/tick with is_ready gating + forced reads on the
+        # remote-dispatch transport). ``_ep_stats_deferred`` counts
+        # CONSECUTIVE skips and forces a blocking join at 3: under
+        # sustained device saturation the rules still run at least every
+        # 4th tick (no endpoint starvation into the ring quarantine).
+        # The fetch thread itself performs the read, so every backend —
+        # including ones where nothing lands without an explicit read
+        # (the 8-virtual-device CPU mesh) — converges without the tick
+        # loop blocking.
+        if isinstance(stats_fetch, _AsyncFetch):
+            stats = stats_fetch.get(block=self._ep_stats_deferred >= 3)
+        else:  # pragma: no cover - direct numpy in unit tests
+            stats = np.asarray(stats_fetch)
+        if stats is None:
+            self._ep_stats_deferred += 1
+            return set()
         self._ep_stats_deferred = 0
         self._ep_stats_prev = None
-        stats = np.asarray(stats_dev)  # landed, or forced after deferral
         fired: Set[int] = set()
         out_frame_sec = self.am.subsampling * self._frame_shift / 16000.0
         for sid, state in enumerate(self.slots):
@@ -2089,18 +2135,14 @@ class StreamScheduler:
             # backtrace ([N, F + 2] packed rows) — no separate finalize
             # dispatch, no cross-program ring handoff. Row index == sid.
             with StageTimer("stream_fin_trace", get_metrics()):
-                packed = self._tick_packed
-                try:
-                    packed.copy_to_host_async()
-                except Exception:  # pragma: no cover
-                    pass
                 frames = np.asarray(
                     [self.slots[s].out_frames for s in todo],
                     dtype=np.int32,
                 )
                 gens = [self.slots[s_].gen for s_ in todo]
                 self._pending_finalize.append(
-                    (todo, gens, frames, packed, list(todo))
+                    (todo, gens, frames, _AsyncFetch(self._tick_packed),
+                     list(todo))
                 )
             return
         # no fused tick ran this step (drain-out / endpoint on an idle
@@ -2131,37 +2173,33 @@ class StreamScheduler:
                     ),
                     (self._ring, self._alpha, jnp.asarray(fin_meta)),
                 )
-            try:
-                # start the (single, packed) D2H copy now: the harvest
-                # then reads landed data instead of paying a blocking
-                # round trip
-                packed.copy_to_host_async()
-            except Exception:  # pragma: no cover
-                pass
+            # start the (single, packed) background D2H now: the harvest
+            # then reads landed data instead of paying a blocking round
+            # trip
             gens = [self.slots[s_].gen for s_ in group]
             self._pending_finalize.append(
-                (group, gens, frames, packed, list(range(len(group))))
+                (group, gens, frames, _AsyncFetch(packed),
+                 list(range(len(group))))
             )
 
     def _harvest_finalizes(self, block: bool = True) -> None:
         """Assemble words for dispatched finalize traces. With
-        ``block=False`` only traces whose async D2H copy has landed are
-        assembled (checked via ``is_ready()``); the rest stay pending —
-        the serving tick never waits on the device, and ``poll()``
-        forces the remainder."""
+        ``block=False`` only traces whose background D2H copy has landed
+        are assembled; the rest stay pending — the serving tick never
+        waits on the device, and ``poll()`` forces the remainder."""
         graph = self.graph
         pending, self._pending_finalize = self._pending_finalize, []
         for entry in pending:
             group, gens, frames, packed_d, rows = entry
-            if not block:
-                try:
-                    if not packed_d.is_ready():
-                        self._pending_finalize.append(entry)
-                        continue
-                except AttributeError:  # pragma: no cover - non-jax array
-                    pass
-            with StageTimer("stream_fin_wait", get_metrics()):
-                packed = np.asarray(packed_d)
+            if isinstance(packed_d, _AsyncFetch):
+                with StageTimer("stream_fin_wait", get_metrics()):
+                    packed = packed_d.get(block=block)
+                if packed is None:
+                    self._pending_finalize.append(entry)
+                    continue
+            else:  # pragma: no cover - direct numpy in unit tests
+                with StageTimer("stream_fin_wait", get_metrics()):
+                    packed = np.asarray(packed_d)
             arcs = packed[:, :-2]
             fstates = packed[:, -2]
             costs = packed[:, -1:].view(np.float32)[:, 0]

@@ -267,7 +267,7 @@ def test_device_endpoint_signals_match_host_walk(profile_and_train):  # noqa: F8
         sched.step()
         if sched._ep_stats_prev is None:
             continue
-        stats = np.asarray(sched._ep_stats_prev[0])
+        stats = sched._ep_stats_prev[0].get()  # _AsyncFetch: join + array
         T = int(sched._ep_stats_prev[2][sid])
         if T <= 0 or T > n_out:
             continue
