@@ -305,9 +305,18 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 from rhasspy_speech_tpu.utils.metrics import reset_metrics
 
                 stage_metrics = reset_metrics()
+                # BENCH_SERIAL=1: block on the device after every tick —
+                # tick time becomes host + device fully serialized, so
+                # (serial - async) exposes how much pipelining hides and
+                # (serial - host stages) is the true device time/tick
+                serial = os.environ.get("BENCH_SERIAL", "0") == "1"
                 t0 = time.time()
                 for i in range(warm, warm + n_meas):
                     active_total += tick(i)
+                    if serial:
+                        import jax as _jax
+
+                        _jax.block_until_ready(sched._alpha)
                 # Ticks dispatch asynchronously and finalize harvests are
                 # readiness-gated, so drain everything still in flight
                 # INSIDE the measured wall — otherwise the loop above

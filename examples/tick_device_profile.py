@@ -1,0 +1,196 @@
+"""Isolate the fused serving tick's DEVICE execute time from transport.
+
+The streaming bench measures wall time per tick, which folds together
+host bookkeeping, H2D uploads, tunnel dispatch latency, device execute,
+and D2H harvests. This probe separates them at flagship scale:
+
+  A. fused-program throughput: M back-to-back dispatches of
+     ``_batch_chunk_fused`` with rethreaded donated state, one block at
+     the end -> device execute per tick (dispatch overhead pipelined)
+  B. H2D upload cost: device_put of the tick's two uploads, blocked
+  C. tunnel round trip: tiny transfer, blocked
+
+Usage: python examples/tick_device_profile.py [lanes] [M]
+(env knobs from bench.py apply: BENCH_CHUNK_OUT, BENCH_PDFS, ...)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench  # noqa: E402  (repo-root bench.py: graph + flagship builders)
+
+
+def main():
+    lanes = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    M = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    import jax
+
+    bench._init_devices_or_die(600.0)
+    from rhasspy_speech_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import shutil
+    import tempfile
+
+    from rhasspy_speech_tpu.ops.decoder import make_decode_graph
+    from rhasspy_speech_tpu.pipeline.artifacts import LangArtifacts
+    from rhasspy_speech_tpu.pipeline.endpoint import EndpointConfig
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.testing.flagship import write_flagship_model_dir
+
+    graph, g_fuzzy, lang, tree_pdfs = bench.build_graph_and_fuzzy()
+    graph.num_pdfs = max(bench.NUM_PDFS, tree_pdfs)
+    make_decode_graph(graph)
+
+    workdir = tempfile.mkdtemp(prefix="rstpu_prof_")
+    try:
+        max_phone = max(
+            pid for (p, pid) in lang.phones if pid != 0 and not p.startswith("#")
+        )
+        model_dir = write_flagship_model_dir(
+            os.path.join(workdir, "model"),
+            num_pdfs=graph.num_pdfs,
+            max_phone=max_phone,
+            hidden_dim=bench.HIDDEN,
+            num_tdnnf_layers=bench.LAYERS,
+            ivector_dim=bench.IVEC_DIM,
+            ubm_gauss=bench.UBM_GAUSS,
+        )
+        graph_dir = os.path.join(workdir, "graph")
+        LangArtifacts(
+            words=lang.words, g_fuzzy=g_fuzzy, graph=graph, phones=lang.phones
+        ).save(graph_dir)
+
+        chunk_out = int(os.environ.get("BENCH_CHUNK_OUT", "7"))
+        CHUNK = chunk_out * 3 * 160
+        sched = StreamScheduler(
+            model_dir,
+            graph_dir,
+            max_streams=lanes,
+            max_fuzzy_cost=1.0,
+            pool_capacity_samples=int(16000 * (bench.SECONDS + 2)),
+            chunk_out_frames=chunk_out,
+            endpointing=EndpointConfig(),
+        )
+        assert sched._device_feats, "probe assumes the fused device tick"
+        rng = np.random.RandomState(1)
+        pcm = np.round(1000.0 * rng.randn(CHUNK)).astype(np.float32)
+        for _ in range(lanes):
+            sid = sched.open_stream()
+            sched.feed(sid, pcm)
+            sched.feed(sid, pcm)
+        # warm: compile the fused program + feature feed
+        for i in range(4):
+            for sid in range(lanes):
+                sched.feed(sid, pcm)
+            sched.step()
+        jax.block_until_ready(sched._alpha)
+
+        N = sched.max_streams
+        pcm_batch = np.tile(
+            np.round(1000.0 * rng.randn(CHUNK)).astype(np.int16), (N, 1)
+        )
+        meta = np.zeros((N, 7), dtype=np.int32)
+        meta[:, 0] = chunk_out  # n_valid: every lane decodes a full chunk
+        meta[:, 2] = 8  # t0
+        meta[:, 3] = 64  # have
+        meta[:, 4] = 40  # feat-ring write offset
+        meta[:, 5] = 1  # has_new
+        meta[:, 6] = sched._chunk_in
+
+        # --- C. tunnel round trip (tiny transfer, blocked) ---------------
+        import jax.numpy as jnp
+
+        tiny = jnp.zeros((4,), jnp.float32) + 1.0
+        jax.block_until_ready(tiny)
+        t0 = time.time()
+        for _ in range(10):
+            jax.block_until_ready(tiny + 1.0)
+        rtt_ms = (time.time() - t0) / 10 * 1000.0
+
+        # --- B. H2D upload cost ------------------------------------------
+        t0 = time.time()
+        for _ in range(10):
+            pd = jax.device_put(pcm_batch)
+            md = jax.device_put(meta)
+            jax.block_until_ready((pd, md))
+        h2d_ms = (time.time() - t0) / 10 * 1000.0
+
+        # --- A. fused-program device throughput ---------------------------
+        pcm_dev = jax.device_put(pcm_batch)
+        meta_dev = jax.device_put(meta)
+        jax.block_until_ready((pcm_dev, meta_dev))
+        state = (
+            sched._alpha, sched._iv_gamma, sched._iv_X,
+            sched._iv_carry if sched._iv_inline else sched._iv_dummy,
+            sched._am_state, sched._ring, sched._feats_ring, sched._offs,
+            sched._sw_w, sched._cum_ring,
+        )
+
+        def dispatch(st):
+            (alpha, gamma, X, ivw, am_state, ring, feats_ring, offs,
+             sw_w, cum_ring) = st
+            out = sched._batch_chunk_fused(
+                alpha, pcm_dev, meta_dev, gamma, X, ivw, am_state, ring,
+                feats_ring, offs, sw_w, cum_ring,
+            )
+            (alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
+             packed, ep_stats, sw_w, feats_ring, cum_ring) = out
+            ivw2 = iv_carry if sched._iv_inline else sched._iv_dummy
+            sw2 = sw_w if sched._sw_device else sched._sw_w
+            return (
+                (alpha, gamma, X, ivw2, am_state, ring, feats_ring, offs,
+                 sw2, cum_ring),
+                packed, ep_stats,
+            )
+
+        # warm this exact call signature (donation pattern identical)
+        state, packed, ep_stats = dispatch(state)
+        jax.block_until_ready(state[0])
+        t0 = time.time()
+        for _ in range(M):
+            state, packed, ep_stats = dispatch(state)
+        jax.block_until_ready(state[0])
+        exec_ms = (time.time() - t0) / M * 1000.0
+
+        # --- A2: same but pull the ep stats + packed each tick, in threads
+        import threading
+
+        def fetch(arr, box, i):
+            box[i] = np.asarray(arr)
+
+        t0 = time.time()
+        threads = []
+        for _ in range(M):
+            state, packed, ep_stats = dispatch(state)
+            box = [None, None]
+            th1 = threading.Thread(target=fetch, args=(ep_stats, box, 0), daemon=True)
+            th2 = threading.Thread(target=fetch, args=(packed, box, 1), daemon=True)
+            th1.start(); th2.start()
+            threads.append((th1, th2))
+        jax.block_until_ready(state[0])
+        for th1, th2 in threads:
+            th1.join(); th2.join()
+        exec_fetch_ms = (time.time() - t0) / M * 1000.0
+
+        chunk_sec = CHUNK / 16000.0
+        print(
+            f"lanes={lanes} chunk_out={chunk_out} chunk={chunk_sec*1000:.0f}ms  "
+            f"rtt={rtt_ms:.1f}ms  h2d(pcm+meta)={h2d_ms:.1f}ms\n"
+            f"fused exec/tick: {exec_ms:.1f} ms  (device-bound chunk-RTF "
+            f"{exec_ms/1000/chunk_sec:.3f}, {lanes*chunk_sec*1000/exec_ms:.0f} xRT)\n"
+            f"fused exec + bg fetch (ep_stats+packed): {exec_fetch_ms:.1f} ms"
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
