@@ -256,38 +256,39 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     nonlocal completed, harvested
                     from rhasspy_speech_tpu.utils.metrics import StageTimer
 
-                    feed_timer = StageTimer("stream_feed")
-                    feed_timer.__enter__()
-                    for sid in range(lanes):
-                        st = sched.slots[sid]
-                        if st.done:
-                            # Harvest the result BEFORE recycling the slot
-                            # (closing bumps the slot generation and would
-                            # drop the pending device finalize — its word
-                            # assembly + fuzzy tail must stay in the
-                            # measured loop). Strictly non-blocking: a
-                            # slot whose device trace hasn't landed yet
-                            # (result None) just waits another tick — a
-                            # blocking poll here would serialize the host
-                            # against the device queue (a real server
-                            # polls the same way).
-                            if sched.poll(sid, block=False) is None:
-                                continue
-                            harvested += 1
-                            sched.close(sid)
-                            nsid = sched.open_stream()
-                            remaining[nsid] = utt_ticks
-                            sched.feed(nsid, pcm_pool[i % len(pcm_pool)])
-                            sched.feed(nsid, pcm_pool[(i + 1) % len(pcm_pool)])
-                            completed += 1
-                        elif remaining[sid] > 0:
-                            sched.feed(
-                                sid, pcm_pool[(sid + i) % len(pcm_pool)]
-                            )
-                            remaining[sid] -= 1
-                            if remaining[sid] == 0:
-                                sched.finish(sid)
-                    feed_timer.__exit__()
+                    with StageTimer("stream_feed"):
+                        for sid in range(lanes):
+                            st = sched.slots[sid]
+                            if st.done:
+                                # Harvest the result BEFORE recycling the
+                                # slot (closing bumps the slot generation
+                                # and would drop the pending device
+                                # finalize — its word assembly + fuzzy
+                                # tail must stay in the measured loop).
+                                # Strictly non-blocking: a slot whose
+                                # device trace hasn't landed yet (result
+                                # None) just waits another tick — a
+                                # blocking poll here would serialize the
+                                # host against the device queue (a real
+                                # server polls the same way).
+                                if sched.poll(sid, block=False) is None:
+                                    continue
+                                harvested += 1
+                                sched.close(sid)
+                                nsid = sched.open_stream()
+                                remaining[nsid] = utt_ticks
+                                sched.feed(nsid, pcm_pool[i % len(pcm_pool)])
+                                sched.feed(
+                                    nsid, pcm_pool[(i + 1) % len(pcm_pool)]
+                                )
+                                completed += 1
+                            elif remaining[sid] > 0:
+                                sched.feed(
+                                    sid, pcm_pool[(sid + i) % len(pcm_pool)]
+                                )
+                                remaining[sid] -= 1
+                                if remaining[sid] == 0:
+                                    sched.finish(sid)
                     return sched.step()
 
                 tc = time.time()

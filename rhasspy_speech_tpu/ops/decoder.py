@@ -994,8 +994,6 @@ class _AlphaTables:
     in_arc: np.ndarray  # i32 [S, D] (A pad)
     in_pdf: np.ndarray  # i32 [S, D]
     max_indeg: int
-    onehot: Optional[np.ndarray]  # f32 [NU, S] (None: gather fallback)
-    sel: Optional[np.ndarray]  # i32 [NU] used pdf ids
 
 
 def _alpha_tables(graph) -> _AlphaTables:
@@ -1026,16 +1024,12 @@ def _alpha_tables(graph) -> _AlphaTables:
     in_arc[slot] = order
     in_pdf[slot] = arc_pdf[order]
 
-    sel, onehot = _onehot_tables(graph)
-
     tabs = _AlphaTables(
         in_src=in_src.reshape(S, D),
         in_weight=in_w.reshape(S, D),
         in_arc=in_arc.reshape(S, D),
         in_pdf=in_pdf.reshape(S, D),
         max_indeg=D,
-        onehot=onehot,
-        sel=sel,
     )
     object.__setattr__(graph, "_alpha_tables_cache", tabs)
     return tabs
@@ -1113,11 +1107,20 @@ def viterbi_decode_alpha(
     def back(state, xs):
         alpha_t, am_t, t = xs
         srcs = in_src[state]  # [B, D]
-        cand = alpha_t[rows, srcs] + in_weight[state]
         if folded:
-            cand = cand + am_t[rows, base.src_pdf[srcs]]
+            # match the forward's association exactly: the forward folds
+            # am into alpha FIRST (fl(fl(alpha+am)+w), _relax_costs), and
+            # f32 addition is non-associative — recomputing as
+            # (alpha+w)+am could pick a different argmin on tie-adjacent
+            # candidates and break the documented bit-identical arc_trace
+            # parity with the bp path
+            cand = (
+                alpha_t[rows, srcs] + am_t[rows, base.src_pdf[srcs]]
+            ) + in_weight[state]
         else:
-            cand = cand + am_t[rows, in_pdf[state]]
+            cand = (
+                alpha_t[rows, srcs] + in_weight[state]
+            ) + am_t[rows, in_pdf[state]]
         cand = jnp.minimum(cand, INF_COST)
         j = jnp.argmin(cand, axis=1)  # first min = lowest arc id
         best = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]

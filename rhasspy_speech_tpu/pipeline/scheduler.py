@@ -66,8 +66,51 @@ def _pcm_bucket(n: int) -> int:
     return b
 
 
+class _FetchPool:
+    """Small persistent pool of daemon fetch workers.
+
+    A steady-state serving tick issues up to three D2H copies (tick bps,
+    ep stats, finalize packed); spawning a fresh thread per transfer adds
+    creation overhead and unbounded thread churn at high tick rates or
+    under device stalls. The workers are daemon threads on purpose: a
+    wedged transport RPC at interpreter exit must not hang the process
+    (an Executor's non-daemon workers would)."""
+
+    def __init__(self, workers: int = 4):
+        import queue
+
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        for _ in range(workers):
+            threading.Thread(target=self._run, daemon=True).start()
+
+    def _run(self) -> None:
+        while True:
+            dev, box, ev = self._q.get()
+            try:
+                box[0] = np.asarray(dev)
+            except BaseException as exc:  # pragma: no cover - device failure
+                box[1] = exc
+            ev.set()
+
+    def submit(self, dev):
+        box: list = [None, None]  # [value, exception]
+        ev = threading.Event()
+        self._q.put((dev, box, ev))
+        return box, ev
+
+
+_FETCH_POOL: Optional[_FetchPool] = None
+
+
+def _fetch_pool() -> _FetchPool:
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        _FETCH_POOL = _FetchPool()
+    return _FETCH_POOL
+
+
 class _AsyncFetch:
-    """Device→host copy running in a daemon thread.
+    """Device→host copy running on the persistent fetch pool.
 
     ``copy_to_host_async()`` + ``is_ready()`` polling is the natural
     PJRT pattern, but on remote-dispatch transports (the axon tunnel)
@@ -75,39 +118,29 @@ class _AsyncFetch:
     the eventual blocking read pays orders of magnitude over a plain
     ``np.asarray`` (measured 300+ ms vs ~30 ms for a [512, 3] f32 — and
     the stuck transfers back up the transport enough to inflate every
-    H2D upload sharing it). A plain ``np.asarray`` in a thread releases
-    the GIL during the RPC wait, so the tick loop never blocks, the data
-    lands as soon as the device drains, and the transport stays healthy.
-    On backends where ``is_ready()`` never flips without an explicit
-    read (the virtual CPU mesh), the thread IS the read — results land
-    without the tick loop ever forcing one.
+    H2D upload sharing it). A plain ``np.asarray`` on a worker thread
+    releases the GIL during the RPC wait, so the tick loop never blocks,
+    the data lands as soon as the device drains, and the transport stays
+    healthy. On backends where ``is_ready()`` never flips without an
+    explicit read (the virtual CPU mesh), the worker IS the read —
+    results land without the tick loop ever forcing one.
     """
 
-    __slots__ = ("_thread", "_box")
+    __slots__ = ("_box", "_event")
 
     def __init__(self, dev):
-        self._box: list = [None, None]  # [value, exception]
-        self._thread = threading.Thread(
-            target=self._run, args=(dev,), daemon=True
-        )
-        self._thread.start()
-
-    def _run(self, dev) -> None:
-        try:
-            self._box[0] = np.asarray(dev)
-        except BaseException as exc:  # pragma: no cover - device failure
-            self._box[1] = exc
+        self._box, self._event = _fetch_pool().submit(dev)
 
     def ready(self) -> bool:
-        return not self._thread.is_alive()
+        return self._event.is_set()
 
     def get(self, block: bool = True) -> Optional[np.ndarray]:
         """The landed array; None when still in flight and not blocking.
-        A fetch-thread exception re-raises here (device errors must not
+        A fetch-worker exception re-raises here (device errors must not
         vanish into the background)."""
         if block:
-            self._thread.join()
-        elif self._thread.is_alive():
+            self._event.wait()
+        elif not self._event.is_set():
             return None
         if self._box[1] is not None:
             raise self._box[1]
@@ -1232,31 +1265,29 @@ class StreamScheduler:
             # everything passed this tick was folded into gamma/X — clear
             # so nothing is double-counted next tick
             self._iv_pending_n[:] = 0
-        book_timer = StageTimer("stream_book", metrics)
-        book_timer.__enter__()
-        for sid, state in enumerate(self.slots):
-            k = int(n_valid[sid])
-            if k <= 0:
-                continue
-            state.out_frames += k
-            if self._ivp is not None:
-                t0 = int(chunk_t0[sid])
-                self._iv_pending_n[sid] = max(
-                    0, min(self._chunk_in, int(chunk_have[sid]) - t0)
+        with StageTimer("stream_book", metrics):
+            for sid, state in enumerate(self.slots):
+                k = int(n_valid[sid])
+                if k <= 0:
+                    continue
+                state.out_frames += k
+                if self._ivp is not None:
+                    t0 = int(chunk_t0[sid])
+                    self._iv_pending_n[sid] = max(
+                        0, min(self._chunk_in, int(chunk_have[sid]) - t0)
+                    )
+                state.frames_consumed += self._chunk_in
+                fin = (
+                    bool(self._fin_snap[sid])
+                    if self._fin_snap is not None
+                    else self.pool.is_finished(sid)
                 )
-            state.frames_consumed += self._chunk_in
-            fin = (
-                bool(self._fin_snap[sid])
-                if self._fin_snap is not None
-                else self.pool.is_finished(sid)
-            )
-            if (
-                fin
-                and state.flushed_feats
-                and state.frames_consumed >= int(self._feat_counts[sid])
-            ):
-                flushed.append(sid)
-        book_timer.__exit__()
+                if (
+                    fin
+                    and state.flushed_feats
+                    and state.frames_consumed >= int(self._feat_counts[sid])
+                ):
+                    flushed.append(sid)
         if self._ep_device:
             # applied next tick, guarded by slot generation; out_frames
             # snapshot AFTER this tick so utterance_length matches the
@@ -1704,69 +1735,72 @@ class StreamScheduler:
                 if self._ep_device and self._ep_stats_prev is not None
                 else set()
             )
-        ready_timer = StageTimer("stream_ready", metrics)
-        ready_timer.__enter__()
-        for sid, state in enumerate(self.slots):
-            if not state.active or state.done:
-                continue
-            if sid in self._quarantined:
-                # ring-capacity quarantine (see _quarantine): finalize
-                # with whatever decoded so far, keep the tick alive
-                flushed.append(sid)
-                continue
-            if sid in ep_fired:
-                _LOGGER.debug("endpoint fired for stream %d", sid)
-                flushed.append(sid)
-                continue
-            t0 = state.frames_consumed
-            have = (
-                int(self._feat_counts[sid])
-                if device_feats
-                else state.feats.shape[0]
-            )
-            finished = (
-                bool(self._fin_snap[sid])
-                if device_feats and self._fin_snap is not None
-                else self.pool.is_finished(sid)
-            )
-            ready = have >= t0 + self._chunk_in + max(self._win_hi - self._chunk_in, 0)
-            if not ready and not (finished and state.flushed_feats and t0 < have):
-                if finished and state.flushed_feats and t0 >= have:
+        with StageTimer("stream_ready", metrics):
+            for sid, state in enumerate(self.slots):
+                if not state.active or state.done:
+                    continue
+                if sid in self._quarantined:
+                    # ring-capacity quarantine (see _quarantine): finalize
+                    # with whatever decoded so far, keep the tick alive
                     flushed.append(sid)
-                continue
-            if not device_feats:
-                idx = np.clip(
-                    np.arange(t0 + self._win_lo, t0 + self._win_hi), 0,
-                    max(have - 1, 0),
+                    continue
+                if sid in ep_fired:
+                    _LOGGER.debug("endpoint fired for stream %d", sid)
+                    flushed.append(sid)
+                    continue
+                t0 = state.frames_consumed
+                have = (
+                    int(self._feat_counts[sid])
+                    if device_feats
+                    else state.feats.shape[0]
                 )
-                windows[sid] = state.feats[idx]
-            real_out = min(
-                self._chunk_out,
-                max(0, -(-(have - t0) // self.am.subsampling)),
-            )
-            if not finished:
-                real_out = self._chunk_out  # full chunk guaranteed by `ready`
-            if (
-                self._device_bp
-                and state.out_frames + real_out > self._ring_frames
-            ):
-                # The device bp ring is sized from the pool capacity (it
-                # bounds un-consumed audio, not stream length); a stream
-                # decoded past it would clamp-overwrite its newest trace
-                # rows and finalize to a silently wrong transcript.
-                # Quarantine the lane (loud log + error, finalize with
-                # the frames decoded so far) — mirrors the feature-ring
-                # guard; raising here would abort every other lane's tick.
-                self._quarantine(
-                    sid, "backpointer ring", self._ring_frames
+                finished = (
+                    bool(self._fin_snap[sid])
+                    if device_feats and self._fin_snap is not None
+                    else self.pool.is_finished(sid)
                 )
-                flushed.append(sid)
-                continue
-            n_valid[sid] = real_out
-            chunk_t0[sid] = t0
-            chunk_have[sid] = have
+                ready = have >= t0 + self._chunk_in + max(
+                    self._win_hi - self._chunk_in, 0
+                )
+                if not ready and not (
+                    finished and state.flushed_feats and t0 < have
+                ):
+                    if finished and state.flushed_feats and t0 >= have:
+                        flushed.append(sid)
+                    continue
+                if not device_feats:
+                    idx = np.clip(
+                        np.arange(t0 + self._win_lo, t0 + self._win_hi), 0,
+                        max(have - 1, 0),
+                    )
+                    windows[sid] = state.feats[idx]
+                real_out = min(
+                    self._chunk_out,
+                    max(0, -(-(have - t0) // self.am.subsampling)),
+                )
+                if not finished:
+                    real_out = self._chunk_out  # full chunk by `ready`
+                if (
+                    self._device_bp
+                    and state.out_frames + real_out > self._ring_frames
+                ):
+                    # The device bp ring is sized from the pool capacity
+                    # (it bounds un-consumed audio, not stream length); a
+                    # stream decoded past it would clamp-overwrite its
+                    # newest trace rows and finalize to a silently wrong
+                    # transcript. Quarantine the lane (loud log + error,
+                    # finalize with the frames decoded so far) — mirrors
+                    # the feature-ring guard; raising here would abort
+                    # every other lane's tick.
+                    self._quarantine(
+                        sid, "backpointer ring", self._ring_frames
+                    )
+                    flushed.append(sid)
+                    continue
+                n_valid[sid] = real_out
+                chunk_t0[sid] = t0
+                chunk_have[sid] = have
 
-        ready_timer.__exit__()
         lanes = int((n_valid > 0).sum())
         if device_feats:
             if lanes:
