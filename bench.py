@@ -53,11 +53,13 @@ DTYPE = os.environ.get("BENCH_DTYPE", "")  # "bfloat16" = MXU-native AM
 # Sweep: RTF<0.1 candidates first (small), then throughput candidates.
 # Batches past ~1024 exhaust HBM with this AM (the [B, T, 3072] posterior
 # tensor plus forward temps); infeasible points are recorded, not fatal.
+# BENCH_BATCHES="" skips the batch sweep entirely (streaming-only runs)
 BATCHES = [
     int(b)
     for b in os.environ.get(
         "BENCH_BATCHES", "128,256,320,384,512,1024"
     ).split(",")
+    if b.strip()
 ]
 
 
@@ -198,17 +200,17 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
             words=lang.words, g_fuzzy=g_fuzzy, graph=graph, phones=lang.phones
         ).save(graph_dir)
 
-        chunk_out = int(os.environ.get("BENCH_CHUNK_OUT", "7"))
-        CHUNK = chunk_out * 3 * 160  # one decode chunk of audio
-        chunk_sec = CHUNK / 16000.0
-        utt_ticks = max(2, int(round(SECONDS * 16000 / CHUNK)))
-        rng = np.random.RandomState(1)
-        # integral samples, like real 16-bit PCM (enables the scheduler's
-        # half-width int16 upload path)
-        pcm_pool = [
-            np.round(1000.0 * rng.randn(CHUNK)).astype(np.float32)
-            for _ in range(16)
-        ]
+        chunk_env = os.environ.get("BENCH_CHUNK_OUT", "auto")
+
+        def pick_chunk_out(lanes: int) -> int:
+            """Scale the decode chunk with lane count: every per-tick
+            fixed cost (transport RPCs, host bookkeeping, forced stats
+            joins) amortizes over 2-3x the audio. Endpoint detection lag
+            grows to one chunk = 0.42/0.63 s — still far inside the
+            reference's 5 s rule-1 default (online-endpoint.h:88-127)."""
+            if chunk_env != "auto":
+                return int(chunk_env)
+            return 7 if lanes < 256 else (14 if lanes < 512 else 21)
 
         # Endpointing active by default (the product's serving shape):
         # rides the device endpoint lane — per-state trailing-silence DP
@@ -223,6 +225,18 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
         points = []
         for lanes in lanes_list:
             try:
+                chunk_out = pick_chunk_out(lanes)
+                CHUNK = chunk_out * 3 * 160  # one decode chunk of audio
+                chunk_sec = CHUNK / 16000.0
+                utt_ticks = max(2, int(round(SECONDS * 16000 / CHUNK)))
+                rng = np.random.RandomState(1)
+                # int16 PCM, the real wire format: feeds take the native
+                # widening path (no per-sample exactness scan) and the
+                # tick uploads ride the half-width int16 PCM batch
+                pcm_pool = [
+                    np.round(1000.0 * rng.randn(CHUNK)).astype(np.int16)
+                    for _ in range(16)
+                ]
                 sched = StreamScheduler(
                     model_dir, graph_dir, max_streams=lanes,
                     max_fuzzy_cost=1.0,
@@ -607,7 +621,7 @@ def main():
         )
 
     feasible = [r for r in results if r["rtf"] is not None]
-    peak = max(feasible, key=lambda r: r["xrt_streams"])
+    peak = max(feasible, key=lambda r: r["xrt_streams"]) if feasible else None
     realtime = [r for r in feasible if r["rtf"] < 0.1]
     north = max(realtime, key=lambda r: r["batch"]) if realtime else None
 

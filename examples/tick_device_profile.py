@@ -142,25 +142,26 @@ def main():
                 feats_ring, offs, sw_w, cum_ring,
             )
             (alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-             packed, ep_stats, sw_w, feats_ring, cum_ring) = out
+             packed, sw_w, feats_ring, cum_ring) = out
             ivw2 = iv_carry if sched._iv_inline else sched._iv_dummy
             sw2 = sw_w if sched._sw_device else sched._sw_w
             return (
                 (alpha, gamma, X, ivw2, am_state, ring, feats_ring, offs,
                  sw2, cum_ring),
-                packed, ep_stats,
+                packed,
             )
 
         # warm this exact call signature (donation pattern identical)
-        state, packed, ep_stats = dispatch(state)
+        state, packed = dispatch(state)
         jax.block_until_ready(state[0])
         t0 = time.time()
         for _ in range(M):
-            state, packed, ep_stats = dispatch(state)
+            state, packed = dispatch(state)
         jax.block_until_ready(state[0])
         exec_ms = (time.time() - t0) / M * 1000.0
 
-        # --- A2: same but pull the ep stats + packed each tick, in threads
+        # --- A2: same but pull the packed rows (trace + folded endpoint
+        # stats — the serving tick's one D2H) each tick, in threads
         import threading
 
         def fetch(arr, box, i):
@@ -169,15 +170,16 @@ def main():
         t0 = time.time()
         threads = []
         for _ in range(M):
-            state, packed, ep_stats = dispatch(state)
-            box = [None, None]
-            th1 = threading.Thread(target=fetch, args=(ep_stats, box, 0), daemon=True)
-            th2 = threading.Thread(target=fetch, args=(packed, box, 1), daemon=True)
-            th1.start(); th2.start()
-            threads.append((th1, th2))
+            state, packed = dispatch(state)
+            box = [None]
+            th1 = threading.Thread(
+                target=fetch, args=(packed, box, 0), daemon=True
+            )
+            th1.start()
+            threads.append(th1)
         jax.block_until_ready(state[0])
-        for th1, th2 in threads:
-            th1.join(); th2.join()
+        for th1 in threads:
+            th1.join()
         exec_fetch_ms = (time.time() - t0) / M * 1000.0
 
         chunk_sec = CHUNK / 16000.0
@@ -186,7 +188,7 @@ def main():
             f"rtt={rtt_ms:.1f}ms  h2d(pcm+meta)={h2d_ms:.1f}ms\n"
             f"fused exec/tick: {exec_ms:.1f} ms  (device-bound chunk-RTF "
             f"{exec_ms/1000/chunk_sec:.3f}, {lanes*chunk_sec*1000/exec_ms:.0f} xRT)\n"
-            f"fused exec + bg fetch (ep_stats+packed): {exec_fetch_ms:.1f} ms"
+            f"fused exec + bg fetch (packed): {exec_fetch_ms:.1f} ms"
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -229,6 +229,32 @@ int64_t rss_pool_feed(void *p, int32_t slot, const float *pcm, int64_t n) {
   return take;
 }
 
+int64_t rss_pool_feed_i16(void *p, int32_t slot, const int16_t *pcm,
+                          int64_t n) {
+  // int16 wire-format feed: widen into the f32 ring without the
+  // per-sample exactness scan (int16 is exact by construction) — the
+  // feed path's hot cost at high lane counts was truncf over every
+  // sample of every chunk.
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  auto &s = pool->slots[slot];
+  if (!s.active || s.finished) return -1;
+  const int64_t free_space = pool->capacity - (s.write_pos - s.read_pos);
+  const int64_t take = std::min(free_space, n);
+  const int64_t w0 = s.write_pos % pool->capacity;
+  const int64_t seg1 = std::min(take, pool->capacity - w0);
+  float *dst = s.ring.data() + w0;
+  for (int64_t i = 0; i < seg1; i++) dst[i] = static_cast<float>(pcm[i]);
+  if (take > seg1) {
+    dst = s.ring.data();
+    const int16_t *src = pcm + seg1;
+    for (int64_t i = 0; i < take - seg1; i++)
+      dst[i] = static_cast<float>(src[i]);
+  }
+  s.write_pos += take;
+  return take;
+}
+
 void rss_pool_finish(void *p, int32_t slot) {
   auto *pool = static_cast<StreamPool *>(p);
   std::lock_guard<std::mutex> lock(pool->mu);

@@ -130,6 +130,11 @@ class NativeRuntime:
                 ctypes.c_void_p, f32p, i16p, ctypes.c_int32,
                 ctypes.c_int64, i64p, i64p,
             ]
+        if hasattr(lib, "rss_pool_feed_i16"):
+            lib.rss_pool_feed_i16.restype = ctypes.c_int64
+            lib.rss_pool_feed_i16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, i16p, ctypes.c_int64
+            ]
 
 
 _RUNTIME = NativeRuntime()
@@ -251,6 +256,24 @@ class StreamPool:
             return -1
 
     def feed(self, slot: int, pcm: np.ndarray) -> int:
+        """Append PCM. int16 input (the wire format) takes a dedicated
+        native path: widened into the ring without the per-sample f32
+        exactness scan — at hundreds of lanes the scan was the feed
+        loop's hot cost."""
+        if (
+            pcm.dtype == np.int16
+            and self._lib is not None
+            and hasattr(self._lib, "rss_pool_feed_i16")
+        ):
+            pcm = np.ascontiguousarray(pcm)
+            return int(
+                self._lib.rss_pool_feed_i16(
+                    self._handle,
+                    slot,
+                    pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    pcm.shape[0],
+                )
+            )
         pcm = np.ascontiguousarray(pcm, dtype=np.float32)
         if self._lib is not None:
             return int(self._lib.rss_pool_feed(self._handle, slot, _f32p(pcm), pcm.shape[0]))

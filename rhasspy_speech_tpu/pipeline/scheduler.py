@@ -42,28 +42,31 @@ _LOGGER = logging.getLogger(__name__)
 CHUNK_OUT_FRAMES = 7
 
 
-# Per-lane per-tick drain cap (samples). Bounds BOTH the fused program's
-# compile variants (buckets 1600/3200/6400/12800 only) and the padded
-# MFCC scratch-row block each feed writes past a lane's valid rows
-# (<= 78 rows at 12800 — within the feature ring's +160-row slack, so
-# the ring-overflow guard never fires on burst-fed lanes). Leftover pool
-# audio simply drains on later ticks: 0.8 s/tick of catch-up against
-# 0.21 s/tick of real-time consumption.
+# Per-lane per-tick drain cap FLOOR (samples). The effective per-
+# scheduler cap is max(this, 2x the chunk's audio) — larger decode
+# chunks (chunk_out_frames=14/21 at high lane counts) need a
+# proportionally larger catch-up budget so burst-fed lanes still drain
+# at ~2x real-time consumption. The cap bounds BOTH the fused program's
+# compile variants and the padded MFCC scratch-row block each feed
+# writes past a lane's valid rows (the feature-ring slack is sized from
+# it, see _feat_ring_frames). Leftover pool audio simply drains on
+# later ticks.
 _DRAIN_CAP = 12800
 
 
-def _pcm_bucket(n: int) -> int:
-    """Padded PCM width for the fused tick program: 1600-sample
-    power-of-two buckets, capped at _DRAIN_CAP (callers pre-cap drains;
-    the clamp here keeps the four-bucket invariant where it is
-    documented). The PCM batch is an input of the WHOLE fused program
+def _pcm_bucket(n: int, cap: int = _DRAIN_CAP) -> int:
+    """Padded PCM width for the fused tick program: 800-sample (0.05 s)
+    granularity with a 1600-sample floor, capped at the scheduler's
+    drain cap. The PCM batch is an input of the WHOLE fused program
     (MFCC + AM + decode), so each distinct width is a full XLA compile —
-    pow2 bucketing bounds the variants to four instead of one per 0.1 s
-    of arrival jitter, at <=2x upload padding."""
-    b = 1600
-    while b < min(n, _DRAIN_CAP):
-        b *= 2
-    return b
+    the granularity bounds the variants to cap/800 (<= 26 at the largest
+    caps; steady-state serving hits exactly one), while keeping the
+    upload padding under ~10% (the old pow2 buckets padded the serving
+    tick's steady width 74%: 3680 -> 6400 at chunk_out=7 — and the
+    per-tick H2D PCM batch is the largest transfer of the serving loop
+    on a remote-dispatch transport)."""
+    n = min(n, cap)
+    return max(1600, -(-n // 800) * 800)
 
 
 class _FetchPool:
@@ -145,6 +148,47 @@ class _AsyncFetch:
         if self._box[1] is not None:
             raise self._box[1]
         return self._box[0]
+
+
+# stat columns appended to the packed tick output after the [N, F] arc
+# trace: [final_state, has_final, trail, nonsil, cost_lo, cost_hi,
+# rel_lo, rel_hi] (f32 values as exact u16 bit halves)
+_PACKED_STAT_COLS = 8
+
+
+def _packed_f32(p: np.ndarray, lo_col: int) -> np.ndarray:
+    """Reassemble an exact f32 column from two u16 bit-half columns."""
+    bits = p[:, lo_col].astype(np.uint32) | (
+        p[:, lo_col + 1].astype(np.uint32) << 16
+    )
+    return np.ascontiguousarray(bits).view(np.float32)
+
+
+class _PackedStatsFetch:
+    """Endpoint-stats view over the tick's packed u16 fetch: ``get()``
+    decodes the stat columns into the [N, 3] rows the endpoint rules
+    consume (trailing-silence frames, contains-nonsilence, exact f32
+    relative final cost). Shares the single per-tick D2H with the
+    finalize harvest instead of paying its own transport RPC."""
+
+    __slots__ = ("_fetch",)
+
+    def __init__(self, fetch: "_AsyncFetch"):
+        self._fetch = fetch
+
+    def ready(self) -> bool:
+        return self._fetch.ready()
+
+    def get(self, block: bool = True) -> Optional[np.ndarray]:
+        p = self._fetch.get(block)
+        if p is None:
+            return None
+        F = p.shape[1] - _PACKED_STAT_COLS
+        out = np.empty((p.shape[0], 3), np.float32)
+        out[:, 0] = p[:, F + 2]
+        out[:, 1] = p[:, F + 3]
+        out[:, 2] = _packed_f32(p, F + 6)
+        return out
 
 
 class _TickBps:
@@ -281,6 +325,13 @@ class StreamScheduler:
         lo, hi = self._chunk_model.ranges["input"]
         self._win_lo, self._win_hi = lo, hi
         self._chunk_in = self._chunk_out * self.am.subsampling
+        # effective drain cap: at least 2x one chunk of audio (catch-up
+        # stays ~2x real-time consumption at any chunk_out_frames),
+        # rounded to the bucket granularity's 1600 floor
+        _chunk_samples = self._chunk_in * self.am.frontend_config.frame_shift
+        self._drain_cap = max(
+            _DRAIN_CAP, -(-2 * _chunk_samples // 1600) * 1600
+        )
 
         graph = self.device_graph
         scale = acoustic_scale
@@ -296,9 +347,16 @@ class StreamScheduler:
         win_hi = self._win_hi
         num_ceps = self.am.frontend_config.num_ceps
 
-        # uint16 bp packing (bp + 3: 0 = inactive, 1 = STAY, 2 = dead)
-        # halves the largest per-tick transfer whenever the graph fits
-        self._bp_compact = self.graph.num_arcs <= 65532
+        # uint16 bp/trace packing (bp + 3: 0 = inactive, 1 = STAY,
+        # 2 = dead) halves the largest per-tick transfers whenever the
+        # graph fits; the packed tick output also carries each lane's
+        # final STATE id in u16, so both id spaces must fit (any trim
+        # graph with <= 65532 arcs has <= 65533 states, so the state
+        # bound only excludes degenerate non-trim graphs)
+        self._bp_compact = (
+            self.graph.num_arcs <= 65532
+            and self.graph.num_states <= 65535
+        )
         init_row = jnp.asarray(self.graph.init_weight)
         bp_compact = self._bp_compact
 
@@ -420,8 +478,17 @@ class StreamScheduler:
             and not self._featurizer.has_pitch
             and (ivp is None or self._iv_inline)
         )
+        # slack past the valid rows covers the largest bucket's padded
+        # scratch-row block (reads clamp to the valid count; the
+        # ring-overflow guard must never fire on burst-fed lanes)
+        cfg0 = self.am.frontend_config
+        _scratch_rows = 1 + max(
+            0, (self._drain_cap - cfg0.frame_length) // cfg0.frame_shift
+        )
         self._feat_ring_frames = (
-            pool_capacity_samples // 160 + self._win_hi + 160
+            pool_capacity_samples // 160
+            + self._win_hi
+            + max(160, _scratch_rows + 32)
         )
 
         # silence table for the device endpoint DP / silence weighting:
@@ -752,35 +819,47 @@ class StreamScheduler:
                     unroll=8,
                 )
                 arcs = jnp.swapaxes(arcs_rev[::-1], 0, 1)  # [N, F]
-                cost_bits = jax.lax.bitcast_convert_type(
-                    fcost, jnp.int32
+                # ONE uint16 packed row per lane [N, F + 8]: the arc
+                # trace (emit + 2: 0 = STAY pad, 1 = dead, 2+ = arc id),
+                # then 8 stat columns [final_state, has_final, trail,
+                # nonsil, cost_lo, cost_hi, rel_lo, rel_hi] (the two f32
+                # values ride as exact bit halves — the endpoint rules
+                # compare the EXACT relative final cost). Folding the
+                # endpoint stats into the same tensor as the finalize
+                # backtrace halves the steady-state D2H bytes (u16 vs
+                # i32) and drops the separate per-tick [N, 3] stats
+                # fetch — on a remote-dispatch transport every D2H is a
+                # full round-trip RPC.
+                cb = jax.lax.bitcast_convert_type(fcost, jnp.int32)
+                rel = jnp.where(
+                    has_final, fcost - best_any, jnp.float32(jnp.inf)
+                )
+                relb = jax.lax.bitcast_convert_type(rel, jnp.int32)
+                stats_cols = jnp.stack(
+                    [
+                        ep_idx,
+                        has_final.astype(jnp.int32),
+                        jnp.minimum(trail, 65535),
+                        nonsil.astype(jnp.int32),
+                        cb & 0xFFFF,
+                        (cb >> 16) & 0xFFFF,
+                        relb & 0xFFFF,
+                        (relb >> 16) & 0xFFFF,
+                    ],
+                    axis=1,
                 )
                 packed = jnp.concatenate(
-                    [arcs, ep_idx[:, None], cost_bits[:, None]], axis=1
-                )
-                ep_stats = None
-                if ep_device:
-                    ep_stats = jnp.stack(
-                        [
-                            trail.astype(jnp.float32),
-                            nonsil.astype(jnp.float32),
-                            jnp.where(
-                                has_final,
-                                fcost - best_any,
-                                jnp.float32(jnp.inf),
-                            ),
-                        ],
-                        axis=1,
-                    )
+                    [arcs + 2, stats_cols], axis=1
+                ).astype(jnp.uint16)
                 return (
                     new_alpha, None, new_gamma, new_X, new_state,
-                    ring, new_offs, new_iv_carry, packed, ep_stats, new_sw,
+                    ring, new_offs, new_iv_carry, packed, new_sw,
                 )
             if bp_compact:
                 bps = (bps + 3).astype(jnp.uint16)
             return (
                 new_alpha, bps, new_gamma, new_X, new_state,
-                ring, offs, new_iv_carry, None, None, new_sw,
+                ring, offs, new_iv_carry, None, new_sw,
             )
 
         device_bp = self._device_bp
@@ -957,9 +1036,11 @@ class StreamScheduler:
         )
         self._tick_ring: List[_TickBps] = []
         self._alpha_host: Optional[_TickBps] = None
-        # this tick's in-program [N, F + 2] finalize backtrace (device
-        # ref; harvested lazily for lanes that flush)
+        # this tick's in-program [N, F + 8] packed finalize backtrace +
+        # endpoint stats (device ref; harvested lazily for lanes that
+        # flush) and its shared host fetch (started by the endpoint lane)
         self._tick_packed = None
+        self._tick_packed_fetch = None
         self._fuzzy_cache: dict = {}
         self._pending_finalize: list = []
         # lanes quarantined this tick (ring-capacity overflow): they are
@@ -1235,7 +1316,7 @@ class StreamScheduler:
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-                packed, ep_stats, sw_w, feats_ring, cum_ring,
+                packed, sw_w, feats_ring, cum_ring,
             ) = self._aot_call(
                 "sched_tick",
                 self._batch_chunk_fused,
@@ -1291,9 +1372,13 @@ class StreamScheduler:
         if self._ep_device:
             # applied next tick, guarded by slot generation; out_frames
             # snapshot AFTER this tick so utterance_length matches the
-            # alpha the stats were computed from
+            # alpha the stats were computed from. The fetch covers the
+            # WHOLE packed row (trace + stats): finalize harvests reuse
+            # it instead of starting their own D2H.
+            fetch = _AsyncFetch(packed)
+            self._tick_packed_fetch = fetch
             self._ep_stats_prev = (
-                _AsyncFetch(ep_stats),
+                _PackedStatsFetch(fetch),
                 [s.gen for s in self.slots],
                 np.array(
                     [s.out_frames for s in self.slots], dtype=np.int64
@@ -1380,7 +1465,7 @@ class StreamScheduler:
             self.close(sid)
             sid = self.open_stream()
             self.feed(
-                sid, np.zeros(2 * _DRAIN_CAP + 1600, dtype=np.float32)
+                sid, np.zeros(2 * self._drain_cap + 1600, dtype=np.float32)
             )
             self.step()
             self.step()
@@ -1448,7 +1533,7 @@ class StreamScheduler:
                 # cap the per-tick drain so tail+new stays within the
                 # largest PCM bucket (see _DRAIN_CAP); the remainder
                 # drains next tick
-                drain[sid] = min(int(counts[sid]), _DRAIN_CAP - off)
+                drain[sid] = min(int(counts[sid]), self._drain_cap - off)
                 offs[sid] = off
                 if drain[sid] < counts[sid]:
                     self._pending_drain = True
@@ -1462,7 +1547,13 @@ class StreamScheduler:
             buf_lens = offs + drain
             frame_len, shift = fz.frame_len, fz.frame_shift
             n_rows = max(
-                0, 1 + (_pcm_bucket(int(buf_lens.max())) - frame_len) // shift
+                0,
+                1
+                + (
+                    _pcm_bucket(int(buf_lens.max()), self._drain_cap)
+                    - frame_len
+                )
+                // shift,
             )
             limit = self._feat_ring_frames - n_rows
             for sid in np.nonzero(sel)[0]:
@@ -1476,7 +1567,7 @@ class StreamScheduler:
                     sel[sid] = False
         if sel.any():
             buf_lens = offs + drain
-            max_len = _pcm_bucket(int(buf_lens.max()))
+            max_len = _pcm_bucket(int(buf_lens.max()), self._drain_cap)
             exact_all = bool(exact[sel].all())
             dtype = np.int16 if exact_all else np.float32
             batch = np.zeros((N, max_len), dtype=dtype)
@@ -1535,7 +1626,7 @@ class StreamScheduler:
             avail = self.pool.available(sid)
             if avail <= 0:
                 continue
-            cap = _DRAIN_CAP - state.feat_state.mfcc_tail.shape[0]
+            cap = self._drain_cap - state.feat_state.mfcc_tail.shape[0]
             if avail > cap:
                 self._pending_drain = True
             pcm = self.pool.read(sid, min(avail, cap))
@@ -1548,7 +1639,9 @@ class StreamScheduler:
             # shared tick (their PCM already left the pool; the lane is
             # force-finalized, so dropping the overflow audio is the
             # quarantine semantics)
-            max_len = _pcm_bucket(max(b.shape[0] for _, b, _ in with_buf))
+            max_len = _pcm_bucket(
+                max(b.shape[0] for _, b, _ in with_buf), self._drain_cap
+            )
             n_rows = 1 + (max_len - fz.frame_len) // fz.frame_shift
             limit = self._feat_ring_frames - n_rows
             keep = []
@@ -1561,7 +1654,9 @@ class StreamScheduler:
                     keep.append((sid, buf, n))
             with_buf = keep
         if with_buf:
-            max_len = _pcm_bucket(max(b.shape[0] for _, b, _ in with_buf))
+            max_len = _pcm_bucket(
+                max(b.shape[0] for _, b, _ in with_buf), self._drain_cap
+            )
             # PCM is int16 at the wire; when every sample round-trips
             # exactly, upload half the bytes and widen on device
             exact_i16 = all(
@@ -1722,6 +1817,7 @@ class StreamScheduler:
         prep = None
         self._pending_drain = False
         self._tick_packed = None
+        self._tick_packed_fetch = None
         with StageTimer("stream_features", metrics):
             if device_feats:
                 prep = self._prep_features_device()
@@ -1868,7 +1964,7 @@ class StreamScheduler:
                     hv_dev = jnp.asarray(haves)
                 (
                     alpha, bps, gamma, X, am_state, ring, offs, iv_carry,
-                    packed, ep_stats, sw_w,
+                    packed, sw_w,
                 ) = self._batch_chunk(
                     self._alpha, win_dev, nv_dev, rs_dev,
                     self._iv_gamma, self._iv_X,
@@ -1888,7 +1984,9 @@ class StreamScheduler:
                 if self._iv_inline:
                     self._iv_carry = iv_carry
                 if self._ep_device:
-                    self._ep_tick_stats = _AsyncFetch(ep_stats)
+                    fetch = _AsyncFetch(packed)
+                    self._tick_packed_fetch = fetch
+                    self._ep_tick_stats = _PackedStatsFetch(fetch)
                 else:
                     self._ep_tick_stats = None
                 if self._sw_device:
@@ -2079,7 +2177,7 @@ class StreamScheduler:
         # including ones where nothing lands without an explicit read
         # (the 8-virtual-device CPU mesh) — converges without the tick
         # loop blocking.
-        if isinstance(stats_fetch, _AsyncFetch):
+        if hasattr(stats_fetch, "get"):
             stats = stats_fetch.get(block=self._ep_stats_deferred >= 3)
         else:  # pragma: no cover - direct numpy in unit tests
             stats = np.asarray(stats_fetch)
@@ -2166,17 +2264,22 @@ class StreamScheduler:
             return
         if self._tick_packed is not None:
             # This tick's fused program already emitted every lane's
-            # backtrace ([N, F + 2] packed rows) — no separate finalize
-            # dispatch, no cross-program ring handoff. Row index == sid.
+            # backtrace ([N, F + 8] packed u16 rows) — no separate
+            # finalize dispatch, no cross-program ring handoff. Row
+            # index == sid. When the endpoint lane already started the
+            # tick's packed fetch, reuse it (one D2H per tick total).
             with StageTimer("stream_fin_trace", get_metrics()):
                 frames = np.asarray(
                     [self.slots[s].out_frames for s in todo],
                     dtype=np.int32,
                 )
                 gens = [self.slots[s_].gen for s_ in todo]
+                fetch = self._tick_packed_fetch or _AsyncFetch(
+                    self._tick_packed
+                )
+                self._tick_packed_fetch = fetch
                 self._pending_finalize.append(
-                    (todo, gens, frames, _AsyncFetch(self._tick_packed),
-                     list(todo))
+                    (todo, gens, frames, fetch, list(todo), "u16")
                 )
             return
         # no fused tick ran this step (drain-out / endpoint on an idle
@@ -2213,7 +2316,7 @@ class StreamScheduler:
             gens = [self.slots[s_].gen for s_ in group]
             self._pending_finalize.append(
                 (group, gens, frames, _AsyncFetch(packed),
-                 list(range(len(group))))
+                 list(range(len(group))), "i32")
             )
 
     def _harvest_finalizes(self, block: bool = True) -> None:
@@ -2224,7 +2327,7 @@ class StreamScheduler:
         graph = self.graph
         pending, self._pending_finalize = self._pending_finalize, []
         for entry in pending:
-            group, gens, frames, packed_d, rows = entry
+            group, gens, frames, packed_d, rows, fmt = entry
             if isinstance(packed_d, _AsyncFetch):
                 with StageTimer("stream_fin_wait", get_metrics()):
                     packed = packed_d.get(block=block)
@@ -2234,15 +2337,26 @@ class StreamScheduler:
             else:  # pragma: no cover - direct numpy in unit tests
                 with StageTimer("stream_fin_wait", get_metrics()):
                     packed = np.asarray(packed_d)
-            arcs = packed[:, :-2]
-            fstates = packed[:, -2]
-            costs = packed[:, -1:].view(np.float32)[:, 0]
+            if fmt == "u16":
+                # fused-tick packed rows: u16 arc trace (emit + 2) +
+                # _PACKED_STAT_COLS stat columns
+                F = packed.shape[1] - _PACKED_STAT_COLS
+                arcs = packed[:, :F].astype(np.int32) - 2
+                fstates = packed[:, F].astype(np.int32)
+                dead = packed[:, F + 1] == 0
+            else:
+                # standalone finalize-trace program: i32 arcs + final
+                # state + f32 cost bits
+                arcs = packed[:, :-2]
+                fstates = packed[:, -2]
+                costs = packed[:, -1:].view(np.float32)[:, 0]
+                dead = costs >= 1.0e29
             for i, sid in enumerate(group):
                 state = self.slots[sid]
                 r = rows[i]
                 if state.gen != gens[i]:
                     continue  # slot was recycled; result is obsolete
-                if costs[r] >= 1.0e29:
+                if dead[r]:
                     state.result = []
                     continue
                 trace = arcs[r, : frames[i]]

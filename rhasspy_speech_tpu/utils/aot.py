@@ -64,8 +64,15 @@ class AotStore:
         self.dir = Path(directory)
         self._loaded: dict = {}
 
+    # bumped whenever an exported program's OUTPUT contract changes (the
+    # hash below only sees input specs, so a stale blob with the old
+    # outputs would otherwise restore and fail at unpack time):
+    # 2 = round-5 packed serving tick (u16 trace + folded endpoint stats)
+    _FORMAT = "2"
+
     def _path(self, name: str, specs) -> Path:
         h = hashlib.sha256()
+        h.update(self._FORMAT.encode())
         h.update(jax.__version__.encode())
         h.update(effective_platform().encode())
         leaves, treedef = jax.tree.flatten(specs)

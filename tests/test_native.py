@@ -183,3 +183,38 @@ def test_stream_pool_numpy_fallback_snapshot_and_drain(monkeypatch):
     pool.close(s)
     counts2, _, _ = pool.snapshot()  # closed slot must not crash
     assert counts2.tolist() == [0, 0, 0]
+
+
+def test_stream_pool_int16_feed_exact_and_equal():
+    """int16 feeds (the wire format) take the native widening path: the
+    slot stays i16-exact without any per-sample scan, reads return the
+    same f32 samples as an equivalent float feed, and ring wraparound
+    converts both segments."""
+    pool = StreamPool(2, 50)
+    if not pool.has_batched_drain:  # no native lib: f32 conversion path
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    a = pool.open()
+    b = pool.open()
+    vals = np.array([0, 1, -1, 32767, -32767, 123], np.int16)
+    pool.feed(a, vals)
+    pool.feed(b, vals.astype(np.float32))
+    _counts, _fin, exact = pool.snapshot()
+    assert exact[a] and exact[b]
+    ra = pool.read(a, 6)
+    rb = pool.read(b, 6)
+    np.testing.assert_array_equal(ra, rb)
+    np.testing.assert_array_equal(ra, vals.astype(np.float32))
+    # wraparound: drain then overfeed past the ring end
+    big = (np.arange(45, dtype=np.int16) - 20)
+    pool.feed(a, big)
+    assert pool.read(a, 45).tolist() == big.astype(np.float32).tolist()
+    more = np.arange(30, dtype=np.int16)
+    got = pool.feed(a, more)  # write wraps the 50-sample ring
+    assert got == 30
+    np.testing.assert_array_equal(
+        pool.read(a, 30), more.astype(np.float32)
+    )
+    _c2, _f2, exact2 = pool.snapshot()
+    assert exact2[a]
