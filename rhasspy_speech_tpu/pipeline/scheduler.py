@@ -15,7 +15,9 @@ alpha rows carried between steps.
 
 from __future__ import annotations
 
+import collections
 import logging
+import os
 import threading
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -1041,6 +1043,22 @@ class StreamScheduler:
         # flush) and its shared host fetch (started by the endpoint lane)
         self._tick_packed = None
         self._tick_packed_fetch = None
+        # Pipeline-depth bound: fused ticks in flight whose completion
+        # marker (the packed fetch, or a tiny offs read) has not been
+        # joined. The tick loop's host work (~0.1 s at 512 lanes) is
+        # faster than device + transport service (~0.17 s), so an
+        # unpaced loop grows the device queue without bound and every
+        # FORCED join (endpoint-stats staleness cap) then drains the
+        # whole backlog — measured as the dominant tick stage for two
+        # rounds. Capping the in-flight depth at 2 self-paces the loop
+        # at the service rate: tick N blocks (briefly) on tick N-2,
+        # whose result has usually already landed, uploads for N overlap
+        # execution of N-1, and the endpoint stats are never more than
+        # ~2 chunks stale.
+        self._inflight: "collections.deque" = collections.deque()
+        self._pipeline_depth = int(
+            os.environ.get("RSTPU_PIPELINE_DEPTH", "2")
+        )
         self._fuzzy_cache: dict = {}
         self._pending_finalize: list = []
         # lanes quarantined this tick (ring-capacity overflow): they are
@@ -1049,9 +1067,9 @@ class StreamScheduler:
         self._quarantined: Set[int] = set()
         # per-tick snapshot of the pool's finished flags (fast drain path)
         self._fin_snap: Optional[np.ndarray] = None
-        # last tick's [N, 3] endpoint signal stats (computed by the
-        # in-program ring backtrace; no per-state DP columns to carry)
-        self._ep_stats_prev = None
+        # per-tick endpoint-stat entries (fetch, gens, out_frames snap),
+        # oldest first; _apply_endpoint_stats consumes the newest landed
+        self._ep_stats_pending: "collections.deque" = collections.deque()
         self._ep_stats_deferred = 0
         self._ep_tick_stats = None
         self._pending_drain = False
@@ -1288,6 +1306,11 @@ class StreamScheduler:
         program covering feature-ring write, AM windows, i-vector fold,
         and decode. Nothing here blocks on the device."""
         N = self.max_streams
+        with StageTimer("stream_pace", metrics):
+            # pipeline-depth bound (see _inflight): join the oldest
+            # in-flight tick before dispatching a new one
+            while len(self._inflight) >= self._pipeline_depth:
+                self._inflight.popleft().get()
         if prep is not None:
             pcm_batch, counts_before, has_new = prep
         else:
@@ -1374,16 +1397,29 @@ class StreamScheduler:
             # snapshot AFTER this tick so utterance_length matches the
             # alpha the stats were computed from. The fetch covers the
             # WHOLE packed row (trace + stats): finalize harvests reuse
-            # it instead of starting their own D2H.
+            # it instead of starting their own D2H, and it doubles as
+            # this tick's pipeline-depth completion marker.
             fetch = _AsyncFetch(packed)
             self._tick_packed_fetch = fetch
-            self._ep_stats_prev = (
+            self._inflight.append(fetch)
+            self._ep_stats_pending.append((
                 _PackedStatsFetch(fetch),
                 [s.gen for s in self.slots],
                 np.array(
                     [s.out_frames for s in self.slots], dtype=np.int64
                 ),
-            )
+            ))
+        else:
+            # no endpoint lane: a tiny offs read is the completion marker
+            self._inflight.append(_AsyncFetch(self._offs))
+
+    # Total device-program dispatches since construction (fused ticks,
+    # feature-only feeds, standalone finalize traces, host-path chunk
+    # programs and MFCC/pitch batches). A steady-state serving tick must
+    # dispatch EXACTLY ONE program; tests pin this so a per-lane or
+    # per-stage dispatch can never silently creep back in (each dispatch
+    # costs a full round trip on remote-dispatch transports).
+    device_dispatches = 0
 
     def _aot_call(self, name, jitted, args, donate=(), vary=None):
         """Dispatch through a serialized AOT program when one exists for
@@ -1396,6 +1432,7 @@ class StreamScheduler:
         scheduler instance, so the resolved callable is memoized on
         (name, vary spec) and steady-state ticks pay one dict hit instead
         of a full spec hash (~0.4 ms)."""
+        self.device_dispatches += 1
         if self._aot is None:
             return jitted(*args)
         key = (
@@ -1723,6 +1760,7 @@ class StreamScheduler:
             batch = np.zeros((self.max_streams, max_len), dtype=np.float32)
             for i, (_sid, buf, _n) in enumerate(with_buf):
                 batch[i, : buf.shape[0]] = buf
+            self.device_dispatches += 1
             feats = np.asarray(
                 mfcc_batch(self.am.frontend_params, jnp.asarray(batch))
             )
@@ -1779,6 +1817,7 @@ class StreamScheduler:
         if not want:
             return
         batch = np.stack([w for _s, w in want])
+        self.device_dispatches += 1
         rows = np.asarray(
             pitch_batch(self.am.pitch_config, jnp.asarray(batch))
         )
@@ -1828,7 +1867,7 @@ class StreamScheduler:
         with StageTimer("stream_ep_apply", metrics):
             ep_fired: Set[int] = (
                 self._apply_endpoint_stats()
-                if self._ep_device and self._ep_stats_prev is not None
+                if self._ep_device and self._ep_stats_pending
                 else set()
             )
         with StageTimer("stream_ready", metrics):
@@ -1962,6 +2001,7 @@ class StreamScheduler:
                 else:
                     t0_dev = jnp.asarray(t0s)
                     hv_dev = jnp.asarray(haves)
+                self.device_dispatches += 1
                 (
                     alpha, bps, gamma, X, am_state, ring, offs, iv_carry,
                     packed, sw_w,
@@ -2076,14 +2116,14 @@ class StreamScheduler:
                     _LOGGER.debug("endpoint fired for stream %d", sid)
                     flushed.append(sid)
             if self._ep_device and self._ep_tick_stats is not None:
-                # applied next tick, guarded by slot generation
-                self._ep_stats_prev = (
+                # applied on a later tick, guarded by slot generation
+                self._ep_stats_pending.append((
                     self._ep_tick_stats,
                     [s.gen for s in self.slots],
                     np.array(
                         [s.out_frames for s in self.slots], dtype=np.int64
                     ),
-                )
+                ))
                 self._ep_tick_stats = None
 
         with StageTimer("stream_finalize", metrics):
@@ -2157,35 +2197,46 @@ class StreamScheduler:
         state.iv_pending_w = w
 
     def _apply_endpoint_stats(self) -> Set[int]:
-        """Evaluate the endpoint rules against the previous tick's
+        """Evaluate the endpoint rules against the NEWEST LANDED tick's
         device-computed [N, 3] signals (trailing-silence frames,
         contains-nonsilence, relative final cost). Slots recycled since
-        the stats were computed are skipped via the generation guard."""
-        stats_fetch, gens, out_snap = self._ep_stats_prev
-        # Non-blocking: if the background stats copy hasn't landed (the
-        # device is still working through the previous tick's queue),
-        # skip the apply — a fresher row replaces this one at the end of
-        # the tick, so endpoint detection briefly lags instead of the
-        # host serializing against the whole device queue (measured
-        # 108-158 ms/tick blocked here at 512 lanes before the fetch
-        # thread; 78 ms/tick with is_ready gating + forced reads on the
-        # remote-dispatch transport). ``_ep_stats_deferred`` counts
-        # CONSECUTIVE skips and forces a blocking join at 3: under
-        # sustained device saturation the rules still run at least every
-        # 4th tick (no endpoint starvation into the ring quarantine).
-        # The fetch thread itself performs the read, so every backend —
-        # including ones where nothing lands without an explicit read
-        # (the 8-virtual-device CPU mesh) — converges without the tick
-        # loop blocking.
+        the stats were computed are skipped via the generation guard.
+
+        Entries queue per tick; with the pipeline-depth pacing the entry
+        from ``depth`` ticks back has always completed, so in steady
+        state this finds landed stats WITHOUT ever blocking — endpoint
+        detection lags ~depth chunks instead of the host serializing
+        against the device queue (lag-1 + forced join measured 55-228
+        ms/tick at 512 lanes across rounds 4-5; the pre-queue designs'
+        history is in git). ``_ep_stats_deferred`` counts CONSECUTIVE
+        empty applies and forces a blocking join on the oldest entry
+        past depth+2 — no endpoint starvation into the ring quarantine,
+        and the forced join is ~free because pacing already retired that
+        tick's program. The fetch worker itself performs the read, so
+        every backend — including ones where nothing lands without an
+        explicit read (the 8-virtual-device CPU mesh) — converges
+        without the tick loop blocking."""
+        pending = self._ep_stats_pending
+        newest = None
+        for i in range(len(pending) - 1, -1, -1):
+            f = pending[i][0]
+            if not hasattr(f, "ready") or f.ready():
+                newest = i
+                break
+        if newest is None:
+            if pending and self._ep_stats_deferred >= self._pipeline_depth + 2:
+                newest = 0  # forced blocking join on the oldest
+            else:
+                self._ep_stats_deferred += 1
+                return set()
+        stats_fetch, gens, out_snap = pending[newest]
+        for _ in range(newest + 1):
+            pending.popleft()
         if hasattr(stats_fetch, "get"):
-            stats = stats_fetch.get(block=self._ep_stats_deferred >= 3)
+            stats = stats_fetch.get(block=True)
         else:  # pragma: no cover - direct numpy in unit tests
             stats = np.asarray(stats_fetch)
-        if stats is None:
-            self._ep_stats_deferred += 1
-            return set()
         self._ep_stats_deferred = 0
-        self._ep_stats_prev = None
         fired: Set[int] = set()
         out_frame_sec = self.am.subsampling * self._frame_shift / 16000.0
         for sid, state in enumerate(self.slots):

@@ -265,10 +265,11 @@ def test_device_endpoint_signals_match_host_walk(profile_and_train):  # noqa: F8
         if sched.slots[sid].done:
             break
         sched.step()
-        if sched._ep_stats_prev is None:
+        if not sched._ep_stats_pending:
             continue
-        stats = sched._ep_stats_prev[0].get()  # _AsyncFetch: join + array
-        T = int(sched._ep_stats_prev[2][sid])
+        entry = sched._ep_stats_pending[-1]  # newest tick's stats
+        stats = entry[0].get()  # join + decode to the [N, 3] rows
+        T = int(entry[2][sid])
         if T <= 0 or T > n_out:
             continue
         _alpha, bp = viterbi(sched.device_graph, lp[:, :T])
