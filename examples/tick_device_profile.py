@@ -93,8 +93,12 @@ def main():
             sched.step()
         jax.block_until_ready(sched._alpha)
 
+        from rhasspy_speech_tpu.pipeline.scheduler import _pcm_bucket
+
         N = sched.max_streams
-        pcm_batch = np.tile(
+        width = _pcm_bucket(CHUNK + 320, sched._drain_cap)
+        pcm_batch = np.zeros((N, width + 16), dtype=np.int16)
+        pcm_batch[:, :CHUNK] = np.tile(
             np.round(1000.0 * rng.randn(CHUNK)).astype(np.int16), (N, 1)
         )
         meta = np.zeros((N, 7), dtype=np.int32)
@@ -104,6 +108,7 @@ def main():
         meta[:, 4] = 40  # feat-ring write offset
         meta[:, 5] = 1  # has_new
         meta[:, 6] = sched._chunk_in
+        sched._write_meta_cols(pcm_batch, meta)
 
         # --- C. tunnel round trip (tiny transfer, blocked) ---------------
         import jax.numpy as jnp
@@ -119,14 +124,12 @@ def main():
         t0 = time.time()
         for _ in range(10):
             pd = jax.device_put(pcm_batch)
-            md = jax.device_put(meta)
-            jax.block_until_ready((pd, md))
+            jax.block_until_ready(pd)
         h2d_ms = (time.time() - t0) / 10 * 1000.0
 
         # --- A. fused-program device throughput ---------------------------
         pcm_dev = jax.device_put(pcm_batch)
-        meta_dev = jax.device_put(meta)
-        jax.block_until_ready((pcm_dev, meta_dev))
+        jax.block_until_ready(pcm_dev)
         state = (
             sched._alpha, sched._iv_gamma, sched._iv_X,
             sched._iv_carry if sched._iv_inline else sched._iv_dummy,
@@ -134,13 +137,12 @@ def main():
             sched._sw_w, sched._cum_ring,
         )
 
-        def dispatch(st, pcm_in=None, meta_in=None):
+        def dispatch(st, pcm_in=None):
             (alpha, gamma, X, ivw, am_state, ring, feats_ring, offs,
              sw_w, cum_ring) = st
             out = sched._batch_chunk_fused(
                 alpha,
                 pcm_dev if pcm_in is None else pcm_in,
-                meta_dev if meta_in is None else meta_in,
                 gamma, X, ivw, am_state, ring,
                 feats_ring, offs, sw_w, cum_ring,
             )
@@ -196,15 +198,14 @@ def main():
         t0 = time.time()
         for i in range(M):
             pd = jax.device_put(bufs[i % 4])
-            md = jax.device_put(meta)
-            state, packed = dispatch(state, pd, md)
+            state, packed = dispatch(state, pd)
         jax.block_until_ready(state[0])
         pipe_ms = (time.time() - t0) / M * 1000.0
 
         chunk_sec = CHUNK / 16000.0
         print(
             f"lanes={lanes} chunk_out={chunk_out} chunk={chunk_sec*1000:.0f}ms  "
-            f"rtt={rtt_ms:.1f}ms  h2d(pcm+meta)={h2d_ms:.1f}ms\n"
+            f"rtt={rtt_ms:.1f}ms  h2d(pcm_meta)={h2d_ms:.1f}ms\n"
             f"fused exec/tick: {exec_ms:.1f} ms  (device-bound chunk-RTF "
             f"{exec_ms/1000/chunk_sec:.3f}, {lanes*chunk_sec*1000/exec_ms:.0f} xRT)\n"
             f"fused exec + bg fetch (packed): {exec_fetch_ms:.1f} ms\n"

@@ -478,6 +478,9 @@ class StreamScheduler:
         self._device_feats = (
             self._device_bp
             and not self._featurizer.has_pitch
+            and self._featurizer.snip  # snip=false rides the host
+            # featurizer (virtual-signal edge reflections are per-stream
+            # host logic); an unused edge for the published model family
             and (ivp is None or self._iv_inline)
         )
         # slack past the valid rows covers the largest bucket's padded
@@ -877,6 +880,21 @@ class StreamScheduler:
 
         frontend_params = self.am.frontend_params
 
+        def feed_only_merged(feats_ring, cum_ring, pcm_meta):
+            """Features-only tick on the same merged [N, L + 16] upload
+            layout as the fused tick (meta slots 4/5 = write offsets /
+            has-new, matching batch_chunk_fused's column map)."""
+            pcm_buf = pcm_meta[:, :-16]
+            enc = pcm_meta[:, -16:].astype(jnp.int32)
+            meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
+            return feed_feats(
+                feats_ring,
+                cum_ring,
+                pcm_buf,
+                meta[:, 4],
+                meta[:, 5].astype(jnp.bool_),
+            )
+
         def feed_feats(feats_ring, cum_ring, pcm_buf, counts, has_new):
             """Write each lane's new MFCC rows into the device feature
             ring at its frame offset. Rows beyond a lane's real frame
@@ -927,17 +945,24 @@ class StreamScheduler:
             return new_feats, cum_ring
 
         def batch_chunk_fused(
-            alpha, pcm_buf, meta, gamma, X, iv_wins, am_state, ring,
+            alpha, pcm_meta, gamma, X, iv_wins, am_state, ring,
             feats_ring, offs, sw_w, cum_ring
         ):
             """One-dispatch serving tick (device-feats mode): PCM -> MFCC
             rows into the feature ring -> AM windows -> decode, all in a
-            single program. ``meta`` [N, 7] int32 packs every per-tick
-            lane scalar (n_valid, reset, t0, have, feat-ring write offset,
-            has-new-audio, i-vector pending-weight count) so the tick
-            uploads exactly two host arrays: the PCM batch and this pack.
-            The i-vector fold weights are a prefix mask reconstructed from
-            the count (the host staged iv_n valid frames last tick)."""
+            single program. The tick uploads exactly ONE host array:
+            ``pcm_meta`` [N, L + 16] — the PCM batch with every per-tick
+            lane scalar (n_valid, reset, t0, have, feat-ring write
+            offset, has-new-audio, i-vector pending-weight count, pad)
+            riding as 16 trailing lo/hi 16-bit halves in the PCM dtype
+            (int16 wraps; f32 carries the halves exactly) — on a
+            remote-dispatch transport every separate H2D is its own RPC.
+            The i-vector fold weights are a prefix mask reconstructed
+            from the count (the host staged iv_n valid frames last
+            tick)."""
+            pcm_buf = pcm_meta[:, :-16]
+            enc = pcm_meta[:, -16:].astype(jnp.int32)
+            meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
             n_valid = meta[:, 0]
             reset = meta[:, 1].astype(jnp.bool_)
             t0s = meta[:, 2]
@@ -965,10 +990,10 @@ class StreamScheduler:
         # device-carried window (ivp is None -> a persistent dummy that
         # must survive across ticks).
         fused_donate = (
-            (0, 3, 4, 6, 7, 8)
-            + ((5,) if self._iv_inline else ())
-            + ((10,) if self._sw_device else ())
-            + ((11,) if self._iv_cmvn_device else ())
+            (0, 2, 3, 5, 6, 7)
+            + ((4,) if self._iv_inline else ())
+            + ((9,) if self._sw_device else ())
+            + ((10,) if self._iv_cmvn_device else ())
         )
         self._batch_chunk_fused = (
             jax.jit(batch_chunk_fused, donate_argnums=fused_donate)
@@ -978,7 +1003,7 @@ class StreamScheduler:
         # standalone ring write for features-only ticks (no ready lane)
         self._feed_only = (
             jax.jit(
-                feed_feats,
+                feed_only_merged,
                 donate_argnums=(0,)
                 + ((1,) if self._iv_cmvn_device else ()),
             )
@@ -1298,13 +1323,26 @@ class StreamScheduler:
 
     # -- scheduling -------------------------------------------------------------
 
+    @staticmethod
+    def _write_meta_cols(batch: np.ndarray, meta: np.ndarray) -> None:
+        """Write the [N, k<=8] int32 meta pack into the batch's 16
+        trailing columns as lo/hi 16-bit halves in the PCM dtype (int16
+        wraps modulo 2^16 — the program re-masks; f32 holds the halves
+        exactly)."""
+        k = meta.shape[1]
+        dt = batch.dtype
+        batch[:, -16:] = 0
+        batch[:, -16 : -16 + 2 * k : 2] = (meta & 0xFFFF).astype(dt)
+        batch[:, -15 : -15 + 2 * k : 2] = ((meta >> 16) & 0xFFFF).astype(dt)
+
     def _step_fused(
         self, prep, n_valid, chunk_t0, chunk_have, flushed, metrics
     ) -> None:
         """Dispatch the fused serving tick (device-feats mode): exactly
-        two H2D uploads (PCM batch + the [N, 7] meta pack) and ONE device
-        program covering feature-ring write, AM windows, i-vector fold,
-        and decode. Nothing here blocks on the device."""
+        ONE H2D upload (the PCM batch with the meta pack riding in its
+        16 trailing columns) and ONE device program covering feature-ring
+        write, AM windows, i-vector fold, and decode. Nothing here
+        blocks on the device."""
         N = self.max_streams
         with StageTimer("stream_pace", metrics):
             # pipeline-depth bound (see _inflight): join the oldest
@@ -1314,7 +1352,7 @@ class StreamScheduler:
         if prep is not None:
             pcm_batch, counts_before, has_new = prep
         else:
-            pcm_batch = np.zeros((N, 0), dtype=np.int16)
+            pcm_batch = np.zeros((N, 16), dtype=np.int16)
             counts_before = np.zeros(N, dtype=np.int32)
             has_new = np.zeros(N, dtype=bool)
         meta = np.zeros((N, 7), dtype=np.int32)
@@ -1326,15 +1364,14 @@ class StreamScheduler:
         meta[:, 5] = has_new
         if self._ivp is not None:
             meta[:, 6] = self._iv_pending_n
+        self._write_meta_cols(pcm_batch, meta)
         with StageTimer("stream_upload", metrics):
             if self._lane_spec is not None:
                 pcm_dev = jax.device_put(
                     pcm_batch, self._lane_spec(pcm_batch)
                 )
-                meta_dev = jax.device_put(meta, self._lane_spec(meta))
             else:
                 pcm_dev = jnp.asarray(pcm_batch)
-                meta_dev = jnp.asarray(meta)
         with StageTimer("stream_chunk", metrics):
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
@@ -1344,7 +1381,7 @@ class StreamScheduler:
                 "sched_tick",
                 self._batch_chunk_fused,
                 (
-                    self._alpha, pcm_dev, meta_dev, self._iv_gamma,
+                    self._alpha, pcm_dev, self._iv_gamma,
                     self._iv_X, ivw, self._am_state, self._ring,
                     self._feats_ring, self._offs,
                     self._sw_w, self._cum_ring,
@@ -1515,23 +1552,25 @@ class StreamScheduler:
         return self._aot.dir
 
     def _feed_only_dispatch(self, prep, metrics) -> None:
-        """Features-only tick: only the MFCC ring write runs on device."""
+        """Features-only tick: only the MFCC ring write runs on device.
+        Same merged [N, L + 16] upload layout as the fused tick (meta
+        slots 4/5)."""
         pcm_batch, counts, has_new = prep
+        meta = np.zeros((pcm_batch.shape[0], 6), dtype=np.int32)
+        meta[:, 4] = counts
+        meta[:, 5] = has_new
+        self._write_meta_cols(pcm_batch, meta)
         with StageTimer("stream_chunk", metrics):
             if self._lane_spec is not None:
                 pcm_dev = jax.device_put(
                     pcm_batch, self._lane_spec(pcm_batch)
                 )
-                c_dev = jax.device_put(counts, self._lane_spec(counts))
-                h_dev = jax.device_put(has_new, self._lane_spec(has_new))
             else:
                 pcm_dev = jnp.asarray(pcm_batch)
-                c_dev = jnp.asarray(counts)
-                h_dev = jnp.asarray(has_new)
             self._feats_ring, self._cum_ring = self._aot_call(
                 "sched_feed",
                 self._feed_only,
-                (self._feats_ring, self._cum_ring, pcm_dev, c_dev, h_dev),
+                (self._feats_ring, self._cum_ring, pcm_dev),
                 donate=(0,) + ((1,) if self._iv_cmvn_device else ()),
                 vary=pcm_dev,
             )
@@ -1607,7 +1646,10 @@ class StreamScheduler:
             max_len = _pcm_bucket(int(buf_lens.max()), self._drain_cap)
             exact_all = bool(exact[sel].all())
             dtype = np.int16 if exact_all else np.float32
-            batch = np.zeros((N, max_len), dtype=dtype)
+            # +16 trailing columns: the meta pack rides the same upload
+            # (written by _step_fused/_feed_only_dispatch; buf_lens <=
+            # max_len so audio never clashes with them)
+            batch = np.zeros((N, max_len + 16), dtype=dtype)
             frame_len, shift = fz.frame_len, fz.frame_shift
             new_frames = np.zeros(N, dtype=np.int64)
             lanes = np.nonzero(sel)[0]
@@ -1702,7 +1744,7 @@ class StreamScheduler:
                 for _sid, buf, _n in with_buf
             )
             dtype = np.int16 if exact_i16 else np.float32
-            batch = np.zeros((self.max_streams, max_len), dtype=dtype)
+            batch = np.zeros((self.max_streams, max_len + 16), dtype=dtype)
             for sid, buf, _n in with_buf:
                 batch[sid, : buf.shape[0]] = (
                     buf.astype(np.int16) if exact_i16 else buf
@@ -1761,8 +1803,10 @@ class StreamScheduler:
             for i, (_sid, buf, _n) in enumerate(with_buf):
                 batch[i, : buf.shape[0]] = buf
             self.device_dispatches += 1
+            # fz.stream_params: with snip_edges=false the buffers are in
+            # VIRTUAL-signal space and need snip=true framing
             feats = np.asarray(
-                mfcc_batch(self.am.frontend_params, jnp.asarray(batch))
+                mfcc_batch(fz.stream_params, jnp.asarray(batch))
             )
             for i, (sid, buf, n) in enumerate(with_buf):
                 base_rows[sid] = feats[i, :n]

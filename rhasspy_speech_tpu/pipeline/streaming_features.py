@@ -37,6 +37,17 @@ from ..ops.frontend import mfcc_batch
 PITCH_WINDOW_SECONDS = 2.0
 
 
+def _reflect_idx(idx: np.ndarray, n: int) -> np.ndarray:
+    """Edge-reflected sample indices, the exact twin of
+    ops/frontend.frame_indices' snip_edges=false reflection
+    (feature-window.cc ExtractWindow:199-216)."""
+    idx = np.asarray(idx)
+    for _ in range(2):  # repeated reflection for pathological lengths
+        idx = np.where(idx < 0, -idx - 1, idx)
+        idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+    return np.clip(idx, 0, max(n - 1, 0))
+
+
 class StreamFeatState:
     """Per-stream incremental feature state."""
 
@@ -49,6 +60,15 @@ class StreamFeatState:
         self.pitch_last: Optional[np.ndarray] = None  # last emitted row [3]
         self.pitch_queue = np.zeros((0, 3), dtype=np.float32)
         self.total_samples = 0
+        # snip_edges=false bookkeeping (see StreamFeaturizer): raw
+        # samples consumed into the MFCC pipeline, whether the virtual
+        # signal's reflected prefix has been materialized, the raw
+        # signal's last samples (suffix reflection source), and whether
+        # the flush suffix was already emitted
+        self.raw_total = 0
+        self.virt_started = False
+        self.last_raw = np.zeros(0, dtype=np.float32)
+        self.suffix_done = False
 
 
 class StreamFeaturizer:
@@ -57,19 +77,43 @@ class StreamFeaturizer:
     def __init__(self, am):
         self.am = am
         cfg = am.frontend_config
-        if not cfg.snip_edges:
-            # centered frames reflect at the UTTERANCE edges; the tail-
-            # carry framing below would silently reflect at chunk edges
-            # instead. Batch decoding supports snip_edges=False; streaming
-            # must refuse rather than diverge.
-            raise NotImplementedError(
-                "streaming requires snip_edges=true framing (the batch "
-                "transcriber supports snip_edges=false)"
-            )
         self.frame_len = cfg.frame_length
         self.frame_shift = cfg.frame_shift
         self.num_ceps = cfg.num_ceps
         self.has_pitch = am.pitch_config is not None
+        self.snip = cfg.snip_edges
+        # snip_edges=false: centered frames reflecting at the UTTERANCE
+        # edges (feature-window.cc FirstSampleOfFrame:30-41,
+        # ExtractWindow:199-216). Streamed as a VIRTUAL SIGNAL: a
+        # reflected prefix of flen/2 - shift/2 samples is materialized
+        # once at stream start and a reflected suffix once at flush;
+        # standard snip framing over the virtual signal then yields
+        # bit-identical centered frames (frame f of V starts at
+        # f*shift = f*shift - prefix in the raw signal = the centered
+        # start), so the whole tail-carry machinery below is unchanged.
+        # MFCC over virtual buffers must use snip=TRUE framing — build a
+        # twin params set; the batch path keeps the real config.
+        self.prefix = (
+            0 if self.snip else cfg.frame_length // 2 - cfg.frame_shift // 2
+        )
+        if self.snip:
+            self.stream_params = am.frontend_params
+        else:
+            import dataclasses
+
+            from ..ops.frontend import make_frontend_params
+
+            self.stream_params = make_frontend_params(
+                dataclasses.replace(cfg, snip_edges=True)
+            )
+            if self.has_pitch:
+                # Kaldi pitch frames have their own (snip) framing; the
+                # published model family never combines pitch with
+                # snip_edges=false, so refuse rather than risk divergent
+                # row pairing.
+                raise NotImplementedError(
+                    "streaming pitch requires snip_edges=true framing"
+                )
         self.feat_dim = self.num_ceps + (3 if self.has_pitch else 0)
         if self.has_pitch:
             self.pitch_window = (
@@ -83,15 +127,68 @@ class StreamFeaturizer:
 
     # -- base MFCC -----------------------------------------------------------
 
-    def _extract_mfcc(self, state: StreamFeatState, pcm: np.ndarray) -> np.ndarray:
+    def _virt_buf(
+        self, state: StreamFeatState, pcm: np.ndarray, flush: bool = False
+    ) -> Optional[np.ndarray]:
+        """snip_edges=false: the tail-carry buffer in VIRTUAL-signal
+        space after appending this push. Materializes the reflected
+        prefix once enough raw audio arrived (raw accumulates in
+        mfcc_tail until then; returns None while accumulating) and the
+        reflected suffix at flush, so every downstream consumer keeps
+        the standard snip framing ``1 + (len - flen) // shift``. Exact
+        twin of frame_indices' double reflection — pathological
+        shorter-than-prefix utterances resolve at flush with the final
+        length."""
+        p = self.prefix
+        pcm = pcm.astype(np.float32)
+        if pcm.shape[0]:
+            state.raw_total += int(pcm.shape[0])
+            state.last_raw = np.concatenate(
+                [state.last_raw, pcm]
+            )[-self.frame_len :]
+        N = state.raw_total
+        if not state.virt_started:
+            raw = np.concatenate([state.mfcc_tail, pcm])
+            if raw.shape[0] < p and not flush:
+                state.mfcc_tail = raw
+                return None
+            state.virt_started = True
+            if raw.shape[0]:
+                pre = raw[_reflect_idx(np.arange(-p, 0), N)]
+            else:
+                pre = raw
+            buf = np.concatenate([pre, raw])
+        else:
+            buf = np.concatenate([state.mfcc_tail, pcm])
+        if flush and not state.suffix_done:
+            state.suffix_done = True
+            T = (N + self.frame_shift // 2) // self.frame_shift
+            if T > 0:
+                s = (T - 1) * self.frame_shift + self.frame_len - p - N
+                if s > 0:
+                    idx = _reflect_idx(np.arange(N, N + s), N)
+                    base = N - state.last_raw.shape[0]
+                    buf = np.concatenate(
+                        [buf, state.last_raw[idx - base]]
+                    )
+        return buf
+
+    def _extract_mfcc(
+        self, state: StreamFeatState, pcm: np.ndarray, flush: bool = False
+    ) -> np.ndarray:
         """New exact base-MFCC rows from this push (possibly empty)."""
-        buf = np.concatenate([state.mfcc_tail, pcm.astype(np.float32)])
+        if self.snip:
+            buf = np.concatenate([state.mfcc_tail, pcm.astype(np.float32)])
+        else:
+            buf = self._virt_buf(state, pcm, flush)
+            if buf is None:
+                return np.zeros((0, self.num_ceps), dtype=np.float32)
         if buf.shape[0] < self.frame_len:
             state.mfcc_tail = buf
             return np.zeros((0, self.num_ceps), dtype=np.float32)
         n = 1 + (buf.shape[0] - self.frame_len) // self.frame_shift
         rows = np.asarray(
-            mfcc_batch(self.am.frontend_params, jnp.asarray(buf[None]))
+            mfcc_batch(self.stream_params, jnp.asarray(buf[None]))
         )[0]
         state.mfcc_tail = buf[n * self.frame_shift :]
         return rows
@@ -99,8 +196,14 @@ class StreamFeaturizer:
     def prepare_mfcc_buf(self, state: StreamFeatState, pcm: np.ndarray):
         """Batched-MFCC path (scheduler): return (buf, n_frames) for this
         push, or None when no complete frame yet. The caller batches the
-        MFCC over slots and must call commit_mfcc afterwards."""
-        buf = np.concatenate([state.mfcc_tail, pcm.astype(np.float32)])
+        MFCC over slots (using ``stream_params`` framing) and must call
+        commit_mfcc afterwards."""
+        if self.snip:
+            buf = np.concatenate([state.mfcc_tail, pcm.astype(np.float32)])
+        else:
+            buf = self._virt_buf(state, pcm)
+            if buf is None:
+                return None
         if buf.shape[0] < self.frame_len:
             state.mfcc_tail = buf
             return None
@@ -224,8 +327,10 @@ class StreamFeaturizer:
                 state.pitch_samples = np.concatenate(
                     [state.pitch_samples, pcm]
                 )
-        mfcc_rows = self._extract_mfcc(state, pcm) if pcm.shape[0] else (
-            np.zeros((0, self.num_ceps), dtype=np.float32)
+        mfcc_rows = (
+            self._extract_mfcc(state, pcm, flush=flush)
+            if pcm.shape[0] or (flush and not self.snip)
+            else np.zeros((0, self.num_ceps), dtype=np.float32)
         )
         if mfcc_rows.shape[0]:
             state.mfcc_pending = np.concatenate(
