@@ -597,12 +597,21 @@ class CompiledNnet3:
     # Recurrent mode (LSTM-style back-edges): evaluate one step per
     # `recurrence` frames via lax.scan, carrying the back-referenced nodes.
     recurrent: bool = False
-    recurrence: int = 0  # max back-edge delay, a multiple of subsampling
+    recurrence: int = 0  # max back-edge delay (frames)
     carried: Tuple[str, ...] = ()
     # Per carried node: how many scan steps of history the carry holds
-    # (delay // subsampling); aligned with `carried`.
+    # (delay // rec_stride); aligned with `carried`.
     carry_depths: Tuple[int, ...] = ()
     step_input_range: Tuple[int, int] = (0, 0)
+    # Scan stride of the stepwise evaluator: gcd(subsampling, |delays|).
+    # Equal to the subsampling for every standard topology (chain LSTM:
+    # delay -3 at sub 3; plain LSTM: -1 at sub 1); smaller when a delay
+    # is not a multiple of the subsampling — then the scan runs
+    # subsampling/rec_stride steps per output frame and emits every
+    # (subsampling/rec_stride)-th step (Kaldi's looped compiler handles
+    # any delay the same way by computing at the input frame rate,
+    # decodable-simple-looped.cc). 0 = legacy alias for `subsampling`.
+    rec_stride: int = 0
 
     @property
     def left_context(self) -> int:
@@ -850,19 +859,27 @@ class CompiledNnet3:
         carry0: Optional[Dict[str, jnp.ndarray]] = None,
         return_state: bool = False,
     ):
-        """Stepwise evaluation for recurrent graphs: one lax.scan step per
-        output frame (stride = subsampling), carrying a ring of each
-        back-referenced node's last `depth` step values so delays of any
-        multiple of the subsampling work (Kaldi zero-initializes
-        recurrences the same way)."""
+        """Stepwise evaluation for recurrent graphs: one lax.scan step
+        per rec_stride frames (= the subsampling for standard
+        topologies), carrying a ring of each back-referenced node's last
+        `depth` step values. Delays that are not a multiple of the
+        subsampling drop the stride to gcd(subsampling, delays): the
+        scan then runs subsampling/stride steps per output frame and
+        only every (subsampling/stride)-th step's output is emitted —
+        Kaldi's looped compiler computes at the input frame rate the
+        same way (decodable-simple-looped.cc). Kaldi zero-initializes
+        recurrences; so does init_state."""
         s = self.subsampling
+        g = self.rec_stride or s
+        spo = s // g  # scan steps per output frame
         lo, hi = self.step_input_range
         win = hi - lo
         B = feats.shape[0]
         carried = set(self.carried)
         depths = dict(zip(self.carried, self.carry_depths))
 
-        expected = (self.num_out_frames - 1) * s + win
+        extra = s - g if spo > 1 else 0
+        expected = (self.num_out_frames - 1) * s + win + extra
         if feats.shape[1] != expected:
             raise ValueError(
                 f"feats must have {expected} frames (got {feats.shape[1]})"
@@ -877,7 +894,7 @@ class CompiledNnet3:
             ivec_row = ivector  # [B, D]: whole-utterance mode
 
         def step(carry, i):
-            start = i * s
+            start = i * g
             window = jax.lax.dynamic_slice_in_dim(feats, start, win, axis=1)
             values: Dict[str, jnp.ndarray] = {"input": window}
             origins: Dict[str, int] = {"input": lo}
@@ -895,17 +912,17 @@ class CompiledNnet3:
                     name = desc[1]
                     if name not in values and name in carried:
                         depth = depths[name]
-                        j = -lo_t // s  # steps back
+                        j = -lo_t // g  # steps back
                         if (
                             hi_t != lo_t + 1
                             or lo_t >= 0
-                            or (-lo_t) % s != 0
+                            or (-lo_t) % g != 0
                             or j > depth
                         ):
                             raise NotImplementedError(
                                 f"back-reference to {name!r} at times "
                                 f"[{lo_t},{hi_t}) (carry holds the last "
-                                f"{depth} step(s) at stride {s})"
+                                f"{depth} step(s) at stride {g})"
                             )
                         return carry[name][:, depth - j][:, None, :]
                     arr = values[name]
@@ -927,8 +944,8 @@ class CompiledNnet3:
                     # absolute input-clock time of this step is i * stride
                     subs = desc[1]
                     n = len(subs)
-                    parts = [eval_desc(s, lo_t, hi_t) for s in subs]
-                    sel = (i * s + jnp.arange(lo_t, hi_t)) % n
+                    parts = [eval_desc(s2, lo_t, hi_t) for s2 in subs]
+                    sel = (i * g + jnp.arange(lo_t, hi_t)) % n
                     out = parts[0]
                     for k2 in range(1, n):
                         out = jnp.where(
@@ -994,9 +1011,20 @@ class CompiledNnet3:
 
         if carry0 is None:
             carry0 = self.init_state(B, feats.dtype)
-        final_carry, outs = jax.lax.scan(
-            step, carry0, jnp.arange(self.num_out_frames, dtype=jnp.int32)
+        # chunked mode (return_state) runs the trailing sub-steps past
+        # the last output frame so the carried state lands on the next
+        # chunk's step grid; whole-utterance mode stops at the last
+        # output
+        num_steps = (
+            self.num_out_frames * spo
+            if (return_state and spo > 1)
+            else (self.num_out_frames - 1) * spo + 1
         )
+        final_carry, outs = jax.lax.scan(
+            step, carry0, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        if spo > 1:
+            outs = outs[::spo]  # emit output-grid steps only
         out = jnp.swapaxes(outs, 0, 1)  # [B, N, out_dim]
         if return_state:
             return out, final_carry
@@ -1041,18 +1069,27 @@ def compile_nnet3(
     recurrent = bool(back_refs)
     recurrence = 0
     carry_depths: Dict[str, int] = {}
+    rec_stride = subsampling
     if recurrent:
+        import math
+
         offsets = {off for offs in back_refs.values() for off in offs}
-        bad = [o for o in offsets if o >= 0 or (-o) % subsampling != 0]
+        bad = [o for o in offsets if o >= 0]
         if bad:
             raise NotImplementedError(
-                f"recurrent offsets {sorted(offsets)} — each delay must be "
-                f"negative and a multiple of the frame subsampling "
-                f"({subsampling}); got {sorted(bad)}"
+                f"recurrent offsets {sorted(offsets)} — each delay must "
+                f"be negative (a non-negative back-edge references the "
+                f"future); got {sorted(bad)}"
             )
+        # delays that are not a multiple of the subsampling drop the
+        # scan stride to the gcd: the evaluator then runs
+        # subsampling/rec_stride steps per output frame (see
+        # CompiledNnet3.rec_stride)
+        for o in offsets:
+            rec_stride = math.gcd(rec_stride, -o)
         recurrence = max(-o for o in offsets)
         for name, offs in back_refs.items():
-            carry_depths[name] = max(-o for o in offs) // subsampling
+            carry_depths[name] = max(-o for o in offs) // rec_stride
 
     # Node dims (forward pass over config order)
     node_dims: Dict[str, int] = {}
@@ -1132,9 +1169,17 @@ def compile_nnet3(
     if recurrent:
         step_input_range = ranges["input"]
         lo, hi = step_input_range
-        # AcousticModel gathers the GLOBAL window from this range
+        # AcousticModel gathers the GLOBAL window from this range. With
+        # rec_stride < subsampling the chunked evaluator also runs the
+        # trailing sub-steps between the last output frame and the next
+        # chunk's step grid (subsampling - rec_stride extra frames of
+        # lookahead) so carried state lands exactly where the next chunk
+        # resumes.
+        extra = subsampling - rec_stride if rec_stride < subsampling else 0
         ranges = dict(ranges)
-        ranges["input"] = (lo, (num_out_frames - 1) * subsampling + hi)
+        ranges["input"] = (
+            lo, (num_out_frames - 1) * subsampling + hi + extra
+        )
 
     return CompiledNnet3(
         spec=spec,
@@ -1151,4 +1196,5 @@ def compile_nnet3(
         carried=tuple(sorted(back_refs)),
         carry_depths=tuple(carry_depths[n] for n in sorted(back_refs)),
         step_input_range=step_input_range,
+        rec_stride=rec_stride,
     )

@@ -252,14 +252,62 @@ def test_lstm_file_roundtrip_and_jit():
     )
 
 
-def test_recurrence_mismatch_rejected():
-    import pytest
-
+def test_recurrence_delay_not_multiple_of_subsampling():
+    """delay -1 at subsampling 3: the evaluator drops its scan stride to
+    gcd(3, 1) = 1 and emits every 3rd step — outputs must equal the
+    subsampling-1 model's outputs at the subsampled frame times (Kaldi's
+    looped compiler computes at the input frame rate for any delay,
+    decodable-simple-looped.cc)."""
     rng = np.random.RandomState(10)
-    spec = _lstmp_spec(rng)
-    # delay 1 but subsampling 3 (not a multiple): must raise
-    with pytest.raises(NotImplementedError, match="multiple"):
-        compile_nnet3(spec, num_out_frames=2, subsampling=3)
+    spec = _lstmp_spec(rng)  # delay -1
+    N = 5
+    m3 = compile_nnet3(spec, num_out_frames=N, subsampling=3)
+    assert m3.recurrent and m3.rec_stride == 1
+    T1 = 3 * (N - 1) + 1
+    m1 = compile_nnet3(spec, num_out_frames=T1, subsampling=1)
+
+    B, D = 2, 6
+    lo1, hi1 = m1.ranges["input"]
+    feats1 = rng.randn(B, hi1 - lo1, D).astype(np.float32)
+    lo3, hi3 = m3.ranges["input"]
+    assert lo3 == lo1  # same step window start
+    pad = (hi3 - lo3) - feats1.shape[1]
+    feats3 = np.concatenate(
+        [feats1, np.zeros((B, pad, D), np.float32)], axis=1
+    )
+    out1 = np.asarray(m1.forward(jnp.asarray(feats1)))
+    out3 = np.asarray(m3.forward(jnp.asarray(feats3)))
+    np.testing.assert_allclose(out3, out1[:, ::3], rtol=2e-4, atol=2e-4)
+
+
+def test_recurrence_substride_chunked_matches_whole():
+    """delay -1 at subsampling 3, decoded in chunks with carried state:
+    the trailing sub-steps past each chunk's last output land the carry
+    on the next chunk's step grid — chunked == whole."""
+    rng = np.random.RandomState(11)
+    spec = _lstmp_spec(rng)  # delay -1
+    whole = compile_nnet3(spec, num_out_frames=12, subsampling=3)
+    chunk = compile_nnet3(spec, num_out_frames=4, subsampling=3)
+    assert whole.rec_stride == 1 and chunk.rec_stride == 1
+
+    B, D = 2, 6
+    lo, hi = whole.ranges["input"]
+    T_in = hi - lo
+    feats = rng.randn(B, T_in, D).astype(np.float32)
+    want = np.asarray(whole.forward(jnp.asarray(feats)))
+
+    clo, chi = chunk.ranges["input"]
+    win_total = chi - clo
+    state = chunk.init_state(B)
+    outs = []
+    for c in range(3):
+        t0 = c * 4 * 3  # 4 outputs per chunk at subsampling 3
+        idx = np.clip(np.arange(t0, t0 + win_total), 0, T_in - 1)
+        window = feats[:, idx]
+        out, state = chunk.forward_with_state(jnp.asarray(window), state)
+        outs.append(np.asarray(out))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_lstm_chunked_state_matches_whole():
