@@ -201,6 +201,22 @@ int32_t rss_pool_open(void *p) {
   return -1;
 }
 
+// Open a SPECIFIC slot (mesh-aware admission: the scheduler balances
+// lanes across device shards). Returns the slot, or -1 when occupied
+// or out of range.
+int32_t rss_pool_open_at(void *p, int32_t slot) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || (size_t)slot >= pool->slots.size()) return -1;
+  auto &s = pool->slots[slot];
+  if (s.active) return -1;
+  s.active = true;
+  s.finished = false;
+  s.i16_exact = true;
+  s.write_pos = s.read_pos = 0;
+  return slot;
+}
+
 // Append PCM; returns samples accepted (may be < n when the ring is full).
 int64_t rss_pool_feed(void *p, int32_t slot, const float *pcm, int64_t n) {
   auto *pool = static_cast<StreamPool *>(p);

@@ -135,6 +135,9 @@ class NativeRuntime:
             lib.rss_pool_feed_i16.argtypes = [
                 ctypes.c_void_p, ctypes.c_int32, i16p, ctypes.c_int64
             ]
+        if hasattr(lib, "rss_pool_open_at"):
+            lib.rss_pool_open_at.restype = ctypes.c_int32
+            lib.rss_pool_open_at.argtypes = [ctypes.c_void_p, ctypes.c_int32]
 
 
 _RUNTIME = NativeRuntime()
@@ -254,6 +257,19 @@ class StreamPool:
                     self._finished[i] = False
                     return i
             return -1
+
+    def open_at(self, slot: int) -> int:
+        """Open a SPECIFIC slot (mesh-aware admission); -1 when occupied."""
+        if self._lib is not None:
+            if hasattr(self._lib, "rss_pool_open_at"):
+                return int(self._lib.rss_pool_open_at(self._handle, slot))
+            return -1  # stale native build: caller falls back to open()
+        with self._lock:
+            if not 0 <= slot < self.num_slots or self._buffers[slot] is not None:
+                return -1
+            self._buffers[slot] = np.zeros(0, dtype=np.float32)
+            self._finished[slot] = False
+            return slot
 
     def feed(self, slot: int, pcm: np.ndarray) -> int:
         """Append PCM. int16 input (the wire format) takes a dedicated

@@ -1,9 +1,14 @@
 """Fused Pallas decode-relaxation kernel: VMEM-resident alpha.
 
 The XLA decode layouts (ops/decoder.py) relax one frame per ``lax.scan``
-step; alpha [B, S] and every tier intermediate round-trips HBM each frame,
-so decode is bandwidth-bound (~68% of the batch step at B=512 on the
-flagship graph, VERDICT r3 item 3). This kernel keeps alpha resident in
+step; alpha [B, S] and every tier intermediate round-trips HBM each frame —
+~68% of the batch step at B=512 on the flagship graph (VERDICT r3 item 3).
+Measured roofline (examples/decode_roofline.py on a v5e, B=512/T=298,
+XLA cost_analysis bytes + wall time): the decode scan achieves **87.5 GB/s
+= 10.7% of HBM peak** (alpha-only forward: 7.8%), so it is NOT
+bandwidth-bound — it is overhead/latency-bound in the per-frame scan step
+(the AM forward on the same step runs at 79% of HBM peak for contrast).
+This kernel keeps alpha resident in
 VMEM across ALL frames of a stream block: per frame the only HBM traffic
 is the [16, P] acoustic row in (auto-pipelined by Pallas through the grid)
 and the [16, S] backpointer row out — ~0.7 MB/frame at the flagship sizes

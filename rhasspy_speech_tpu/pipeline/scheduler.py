@@ -1138,6 +1138,7 @@ class StreamScheduler:
         # inputs placed P("streams", ...) so XLA partitions the chunk step
         # over the mesh (all ops are per-lane; zero collectives).
         self._lane_spec = None
+        self._mesh_shards = 0
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1148,6 +1149,7 @@ class StreamScheduler:
                     f"mesh size {n}"
                 )
             axis = mesh.axis_names[0]
+            self._mesh_shards = n
 
             def _lane_spec(a):
                 return NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
@@ -1244,8 +1246,30 @@ class StreamScheduler:
 
     # -- stream lifecycle ------------------------------------------------------
 
+    def _open_slot(self) -> int:
+        """Pick a pool slot. Under a mesh, fill device shards EVENLY:
+        lanes are sharded in contiguous blocks of max_streams/shards, so
+        first-free admission would pile partial occupancy onto shard 0
+        while the other chips run masked lanes for nothing."""
+        n = self._mesh_shards
+        if n <= 1:
+            return self.pool.open()
+        per = self.max_streams // n
+        occ = [0] * n
+        for sid, st in enumerate(self.slots):
+            if st.active:
+                occ[sid // per] += 1
+        for shard in sorted(range(n), key=lambda s: (occ[s], s)):
+            for sid in range(shard * per, (shard + 1) * per):
+                if not self.slots[sid].active:
+                    got = self.pool.open_at(sid)
+                    if got == sid:
+                        return sid
+        # stale native build without open_at (or a race): plain admission
+        return self.pool.open()
+
     def open_stream(self) -> int:
-        sid = self.pool.open()
+        sid = self._open_slot()
         if sid < 0:
             return -1
         state = self.slots[sid]

@@ -250,3 +250,105 @@ def test_sharded_scheduler_endpoint_and_silence_weighting(mesh, tmp_path):
         StreamScheduler(profile.model_dir, lang_dir, mesh=mesh, **kw)
     )
     assert sharded == plain == ["turn on light"]
+
+
+def test_mesh_balanced_admission(mesh, tmp_path):
+    """At partial occupancy, lanes must spread one-per-shard (contiguous
+    lane blocks map to devices; first-free admission would pile work on
+    shard 0 while other chips tick masked lanes)."""
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.pipeline import lang_dir_name
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.testing import build_synthetic_profile
+
+    lexicon = {"on": ["aa", "n"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_model_sync(
+        "en",
+        {"language": "en", "intents": {"M": {"data": [{"sentences": ["on"]}]}}},
+        tmp_path / "train",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang_dir = tmp_path / "train" / lang_dir_name(LangSuffix.GRAMMAR)
+    sched = StreamScheduler(
+        profile.model_dir, lang_dir, max_streams=16, mesh=mesh
+    )
+    per = 16 // 8
+    sids = [sched.open_stream() for _ in range(8)]
+    assert sorted(s // per for s in sids) == list(range(8)), sids
+    # next 8 fill the second slot of each shard
+    more = [sched.open_stream() for _ in range(8)]
+    assert sorted(s // per for s in more) == list(range(8)), more
+    # close one mid-shard lane; the next admission reuses that shard
+    sched.close(sids[3])
+    reopened = sched.open_stream()
+    assert reopened // per == sids[3] // per
+
+
+def test_mesh_quarantine_does_not_stall_other_shards(mesh, tmp_path):
+    """A lane force-finalized by the ring-capacity quarantine on one
+    shard must not break the other shards' ticks: their utterances
+    still decode exactly."""
+    import numpy as np
+
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.pipeline import lang_dir_name
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.pipeline.train import train_model_sync
+    from rhasspy_speech_tpu.testing import (
+        build_synthetic_profile,
+        synthesize_sentence,
+    )
+
+    lexicon = {"turn": ["t", "er", "n"], "on": ["aa", "n"], "light": ["l", "ay", "t"]}
+    profile = build_synthetic_profile(tmp_path / "model", lexicon)
+    train_model_sync(
+        "en",
+        {
+            "language": "en",
+            "intents": {"M": {"data": [{"sentences": ["turn on light"]}]}},
+        },
+        tmp_path / "train",
+        profile.model_dir,
+        lang_suffixes=[LangSuffix.GRAMMAR],
+    )
+    lang_dir = tmp_path / "train" / lang_dir_name(LangSuffix.GRAMMAR)
+    # pool sized for ~1 s: a 3x-longer stream overflows its device rings
+    sched = StreamScheduler(
+        profile.model_dir,
+        lang_dir,
+        max_streams=8,
+        mesh=mesh,
+        pool_capacity_samples=16000,
+    )
+    text = "turn on light"
+    good = [synthesize_sentence(profile, text, seed=400 + i) for i in range(3)]
+    runaway = np.tile(synthesize_sentence(profile, text, seed=499), 4)
+
+    bad_sid = sched.open_stream()
+    good_sids = [sched.open_stream() for _ in good]
+    # distinct shards (balanced admission)
+    assert len({s // 1 for s in [bad_sid] + good_sids}) == 4
+    off_b = 0
+    offs = [0] * len(good)
+    for _ in range(600):
+        if off_b < runaway.shape[0]:
+            off_b += sched.feed(bad_sid, runaway[off_b : off_b + 4096])
+            if off_b >= runaway.shape[0]:
+                sched.finish(bad_sid)
+        for i, sid in enumerate(good_sids):
+            if offs[i] < good[i].shape[0]:
+                offs[i] += sched.feed(sid, good[i][offs[i] : offs[i] + 4096])
+                if offs[i] >= good[i].shape[0]:
+                    sched.finish(sid)
+        sched.step()
+        done = all(
+            sched.poll(s, block=False) is not None for s in good_sids
+        ) and sched.poll(bad_sid, block=False) is not None
+        if done and off_b >= runaway.shape[0]:
+            break
+    assert sched.error(bad_sid) is not None, "runaway lane must quarantine"
+    for sid in good_sids:
+        assert sched.poll(sid) == [text], sched.poll(sid)
