@@ -49,7 +49,15 @@ NUM_PDFS = int(os.environ.get("BENCH_PDFS", "3072"))
 IVEC_DIM = int(os.environ.get("BENCH_IVEC_DIM", "100"))
 UBM_GAUSS = int(os.environ.get("BENCH_UBM_GAUSS", "512"))
 NBEST = int(os.environ.get("BENCH_NBEST", "1"))
-DTYPE = os.environ.get("BENCH_DTYPE", "")  # "bfloat16" = MXU-native AM
+# AM compute dtype. bfloat16 is the DEFAULT operating point: the TDNN-F
+# AM forward is MXU-native in bf16 (f32 runs the same MXU at half rate
+# and its HBM traffic measured at 79% of the v5e peak — ROOFLINE_r05),
+# transcripts are bit-equal to f32 on every parity test
+# (tests/test_bf16.py), and decode costs stay f32 either way.
+# BENCH_DTYPE=float32 restores the old operating point for comparison.
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+if DTYPE in ("float32", "f32"):
+    DTYPE = ""
 # Sweep: RTF<0.1 candidates first (small), then throughput candidates.
 # Batches past ~1024 exhaust HBM with this AM (the [B, T, 3072] posterior
 # tensor plus forward temps); infeasible points are recorded, not fatal.
@@ -57,7 +65,7 @@ DTYPE = os.environ.get("BENCH_DTYPE", "")  # "bfloat16" = MXU-native AM
 BATCHES = [
     int(b)
     for b in os.environ.get(
-        "BENCH_BATCHES", "128,256,320,384,512,1024"
+        "BENCH_BATCHES", "128,256,384,512,640,768,1024"
     ).split(",")
     if b.strip()
 ]
@@ -265,6 +273,7 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
 
                 completed = 0
                 harvested = 0
+                tickets = []
 
                 def tick(i):
                     nonlocal completed, harvested
@@ -274,28 +283,22 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                         for sid in range(lanes):
                             st = sched.slots[sid]
                             if st.done:
-                                # Harvest the result BEFORE recycling the
-                                # slot (closing bumps the slot generation
-                                # and would drop the pending device
-                                # finalize — its word assembly + fuzzy
-                                # tail must stay in the measured loop).
-                                # Strictly non-blocking: a slot whose
-                                # device trace hasn't landed yet (result
-                                # None) just waits another tick — a
-                                # blocking poll here would serialize the
-                                # host against the device queue (a real
-                                # server polls the same way).
-                                if sched.poll(sid, block=False) is None:
-                                    continue
-                                harvested += 1
-                                sched.close(sid)
+                                # Recycle the lane IMMEDIATELY: close()
+                                # returns a ticket; the word assembly +
+                                # fuzzy tail happen when the async trace
+                                # lands (take_result below, still inside
+                                # the measured loop). Waiting here for the
+                                # result before reopening idled every
+                                # retiring lane 1-2 ticks (~20% of
+                                # lane-ticks at 512 lanes).
+                                tickets.append(sched.close(sid))
+                                completed += 1
                                 nsid = sched.open_stream()
                                 remaining[nsid] = utt_ticks
                                 sched.feed(nsid, pcm_pool[i % len(pcm_pool)])
                                 sched.feed(
                                     nsid, pcm_pool[(i + 1) % len(pcm_pool)]
                                 )
-                                completed += 1
                             elif remaining[sid] > 0:
                                 sched.feed(
                                     sid, pcm_pool[(sid + i) % len(pcm_pool)]
@@ -303,6 +306,15 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                                 remaining[sid] -= 1
                                 if remaining[sid] == 0:
                                     sched.finish(sid)
+                        # redeem landed results (non-blocking: tickets
+                        # whose trace is still in flight stay queued)
+                        still = []
+                        for tk in tickets:
+                            if sched.take_result(tk, block=False) is None:
+                                still.append(tk)
+                            else:
+                                harvested += 1
+                        tickets[:] = still
                     return sched.step()
 
                 tc = time.time()
@@ -341,6 +353,10 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 _jax.block_until_ready(sched._alpha)
                 while sched._pending_finalize:
                     sched._harvest_finalizes()
+                for tk in tickets:
+                    if sched.take_result(tk, block=True) is not None:
+                        harvested += 1
+                tickets.clear()
                 wall = time.time() - t0
                 stage_ms = {
                     name: round(s.seconds / n_meas * 1000.0, 1)
@@ -532,9 +548,12 @@ def main():
                 states_t, alphas_t, arcs_t = viterbi_topk_cached(
                     frontier_graph, lp, arg
                 )
-                states_np = np.asarray(states_t)
-                alphas_np = np.asarray(alphas_t)
-                arcs_np = np.asarray(arcs_t)
+                # one batched D2H (3 sequential np.asarray = 3 blocking
+                # RPC round-trips over the remote-dispatch tunnel:
+                # measured ~103 vs ~40 ms at B=640)
+                states_np, alphas_np, arcs_np = jax.device_get(
+                    (states_t, alphas_t, arcs_t)
+                )
                 t0 = mark("decode", t0)
                 words = [
                     topk_backtrace(graph, states_np, alphas_np, arcs_np, i)[0]
@@ -549,9 +568,8 @@ def main():
                 chunk = lp[start : start + arg]
                 t0 = time.time()
                 if mode == "dense":
-                    trace, fstate, cost = jitted_dense(chunk)
-                    trace, fstate, cost = (
-                        np.asarray(trace), np.asarray(fstate), np.asarray(cost)
+                    trace, fstate, cost = jax.device_get(
+                        jitted_dense(chunk)
                     )
                     t0 = mark("decode", t0)
                     assembled = traces_to_words_batch(graph, trace, fstate, cost)

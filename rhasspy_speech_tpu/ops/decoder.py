@@ -1325,10 +1325,13 @@ def viterbi_decode_checkpointed(
     final_alpha, boundary_alphas = forward_checkpoints(am_costs, lengths)
     totals = final_alpha + graph.base.final_weight[None, :]
     final_state = jnp.argmin(totals, axis=-1).astype(jnp.int32)
-    total_cost = np.asarray(
-        jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
-    )
+    total_cost = jnp.take_along_axis(totals, final_state[:, None], axis=1)[:, 0]
 
+    # The segment chain's only cross-iteration dependency (``state``)
+    # stays on device, so every backtrace dispatch queues asynchronously;
+    # all D2H transfers batch into ONE device_get at the end (each
+    # per-segment np.asarray was a blocking RPC round-trip on a
+    # remote-dispatch transport).
     state = final_state
     traces = []
     for seg_idx in range(n_seg - 1, -1, -1):
@@ -1339,9 +1342,12 @@ def viterbi_decode_checkpointed(
             boundary_alphas[seg_idx],
             state,
         )
-        traces.append(np.asarray(arcs))
+        traces.append(arcs)
+    traces, final_state, total_cost = jax.device_get(
+        (traces, final_state, total_cost)
+    )
     arc_trace = np.concatenate(traces[::-1], axis=0).T  # [B, T_pad]
-    return arc_trace[:, :T], np.asarray(final_state), total_cost
+    return arc_trace[:, :T], final_state, total_cost
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ import os
 import threading
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import List, Optional, Set, Tuple, Union
+from typing import Dict, List, Optional, Set, Tuple, Union
 
 import numpy as np
 
@@ -248,7 +248,10 @@ class _SlotState:
     flushed_feats: bool = False
     iv_pending_win: Optional[np.ndarray] = None
     iv_pending_w: Optional[np.ndarray] = None
-    gen: int = 0  # bumped on open: stale async finalizes are dropped
+    # bumped on open AND close: in-flight async finalizes for a previous
+    # incarnation are routed to the retired-results store (see
+    # StreamScheduler.close / take_result), never into the wrong stream
+    gen: int = 0
 
     def bp_chunks(self, sid: int) -> List[np.ndarray]:
         """Materialized per-chunk [k, S] backpointers for this stream."""
@@ -1086,6 +1089,13 @@ class StreamScheduler:
         )
         self._fuzzy_cache: dict = {}
         self._pending_finalize: list = []
+        # results of CLOSED streams whose finalize trace landed after (or
+        # at) close — keyed by the (sid, gen) ticket close() returns, so
+        # a serving loop can recycle a done lane IMMEDIATELY instead of
+        # idling it 1-2 ticks until its async trace lands (measured ~20%
+        # of lane-ticks lost to that wait at 512 lanes). Bounded FIFO.
+        self._retired: Dict[Tuple[int, int], List[str]] = {}
+        self._retired_cap = max(64, 4 * max_streams)
         # lanes quarantined this tick (ring-capacity overflow): they are
         # force-finalized with whatever decoded so far instead of raising
         # out of the shared tick and killing every other in-flight lane
@@ -1313,10 +1323,43 @@ class StreamScheduler:
             return state.result
         return None
 
-    def close(self, sid: int) -> None:
-        self.slots[sid].active = False
+    def close(self, sid: int) -> Tuple[int, int]:
+        """Release the slot for reuse. Returns a ``(sid, gen)`` ticket:
+        when the stream was finished but its async finalize trace has not
+        landed yet, the result is delivered to the retired store instead
+        of being dropped — ``take_result(ticket)`` retrieves it. A lane
+        can therefore be recycled the moment its endpoint fires / feed
+        finishes, without idling it until the trace D2H lands."""
+        state = self.slots[sid]
+        ticket = (sid, state.gen)
+        if state.done and state.result is not None:
+            self._retire(ticket, state.result)
+        # bump NOW (not just on open): any in-flight finalize for this
+        # incarnation now routes to the retired store via the gen guard
+        state.gen += 1
+        state.active = False
         self._quarantined.discard(sid)
         self.pool.close(sid)
+        return ticket
+
+    def _retire(self, ticket: Tuple[int, int], result: List[str]) -> None:
+        if len(self._retired) >= self._retired_cap:
+            # drop oldest (insertion order): a caller that never collects
+            # tickets must not leak
+            self._retired.pop(next(iter(self._retired)))
+        self._retired[ticket] = result
+
+    def take_result(
+        self, ticket: Tuple[int, int], block: bool = False
+    ) -> Optional[List[str]]:
+        """Result of a closed stream, by close()'s ticket; None while its
+        finalize trace is still in flight (``block=True`` forces the
+        harvest). A returned result is popped — each ticket redeems once."""
+        res = self._retired.pop(ticket, None)
+        if res is None and self._pending_finalize:
+            self._harvest_finalizes(block=block)
+            res = self._retired.pop(ticket, None)
+        return res
 
     def error(self, sid: int) -> Optional[str]:
         """Non-None when the stream was force-finalized by a capacity
@@ -2473,31 +2516,37 @@ class StreamScheduler:
             for i, sid in enumerate(group):
                 state = self.slots[sid]
                 r = rows[i]
-                if state.gen != gens[i]:
-                    continue  # slot was recycled; result is obsolete
+                res: Optional[List[str]] = None
                 if dead[r]:
-                    state.result = []
-                    continue
-                trace = arcs[r, : frames[i]]
-                if (trace == -1).any():
-                    state.result = []
-                    continue
-                real = trace[trace >= 0]
-                if real.shape[0]:
-                    first_state = int(graph.arc_src[real[0]])
+                    res = []
                 else:
-                    first_state = int(fstates[r])
-                words: List[int] = list(
-                    graph.words_of(int(graph.init_wseq[first_state]))
-                )
-                wseqs = graph.arc_wseq[real]
-                for wid in wseqs[wseqs != 0]:
-                    words.extend(graph.words_of(int(wid)))
-                words.extend(
-                    graph.words_of(int(graph.final_wseq[int(fstates[r])]))
-                )
-                with StageTimer("stream_fin_words", get_metrics()):
-                    state.result = self._words_to_result(words)
+                    trace = arcs[r, : frames[i]]
+                    if (trace == -1).any():
+                        res = []
+                if res is None:
+                    real = trace[trace >= 0]
+                    if real.shape[0]:
+                        first_state = int(graph.arc_src[real[0]])
+                    else:
+                        first_state = int(fstates[r])
+                    words: List[int] = list(
+                        graph.words_of(int(graph.init_wseq[first_state]))
+                    )
+                    wseqs = graph.arc_wseq[real]
+                    for wid in wseqs[wseqs != 0]:
+                        words.extend(graph.words_of(int(wid)))
+                    words.extend(
+                        graph.words_of(int(graph.final_wseq[int(fstates[r])]))
+                    )
+                    with StageTimer("stream_fin_words", get_metrics()):
+                        res = self._words_to_result(words)
+                if state.gen != gens[i]:
+                    # slot was closed (and possibly recycled) while the
+                    # trace was in flight: deliver to the retired store,
+                    # redeemable by close()'s (sid, gen) ticket
+                    self._retire((sid, gens[i]), res)
+                else:
+                    state.result = res
 
     _FUZZY_CACHE_MAX = 4096
 

@@ -441,11 +441,16 @@ class Nnet3StreamTranscriber:
         alphas, betas = forward_backward(
             self.device_graph, log_probs, self.acoustic_scale
         )
+        # one batched D2H: each np.asarray of a device array is a
+        # separate blocking round-trip on a remote-dispatch transport
+        alphas, betas, log_probs = jax.device_get(
+            (alphas, betas, log_probs)
+        )
         lat = build_lattice(
             graph,
-            np.asarray(alphas),
-            np.asarray(betas),
-            np.asarray(log_probs),
+            alphas,
+            betas,
+            log_probs,
             0,
             lattice_beam=self.lattice_beam,
             acoustic_scale=self.acoustic_scale,

@@ -99,8 +99,10 @@ def test_onehot_fold_used_and_exact():
     rng = np.random.RandomState(19)
     dense = _make_src_pdf_graph(rng, num_states=20, extra_arcs=50)
     layout = make_decode_graph(dense)
-    tabs = _alpha_tables(layout)
-    assert tabs.onehot is not None  # small pdf set -> table built
+    from rhasspy_speech_tpu.ops.decoder import _onehot_tables
+
+    sel, onehot = _onehot_tables(layout)
+    assert onehot is not None  # small pdf set -> table built
     with mock.patch.dict(os.environ, {"RSTPU_ONEHOT": "1"}):
         _check(dense, layout, seed=7)
 

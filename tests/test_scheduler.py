@@ -371,3 +371,65 @@ def test_overlong_stream_quarantined_not_fatal(profile_and_train):  # noqa: F811
     # the well-behaved lane is unaffected
     assert sched.error(b) is None
     assert sched.poll(b) == ["never mind"]
+
+
+def test_close_ticket_result_survives_recycle(profile_and_train):  # noqa: F811
+    """A done lane closed BEFORE its async finalize trace lands must
+    still deliver its transcript — via close()'s (sid, gen) ticket and
+    take_result — and the slot must be immediately reusable by a new
+    stream that decodes exactly (serving loops recycle lanes the moment
+    the endpoint fires instead of idling them until the trace D2H)."""
+    profile, train_dir = profile_and_train
+    lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    sched = StreamScheduler(profile.model_dir, lang, max_streams=1)
+
+    first = "turn on the light"
+    sid = sched.open_stream()
+    sched.feed(sid, synthesize_sentence(profile, first, seed=71))
+    sched.finish(sid)
+    # step until the lane is DONE (finalize dispatched) but do not poll:
+    # the trace may still be in flight
+    for _ in range(100):
+        sched.step()
+        if sched.slots[sid].done:
+            break
+    assert sched.slots[sid].done
+    ticket = sched.close(sid)
+
+    # recycle immediately: the second stream decodes exactly
+    second = "never mind"
+    sid2 = sched.open_stream()
+    assert sid2 == sid  # single slot: genuinely recycled
+    sched.feed(sid2, synthesize_sentence(profile, second, seed=72))
+    sched.finish(sid2)
+    for _ in range(100):
+        if sched.poll(sid2) is not None:
+            break
+        sched.step()
+    assert sched.poll(sid2) == [second]
+
+    # the first stream's result is redeemable exactly once
+    got = sched.take_result(ticket, block=True)
+    assert got == [first], got
+    assert sched.take_result(ticket) is None
+
+
+def test_close_ticket_result_already_landed(profile_and_train):  # noqa: F811
+    """close() after the result landed snapshots it into the retired
+    store: the ticket still redeems (uniform serving-loop flow whether
+    or not the trace won the race with close)."""
+    profile, train_dir = profile_and_train
+    lang = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    sched = StreamScheduler(profile.model_dir, lang, max_streams=2)
+    text = "turn off the fan"
+    sid = sched.open_stream()
+    sched.feed(sid, synthesize_sentence(profile, text, seed=73))
+    sched.finish(sid)
+    for _ in range(100):
+        if sched.poll(sid) is not None:
+            break
+        sched.step()
+    assert sched.poll(sid) == [text]
+    ticket = sched.close(sid)
+    assert sched.take_result(ticket) == [text]
+    assert sched.take_result(ticket) is None
