@@ -245,12 +245,18 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     np.round(1000.0 * rng.randn(CHUNK)).astype(np.int16)
                     for _ in range(16)
                 ]
+                # Streaming stays f32: bf16 measured ~2x SLOWER for the
+                # fused serving tick (507 vs 988 xRT at 512 lanes) while
+                # helping the batch path — the casts around the feature-
+                # ring windows break the tick program's fusion. Override
+                # with BENCH_STREAM_DTYPE to re-measure.
+                sdtype = os.environ.get("BENCH_STREAM_DTYPE", "") or None
                 sched = StreamScheduler(
                     model_dir, graph_dir, max_streams=lanes,
                     max_fuzzy_cost=1.0,
                     pool_capacity_samples=int(16000 * (SECONDS + 2)),
                     chunk_out_frames=chunk_out,
-                    compute_dtype=DTYPE or None,
+                    compute_dtype=sdtype,
                     endpointing=endpointing,
                 )
                 if endpointing is not None and not sched._ep_device:

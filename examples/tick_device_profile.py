@@ -97,7 +97,7 @@ def main():
 
         N = sched.max_streams
         width = _pcm_bucket(CHUNK + 320, sched._drain_cap)
-        pcm_batch = np.zeros((N, width + 16), dtype=np.int16)
+        pcm_batch = np.zeros((N, width + sched._meta_cols), dtype=np.int16)
         pcm_batch[:, :CHUNK] = np.tile(
             np.round(1000.0 * rng.randn(CHUNK)).astype(np.int16), (N, 1)
         )
@@ -134,25 +134,25 @@ def main():
             sched._alpha, sched._iv_gamma, sched._iv_X,
             sched._iv_carry if sched._iv_inline else sched._iv_dummy,
             sched._am_state, sched._ring, sched._feats_ring, sched._offs,
-            sched._sw_w, sched._cum_ring,
+            sched._sw_w, sched._cum_ring, sched._pcm_ring,
         )
 
         def dispatch(st, pcm_in=None):
             (alpha, gamma, X, ivw, am_state, ring, feats_ring, offs,
-             sw_w, cum_ring) = st
+             sw_w, cum_ring, pcm_ring) = st
             out = sched._batch_chunk_fused(
                 alpha,
                 pcm_dev if pcm_in is None else pcm_in,
                 gamma, X, ivw, am_state, ring,
-                feats_ring, offs, sw_w, cum_ring,
+                feats_ring, offs, sw_w, cum_ring, pcm_ring,
             )
             (alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-             packed, sw_w, feats_ring, cum_ring) = out
+             packed, sw_w, feats_ring, cum_ring, pcm_ring) = out
             ivw2 = iv_carry if sched._iv_inline else sched._iv_dummy
             sw2 = sw_w if sched._sw_device else sched._sw_w
             return (
                 (alpha, gamma, X, ivw2, am_state, ring, feats_ring, offs,
-                 sw2, cum_ring),
+                 sw2, cum_ring, pcm_ring),
                 packed,
             )
 

@@ -367,14 +367,16 @@ class StreamScheduler:
 
         # Inline i-vector windows: the staged [t0-sl, t0+chunk+sr) base-MFCC
         # window is a STATIC SLICE of the AM window whenever the nnet input
-        # range covers it (TDNN context >= the splice context) and no
-        # pitch/CMVN transforms the tap — so the previous tick's window is
-        # carried ON DEVICE and the per-lane host staging plus its H2D
-        # upload disappear. Weights still come from the host (they encode
-        # per-lane valid-frame counts; [N, chunk] — bytes).
+        # range covers it (TDNN context >= the splice context) — so the
+        # previous tick's window is carried ON DEVICE and the per-lane host
+        # staging plus its H2D upload disappear. Weights still come from
+        # the host (they encode per-lane valid-frame counts; [N, chunk] —
+        # bytes). Pitch models qualify too: the tap slices the window's
+        # first num_ceps columns, and Kaldi's i-vector tap reads the BASE
+        # MFCC, never the appended pitch columns
+        # (online2/online-nnet2-feature-pipeline.cc:90-140).
         iv_inline_geom = (
             ivp is not None
-            and not self._featurizer.has_pitch
             and self._win_lo <= -ivp.splice_left
             and self._win_hi >= self._chunk_in + ivp.splice_right
         )
@@ -476,16 +478,47 @@ class StreamScheduler:
         # device (written by the drain program) and the AM window gathers
         # from it INSIDE the chunk program — the per-tick feature D2H +
         # window H2D round trip disappears along with the per-lane host
-        # window assembly. Falls back to the host path for pitch models
-        # (pitch merge is host logic) and non-inline i-vector taps.
+        # window assembly. Pitch models ride the fused tick too (see
+        # _pitch_device below); non-inline i-vector taps fall back.
         self._device_feats = (
             self._device_bp
-            and not self._featurizer.has_pitch
             and self._featurizer.snip  # snip=false rides the host
             # featurizer (virtual-signal edge reflections are per-stream
             # host logic); an unused edge for the published model family
             and (ivp is None or self._iv_inline)
         )
+        # Device-resident pitch: the fused tick keeps a per-lane PCM ring
+        # (leading pitch-window zero pad, so window slices never index
+        # negative), recomputes the sliding pitch window on device
+        # (ops/pitch.pitch_batch inline — exactly the host streaming
+        # featurizer's window semantics, streaming_features.py:216-268)
+        # and block-writes the NEW pitch rows into the feature ring's 3
+        # trailing columns; lane readiness gates on the pitch-matched
+        # count. Reference: kaldi/src/feat/pitch-functions.cc (online
+        # recompute with lookahead) + online2/online-nnet2-feature-
+        # pipeline.cc:90-140 (pitch appended to MFCC, i-vector taps the
+        # base MFCC only).
+        self._pitch_device = False
+        if self._device_feats and self._featurizer.has_pitch:
+            from ..ops.pitch import num_pitch_frames
+
+            _pw = self._featurizer.pitch_window
+            _tw = num_pitch_frames(self.am.pitch_config, _pw)
+            # one drain must never advance the window past the rows a
+            # single block write can cover (the host path's by-order
+            # pairing has the same cap implicitly via the drain cap)
+            if _tw >= 2 and self._drain_cap <= (_tw - 1) * 160:
+                self._pitch_device = True
+                self._pitch_win_samples = _pw
+                self._pitch_t_w = _tw
+            else:  # pragma: no cover - config far off the published family
+                _LOGGER.warning(
+                    "pitch window too short for the drain cap "
+                    "(t_w=%d, cap=%d); pitch rides the host feature path",
+                    _tw,
+                    self._drain_cap,
+                )
+                self._device_feats = False
         # slack past the valid rows covers the largest bucket's padded
         # scratch-row block (reads clamp to the valid count; the
         # ring-overflow guard must never fire on burst-fed lanes)
@@ -882,23 +915,95 @@ class StreamScheduler:
         )
 
         frontend_params = self.am.frontend_params
+        pitch_device = self._pitch_device
+        # trailing meta columns riding the PCM upload: 16 (8 i32 slots)
+        # everywhere, 24 (12 slots) for device-pitch schedulers (3 extra
+        # slots: window start sample, pitch-done frame, flush flag) —
+        # widened ONLY for pitch so existing non-pitch AOT exports keep
+        # their exact layout
+        TC = 24 if pitch_device else 16
+        self._meta_cols = TC
+        if pitch_device:
+            from ..ops.pitch import pitch_batch as _pitch_batch
 
-        def feed_only_merged(feats_ring, cum_ring, pcm_meta):
-            """Features-only tick on the same merged [N, L + 16] upload
+            pitch_cfg = self.am.pitch_config
+            Wp = self._pitch_win_samples
+            t_w = self._pitch_t_w
+            pitch_shift = self._featurizer.frame_shift
+
+        def feed_only_merged(feats_ring, cum_ring, pcm_ring, pcm_meta):
+            """Features-only tick on the same merged [N, L + TC] upload
             layout as the fused tick (meta slots 4/5 = write offsets /
             has-new, matching batch_chunk_fused's column map)."""
-            pcm_buf = pcm_meta[:, :-16]
-            enc = pcm_meta[:, -16:].astype(jnp.int32)
+            pcm_buf = pcm_meta[:, :-TC]
+            enc = pcm_meta[:, -TC:].astype(jnp.int32)
             meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
             return feed_feats(
                 feats_ring,
                 cum_ring,
+                pcm_ring,
                 pcm_buf,
                 meta[:, 4],
                 meta[:, 5].astype(jnp.bool_),
+                meta,
             )
 
-        def feed_feats(feats_ring, cum_ring, pcm_buf, counts, has_new):
+        def feed_pitch(feats_ring, pcm_ring, pcm_buf, counts, has_new, meta):
+            """Device pitch lane: PCM into the history ring, ONE sliding
+            pitch window per lane (pitch_batch inline), the NEW rows
+            block-written into the feature ring's pitch columns at the
+            pitch-done offset. The block is t_w rows with the gather
+            index clamped to the window: rows past the new count repeat
+            the newest row, which (a) is scratch for live lanes — they
+            are rewritten by the next, overlapping block before the
+            matched count lets the AM read them — and (b) IS the flush
+            semantics for finished lanes (the host path repeats the last
+            pitch row over the MFCC tail, streaming_features._merge)."""
+            a_samp = meta[:, 7]  # window start sample (can be negative)
+            pdone = meta[:, 8]  # absolute pitch frames already final
+            pflush = meta[:, 9].astype(jnp.bool_)
+            if pcm_buf.shape[1] > 0:
+                pcm_ring, rows_p, cnts = jax.lax.optimization_barrier(
+                    (pcm_ring, pcm_buf, counts)
+                )
+                pcm_ring = jax.vmap(
+                    lambda buf, row, c, w: jnp.where(
+                        w,
+                        jax.lax.dynamic_update_slice(
+                            buf, row, (c * pitch_shift + Wp,)
+                        ),
+                        buf,
+                    )
+                )(pcm_ring, rows_p, cnts, has_new)
+            win = jax.vmap(
+                lambda buf, a: jax.lax.dynamic_slice(buf, (a + Wp,), (Wp,))
+            )(pcm_ring, a_samp)
+            rows3 = _pitch_batch(pitch_cfg, win)  # [N, t_w, 3]
+            a_frames = a_samp // pitch_shift
+            lo = (pdone - a_frames).astype(jnp.int32)
+            idx = jnp.clip(
+                lo[:, None] + jnp.arange(t_w, dtype=jnp.int32)[None, :],
+                0,
+                t_w - 1,
+            )
+            sel = jnp.take_along_axis(rows3, idx[:, :, None], axis=1)
+            n_abs = a_frames + t_w
+            wmask = (n_abs > pdone) | pflush
+            feats_ring, sel, pd = jax.lax.optimization_barrier(
+                (feats_ring, sel, pdone.astype(jnp.int32))
+            )
+            feats_ring = jax.vmap(
+                lambda buf, blk, p, w: jnp.where(
+                    w,
+                    jax.lax.dynamic_update_slice(buf, blk, (p, num_ceps)),
+                    buf,
+                )
+            )(feats_ring, sel, pd, wmask)
+            return feats_ring, pcm_ring
+
+        def feed_feats(
+            feats_ring, cum_ring, pcm_ring, pcm_buf, counts, has_new, meta
+        ):
             """Write each lane's new MFCC rows into the device feature
             ring at its frame offset. Rows beyond a lane's real frame
             count are scratch (overwritten by the next write; reads clamp
@@ -913,58 +1018,65 @@ class StreamScheduler:
             device CMVN a cumulative-sum ring rides along: cum[t] = sum of
             rows 0..t (continued from the lane's last valid cum row), so
             any row's sliding-window mean is two gathers."""
-            if pcm_buf.shape[1] == 0:
-                return feats_ring, cum_ring
-            if pcm_buf.dtype != jnp.float32:
-                pcm_buf = pcm_buf.astype(jnp.float32)
-            rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
-            # barrier: keep the ring updates out of the MFCC loops (the
-            # same scatter-sinking pathology as the decode-scan ring
-            # write; see the bp-ring barrier in batch_chunk)
-            feats_ring, rows, counts = jax.lax.optimization_barrier(
-                (feats_ring, rows, counts)
-            )
-            write = jax.vmap(
-                lambda buf, lane_rows, cnt, w: jnp.where(
-                    w, jax.lax.dynamic_update_slice(buf, lane_rows, (cnt, 0)), buf
+            if pcm_buf.shape[1] > 0:
+                if pcm_buf.dtype != jnp.float32:
+                    pcm_buf = pcm_buf.astype(jnp.float32)
+                rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
+                # barrier: keep the ring updates out of the MFCC loops
+                # (the same scatter-sinking pathology as the decode-scan
+                # ring write; see the bp-ring barrier in batch_chunk)
+                feats_ring, rows, counts = jax.lax.optimization_barrier(
+                    (feats_ring, rows, counts)
                 )
-            )
-            new_feats = write(feats_ring, rows, counts, has_new)
-            if iv_cmvn_device:
-                prev = jnp.where(
-                    (counts > 0)[:, None],
-                    jnp.take_along_axis(
-                        cum_ring,
-                        jnp.maximum(counts - 1, 0)[:, None, None],
-                        axis=1,
-                    )[:, 0, :],
-                    0.0,
+                write = jax.vmap(
+                    lambda buf, lane_rows, cnt, w: jnp.where(
+                        w,
+                        jax.lax.dynamic_update_slice(buf, lane_rows, (cnt, 0)),
+                        buf,
+                    )
                 )
-                cum_rows = prev[:, None, :] + jnp.cumsum(rows, axis=1)
-                cum_ring, cum_rows = jax.lax.optimization_barrier(
-                    (cum_ring, cum_rows)
+                feats_ring = write(feats_ring, rows, counts, has_new)
+                if iv_cmvn_device:
+                    prev = jnp.where(
+                        (counts > 0)[:, None],
+                        jnp.take_along_axis(
+                            cum_ring,
+                            jnp.maximum(counts - 1, 0)[:, None, None],
+                            axis=1,
+                        )[:, 0, :],
+                        0.0,
+                    )
+                    cum_rows = prev[:, None, :] + jnp.cumsum(rows, axis=1)
+                    cum_ring, cum_rows = jax.lax.optimization_barrier(
+                        (cum_ring, cum_rows)
+                    )
+                    cum_ring = write(cum_ring, cum_rows, counts, has_new)
+            if pitch_device:
+                # runs even on zero-width uploads: flush ticks complete a
+                # finished lane's pitch tail with no new audio anywhere
+                feats_ring, pcm_ring = feed_pitch(
+                    feats_ring, pcm_ring, pcm_buf, counts, has_new, meta
                 )
-                cum_ring = write(cum_ring, cum_rows, counts, has_new)
-            return new_feats, cum_ring
+            return feats_ring, cum_ring, pcm_ring
 
         def batch_chunk_fused(
             alpha, pcm_meta, gamma, X, iv_wins, am_state, ring,
-            feats_ring, offs, sw_w, cum_ring
+            feats_ring, offs, sw_w, cum_ring, pcm_ring
         ):
             """One-dispatch serving tick (device-feats mode): PCM -> MFCC
             rows into the feature ring -> AM windows -> decode, all in a
             single program. The tick uploads exactly ONE host array:
-            ``pcm_meta`` [N, L + 16] — the PCM batch with every per-tick
+            ``pcm_meta`` [N, L + TC] — the PCM batch with every per-tick
             lane scalar (n_valid, reset, t0, have, feat-ring write
-            offset, has-new-audio, i-vector pending-weight count, pad)
-            riding as 16 trailing lo/hi 16-bit halves in the PCM dtype
-            (int16 wraps; f32 carries the halves exactly) — on a
-            remote-dispatch transport every separate H2D is its own RPC.
-            The i-vector fold weights are a prefix mask reconstructed
-            from the count (the host staged iv_n valid frames last
-            tick)."""
-            pcm_buf = pcm_meta[:, :-16]
-            enc = pcm_meta[:, -16:].astype(jnp.int32)
+            offset, has-new-audio, i-vector pending-weight count, and for
+            pitch models window-start/pitch-done/flush) riding as TC
+            trailing lo/hi 16-bit halves in the PCM dtype (int16 wraps;
+            f32 carries the halves exactly) — on a remote-dispatch
+            transport every separate H2D is its own RPC. The i-vector
+            fold weights are a prefix mask reconstructed from the count
+            (the host staged iv_n valid frames last tick)."""
+            pcm_buf = pcm_meta[:, :-TC]
+            enc = pcm_meta[:, -TC:].astype(jnp.int32)
             meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
             n_valid = meta[:, 0]
             reset = meta[:, 1].astype(jnp.bool_)
@@ -973,8 +1085,9 @@ class StreamScheduler:
             counts = meta[:, 4]
             has_new = meta[:, 5].astype(jnp.bool_)
             iv_n = meta[:, 6]
-            feats_ring, cum_ring = feed_feats(
-                feats_ring, cum_ring, pcm_buf, counts, has_new
+            feats_ring, cum_ring, pcm_ring = feed_feats(
+                feats_ring, cum_ring, pcm_ring, pcm_buf, counts, has_new,
+                meta,
             )
             iv_ws = (
                 jnp.arange(chunk_in, dtype=jnp.int32)[None, :]
@@ -986,7 +1099,7 @@ class StreamScheduler:
                 iv_ws, am_state, ring, offs, feats_ring, t0s, haves,
                 sw_w, cum_ring,
             )
-            return out + (feats_ring, cum_ring)
+            return out + (feats_ring, cum_ring, pcm_ring)
 
         # Donate every threaded state buffer (all are replaced by the
         # outputs each tick). iv_wins is donated only when it's the real
@@ -997,6 +1110,7 @@ class StreamScheduler:
             + ((4,) if self._iv_inline else ())
             + ((9,) if self._sw_device else ())
             + ((10,) if self._iv_cmvn_device else ())
+            + ((11,) if pitch_device else ())
         )
         self._batch_chunk_fused = (
             jax.jit(batch_chunk_fused, donate_argnums=fused_donate)
@@ -1008,7 +1122,8 @@ class StreamScheduler:
             jax.jit(
                 feed_only_merged,
                 donate_argnums=(0,)
-                + ((1,) if self._iv_cmvn_device else ()),
+                + ((1,) if self._iv_cmvn_device else ())
+                + ((2,) if pitch_device else ()),
             )
             if self._device_feats
             else None
@@ -1029,12 +1144,41 @@ class StreamScheduler:
         self._aot_export = False
         self._aot_cache: dict = {}
         if self._device_feats:
+            # rows are [mfcc | pitch] for pitch models (feat_dim wide);
+            # the drain writes cols [0, num_ceps), the pitch section
+            # writes cols [num_ceps, feat_dim)
             self._feats_ring = jnp.zeros(
-                (max_streams, self._feat_ring_frames, num_ceps), jnp.float32
+                (
+                    max_streams,
+                    self._feat_ring_frames,
+                    self._featurizer.feat_dim,
+                ),
+                jnp.float32,
             )
         else:
             # lane-dim dummy so mesh sharding stays divisible
             self._feats_ring = jnp.zeros((max_streams, 1, 1), jnp.float32)
+        if self._pitch_device:
+            # per-lane PCM history for the sliding pitch window. Absolute
+            # sample indexing with a leading pitch-window zero pad: sample
+            # s lives at ring index s + Wp, so a window slice starting at
+            # a (possibly negative, zero-padded at stream start — the
+            # host featurizer pads identically) is always the in-bounds
+            # dynamic slice [a + Wp, a + 2*Wp).
+            self._pcm_ring = jnp.zeros(
+                (
+                    max_streams,
+                    self._pitch_win_samples
+                    + pool_capacity_samples
+                    + self._drain_cap
+                    + 1600,
+                ),
+                jnp.float32,
+            )
+        else:
+            self._pcm_ring = jnp.zeros((max_streams, 1), jnp.float32)
+        self._pitch_done = np.zeros(max_streams, dtype=np.int64)
+        self._pcm_total = np.zeros(max_streams, dtype=np.int64)
         # cumulative-sum ring for the device i-vector CMVN (dummy when off)
         self._cum_ring = jnp.zeros(
             (max_streams, self._feat_ring_frames, num_ceps)
@@ -1287,6 +1431,8 @@ class StreamScheduler:
         state.feats = np.zeros((0, self._featurizer.feat_dim), np.float32)
         state.feat_state = self._featurizer.new_state()
         self._feat_counts[sid] = 0
+        self._pitch_done[sid] = 0
+        self._pcm_total[sid] = 0
         state.frames_consumed = 0
         state.out_frames = 0
         state.bps = []
@@ -1390,17 +1536,69 @@ class StreamScheduler:
 
     # -- scheduling -------------------------------------------------------------
 
-    @staticmethod
-    def _write_meta_cols(batch: np.ndarray, meta: np.ndarray) -> None:
-        """Write the [N, k<=8] int32 meta pack into the batch's 16
+    def _write_meta_cols(self, batch: np.ndarray, meta: np.ndarray) -> None:
+        """Write the [N, k<=TC/2] int32 meta pack into the batch's TC
         trailing columns as lo/hi 16-bit halves in the PCM dtype (int16
         wraps modulo 2^16 — the program re-masks; f32 holds the halves
         exactly)."""
+        tc = self._meta_cols
         k = meta.shape[1]
         dt = batch.dtype
-        batch[:, -16:] = 0
-        batch[:, -16 : -16 + 2 * k : 2] = (meta & 0xFFFF).astype(dt)
-        batch[:, -15 : -15 + 2 * k : 2] = ((meta >> 16) & 0xFFFF).astype(dt)
+        batch[:, -tc:] = 0
+        batch[:, -tc : -tc + 2 * k : 2] = (meta & 0xFFFF).astype(dt)
+        batch[:, -tc + 1 : -tc + 1 + 2 * k : 2] = (
+            (meta >> 16) & 0xFFFF
+        ).astype(dt)
+
+    def _plan_pitch(self) -> Optional[np.ndarray]:
+        """Per-tick device-pitch plan: window start sample, the absolute
+        frame count the window write will reach, and the flush mask
+        (finished lanes whose MFCC tail outruns the pitch rows — the
+        block write repeats the newest row over it, the host path's
+        flush semantics). Returns the matched per-lane frame count the
+        ready loop gates on, or None when pitch is off."""
+        if not self._pitch_device:
+            return None
+        shift = self._featurizer.frame_shift
+        a = (self._pcm_total - self._pitch_win_samples) // shift * shift
+        n_abs = a // shift + self._pitch_t_w
+        matched = np.minimum(
+            self._feat_counts.astype(np.int64),
+            np.maximum(self._pitch_done, n_abs),
+        )
+        flush = np.zeros(self.max_streams, dtype=bool)
+        for sid, state in enumerate(self.slots):
+            if (
+                state.active
+                and not state.done
+                and state.flushed_feats
+                and (
+                    bool(self._fin_snap[sid])
+                    if self._fin_snap is not None
+                    else self.pool.is_finished(sid)
+                )
+                and matched[sid] < int(self._feat_counts[sid])
+            ):
+                flush[sid] = True
+                matched[sid] = int(self._feat_counts[sid])
+        self._pitch_plan = (a, n_abs, flush)
+        return matched
+
+    def _stage_pitch_meta(self, meta: np.ndarray) -> None:
+        if not self._pitch_device:
+            return
+        a, _n_abs, flush = self._pitch_plan
+        meta[:, 7] = a
+        meta[:, 8] = self._pitch_done
+        meta[:, 9] = flush
+
+    def _commit_pitch_meta(self) -> None:
+        """After a dispatch carrying the pitch meta: the rows the plan
+        promised are now (will be, in program order) in the ring."""
+        a, n_abs, flush = self._pitch_plan
+        self._pitch_done = np.maximum(self._pitch_done, n_abs)
+        if flush.any():
+            self._pitch_done[flush] = self._feat_counts[flush]
 
     def _step_fused(
         self, prep, n_valid, chunk_t0, chunk_have, flushed, metrics
@@ -1419,10 +1617,10 @@ class StreamScheduler:
         if prep is not None:
             pcm_batch, counts_before, has_new = prep
         else:
-            pcm_batch = np.zeros((N, 16), dtype=np.int16)
+            pcm_batch = np.zeros((N, self._meta_cols), dtype=np.int16)
             counts_before = np.zeros(N, dtype=np.int32)
             has_new = np.zeros(N, dtype=bool)
-        meta = np.zeros((N, 7), dtype=np.int32)
+        meta = np.zeros((N, 10 if self._pitch_device else 7), dtype=np.int32)
         meta[:, 0] = n_valid
         meta[:, 1] = self._pending_reset
         meta[:, 2] = chunk_t0
@@ -1431,6 +1629,7 @@ class StreamScheduler:
         meta[:, 5] = has_new
         if self._ivp is not None:
             meta[:, 6] = self._iv_pending_n
+        self._stage_pitch_meta(meta)
         self._write_meta_cols(pcm_batch, meta)
         with StageTimer("stream_upload", metrics):
             if self._lane_spec is not None:
@@ -1443,7 +1642,7 @@ class StreamScheduler:
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
                 alpha, _bps, gamma, X, am_state, ring, offs, iv_carry,
-                packed, sw_w, feats_ring, cum_ring,
+                packed, sw_w, feats_ring, cum_ring, pcm_ring,
             ) = self._aot_call(
                 "sched_tick",
                 self._batch_chunk_fused,
@@ -1451,7 +1650,7 @@ class StreamScheduler:
                     self._alpha, pcm_dev, self._iv_gamma,
                     self._iv_X, ivw, self._am_state, self._ring,
                     self._feats_ring, self._offs,
-                    self._sw_w, self._cum_ring,
+                    self._sw_w, self._cum_ring, self._pcm_ring,
                 ),
                 donate=self._fused_donate,
                 vary=pcm_dev,
@@ -1465,6 +1664,9 @@ class StreamScheduler:
             self._tick_packed = packed
             if self._iv_cmvn_device:
                 self._cum_ring = cum_ring
+            if self._pitch_device:
+                self._pcm_ring = pcm_ring
+                self._commit_pitch_meta()
             if self._iv_inline:
                 self._iv_carry = iv_carry
             if self._sw_device:
@@ -1619,13 +1821,17 @@ class StreamScheduler:
         return self._aot.dir
 
     def _feed_only_dispatch(self, prep, metrics) -> None:
-        """Features-only tick: only the MFCC ring write runs on device.
-        Same merged [N, L + 16] upload layout as the fused tick (meta
-        slots 4/5)."""
+        """Features-only tick: only the MFCC ring write (and the pitch
+        lane, for pitch models) runs on device. Same merged [N, L + TC]
+        upload layout as the fused tick (meta slots 4/5, 7-9)."""
         pcm_batch, counts, has_new = prep
-        meta = np.zeros((pcm_batch.shape[0], 6), dtype=np.int32)
+        meta = np.zeros(
+            (pcm_batch.shape[0], 10 if self._pitch_device else 6),
+            dtype=np.int32,
+        )
         meta[:, 4] = counts
         meta[:, 5] = has_new
+        self._stage_pitch_meta(meta)
         self._write_meta_cols(pcm_batch, meta)
         with StageTimer("stream_chunk", metrics):
             if self._lane_spec is not None:
@@ -1634,13 +1840,22 @@ class StreamScheduler:
                 )
             else:
                 pcm_dev = jnp.asarray(pcm_batch)
-            self._feats_ring, self._cum_ring = self._aot_call(
-                "sched_feed",
-                self._feed_only,
-                (self._feats_ring, self._cum_ring, pcm_dev),
-                donate=(0,) + ((1,) if self._iv_cmvn_device else ()),
-                vary=pcm_dev,
+            self._feats_ring, self._cum_ring, self._pcm_ring = (
+                self._aot_call(
+                    "sched_feed",
+                    self._feed_only,
+                    (
+                        self._feats_ring, self._cum_ring, self._pcm_ring,
+                        pcm_dev,
+                    ),
+                    donate=(0,)
+                    + ((1,) if self._iv_cmvn_device else ())
+                    + ((2,) if self._pitch_device else ()),
+                    vary=pcm_dev,
+                )
             )
+            if self._pitch_device:
+                self._commit_pitch_meta()
 
     def _prep_features_device(self):
         """Device-feats host prep: drain pool PCM into one padded batch
@@ -1713,10 +1928,10 @@ class StreamScheduler:
             max_len = _pcm_bucket(int(buf_lens.max()), self._drain_cap)
             exact_all = bool(exact[sel].all())
             dtype = np.int16 if exact_all else np.float32
-            # +16 trailing columns: the meta pack rides the same upload
+            # +TC trailing columns: the meta pack rides the same upload
             # (written by _step_fused/_feed_only_dispatch; buf_lens <=
             # max_len so audio never clashes with them)
-            batch = np.zeros((N, max_len + 16), dtype=dtype)
+            batch = np.zeros((N, max_len + self._meta_cols), dtype=dtype)
             frame_len, shift = fz.frame_len, fz.frame_shift
             new_frames = np.zeros(N, dtype=np.int64)
             lanes = np.nonzero(sel)[0]
@@ -1737,6 +1952,15 @@ class StreamScheduler:
                     self._feat_counts.copy(),
                     np.ascontiguousarray(has_new),
                 )
+                if self._pitch_device:
+                    # samples present in the device PCM ring after this
+                    # upload lands (masked lanes keep their old total:
+                    # their drained samples live on in mfcc_tail and ride
+                    # the NEXT upload's tail prefix)
+                    self._pcm_total[has_new] = (
+                        self._feat_counts.astype(np.int64)[has_new] * shift
+                        + buf_lens[has_new]
+                    )
             for sid in lanes:
                 n = int(new_frames[sid])
                 row_tail = batch[sid, n * shift : int(buf_lens[sid])]
@@ -1811,14 +2035,21 @@ class StreamScheduler:
                 for _sid, buf, _n in with_buf
             )
             dtype = np.int16 if exact_i16 else np.float32
-            batch = np.zeros((self.max_streams, max_len + 16), dtype=dtype)
+            batch = np.zeros(
+                (self.max_streams, max_len + self._meta_cols), dtype=dtype
+            )
             for sid, buf, _n in with_buf:
                 batch[sid, : buf.shape[0]] = (
                     buf.astype(np.int16) if exact_i16 else buf
                 )
             has_new = np.zeros(self.max_streams, dtype=bool)
-            for sid, _buf, _n in with_buf:
+            for sid, buf, _n in with_buf:
                 has_new[sid] = True
+                if self._pitch_device:
+                    self._pcm_total[sid] = (
+                        int(self._feat_counts[sid]) * fz.frame_shift
+                        + buf.shape[0]
+                    )
             # A COPY of the persistent counts: device_put of a host array
             # can be zero-copy (the program reads the numpy memory when it
             # executes, asynchronously), and _feat_counts is mutated right
@@ -1973,6 +2204,7 @@ class StreamScheduler:
                 prep = self._prep_features_device()
             else:
                 self._drain_features_all()
+        pitch_matched = self._plan_pitch() if device_feats else None
         # device endpoint lane: apply the PREVIOUS tick's landed signal
         # stats (detection lags one chunk; never blocks on the device)
         with StageTimer("stream_ep_apply", metrics):
@@ -1995,11 +2227,17 @@ class StreamScheduler:
                     flushed.append(sid)
                     continue
                 t0 = state.frames_consumed
-                have = (
-                    int(self._feat_counts[sid])
-                    if device_feats
-                    else state.feats.shape[0]
-                )
+                if device_feats:
+                    # pitch models: rows past the pitch-matched count are
+                    # MFCC-only (their pitch columns are scratch) — not
+                    # yet consumable
+                    have = (
+                        int(pitch_matched[sid])
+                        if pitch_matched is not None
+                        else int(self._feat_counts[sid])
+                    )
+                else:
+                    have = state.feats.shape[0]
                 finished = (
                     bool(self._fin_snap[sid])
                     if device_feats and self._fin_snap is not None

@@ -342,20 +342,23 @@ def test_scheduler_device_silence_weighting(tmp_path):
 
 
 def test_scheduler_pitch_with_device_endpointing(tmp_path):
-    """Pitch models keep host-side feature merge but still ride the
-    device backpointer ring AND the device endpoint lane: a pitch stream
-    with trailing silence endpoints without an explicit EOF."""
+    """Pitch models ride the FULL fused serving tick (device feature
+    ring incl. the on-device pitch lane, device bp ring, device endpoint
+    lane): a pitch stream with trailing silence endpoints without an
+    explicit EOF."""
     from rhasspy_speech_tpu.pipeline.endpoint import EndpointConfig
     from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
     from rhasspy_speech_tpu.testing.synthetic import _silence_wave
 
-    profile, graph_dir = _train(tmp_path, with_ivector=True, with_pitch=True)
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_pitch=True, with_context=True
+    )
     sched = StreamScheduler(
         profile.model_dir, graph_dir, max_streams=2,
         endpointing=EndpointConfig(),
     )
     assert sched._device_bp and sched._ep_device
-    assert not sched._device_feats  # pitch merge stays host-side
+    assert sched._device_feats and sched._pitch_device
 
     speech = synthesize_sentence(profile, "turn on light", seed=31)
     pcm = np.concatenate(
@@ -494,3 +497,81 @@ def test_scheduler_silence_weight_noop_stays_fused_with_cmvn(tmp_path):
     sched.finish(sid)
     sched.run_until_idle()
     assert sched.poll(sid) == want == ["turn on light"]
+
+
+def test_scheduler_pitch_device_rows_match_host(tmp_path):
+    """The fused tick's on-device pitch lane (PCM ring -> sliding
+    window -> pitch_batch -> pitch columns of the feature ring) must
+    reproduce the host streaming featurizer's rows EXACTLY when both
+    see the same push cadence (one feed per tick keeps the window
+    recompute boundaries identical — pitch values depend on where the
+    sliding window lands, pitch-functions.cc online semantics)."""
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path, with_ivector=True, with_pitch=True, with_context=True
+    )
+    sched = StreamScheduler(profile.model_dir, graph_dir, max_streams=2)
+    assert sched._device_feats and sched._pitch_device
+
+    pcm = synthesize_sentence(profile, "turn on light", seed=41)
+    fz = sched._featurizer
+    host_state = fz.new_state()
+    host_rows = []
+    sid = sched.open_stream()
+    for off in range(0, pcm.shape[0], 2048):
+        chunk = pcm[off : off + 2048]
+        fed = sched.feed(sid, chunk)
+        assert fed == chunk.shape[0]
+        sched.step()
+        host_rows.append(fz.push(host_state, chunk))
+    sched.finish(sid)
+    host_rows.append(fz.push(host_state, np.zeros(0, np.float32), flush=True))
+    for _ in range(100):
+        if sched.poll(sid) is not None:
+            break
+        sched.step()
+    assert sched.poll(sid) == ["turn on light"]
+    want = np.concatenate([r for r in host_rows if r.shape[0]])
+    got = np.asarray(sched._feats_ring)[sid, : want.shape[0]]
+    # identical window math; the residual is f32 reassociation noise
+    # between the one fused tick program and the standalone host jits
+    # (measured max 8.6e-4 abs / 0.64% rel on this fixture)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-3)
+
+
+def test_scheduler_pitch_ivector_cmvn_matches_batch(tmp_path):
+    """pitch + i-vector + extractor online CMVN through the SCHEDULER's
+    fused tick: the i-vector must tap the CMVN'd base MFCC (never the
+    pitch columns) and transcripts must equal the batch decode."""
+    from rhasspy_speech_tpu.pipeline import Nnet3WavTranscriber
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+
+    profile, graph_dir = _train(
+        tmp_path,
+        with_ivector=True,
+        with_pitch=True,
+        with_ivector_cmvn=True,
+        with_context=True,
+    )
+    sched = StreamScheduler(profile.model_dir, graph_dir, max_streams=2)
+    assert sched._device_feats and sched._pitch_device
+    assert sched._iv_inline and sched._iv_cmvn_device
+
+    texts = ["turn on light", "turn off light"]
+    pcms = [synthesize_sentence(profile, t, seed=50 + i) for i, t in enumerate(texts)]
+    sids = [sched.open_stream() for _ in texts]
+    offs = [0, 0]
+    for _ in range(300):
+        for i, sid in enumerate(sids):
+            if offs[i] < pcms[i].shape[0]:
+                offs[i] += sched.feed(sid, pcms[i][offs[i] : offs[i] + 4096])
+                if offs[i] >= pcms[i].shape[0]:
+                    sched.finish(sid)
+        sched.step()
+        if all(sched.poll(s, block=False) is not None for s in sids):
+            break
+    got = [sched.poll(s) for s in sids]
+    batch = Nnet3WavTranscriber(profile.model_dir, graph_dir)
+    want = batch.transcribe_pcm_batch(pcms)
+    assert got == want == [[t] for t in texts]
