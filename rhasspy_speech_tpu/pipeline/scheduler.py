@@ -1609,11 +1609,6 @@ class StreamScheduler:
         write, AM windows, i-vector fold, and decode. Nothing here
         blocks on the device."""
         N = self.max_streams
-        with StageTimer("stream_pace", metrics):
-            # pipeline-depth bound (see _inflight): join the oldest
-            # in-flight tick before dispatching a new one
-            while len(self._inflight) >= self._pipeline_depth:
-                self._inflight.popleft().get()
         if prep is not None:
             pcm_batch, counts_before, has_new = prep
         else:
@@ -1631,6 +1626,10 @@ class StreamScheduler:
             meta[:, 6] = self._iv_pending_n
         self._stage_pitch_meta(meta)
         self._write_meta_cols(pcm_batch, meta)
+        # Upload BEFORE the pace join: the PCM batch depends only on host
+        # state, so its H2D transfer rides the transport while we wait for
+        # the oldest in-flight tick's D2H to land (the join below). Only
+        # the dispatch itself must stay behind the in-flight bound.
         with StageTimer("stream_upload", metrics):
             if self._lane_spec is not None:
                 pcm_dev = jax.device_put(
@@ -1638,6 +1637,11 @@ class StreamScheduler:
                 )
             else:
                 pcm_dev = jnp.asarray(pcm_batch)
+        with StageTimer("stream_pace", metrics):
+            # pipeline-depth bound (see _inflight): join the oldest
+            # in-flight tick before dispatching a new one
+            while len(self._inflight) >= self._pipeline_depth:
+                self._inflight.popleft().get()
         with StageTimer("stream_chunk", metrics):
             ivw = self._iv_carry if self._iv_inline else self._iv_dummy
             (
