@@ -281,11 +281,15 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 harvested = 0
                 tickets = []
 
+                pool_mat = np.stack(pcm_pool)  # [16, CHUNK] int16
+
                 def tick(i):
                     nonlocal completed, harvested
                     from rhasspy_speech_tpu.utils.metrics import StageTimer
 
                     with StageTimer("stream_feed"):
+                        feed_sids = []
+                        to_finish = []
                         for sid in range(lanes):
                             st = sched.slots[sid]
                             if st.done:
@@ -306,12 +310,21 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                                     nsid, pcm_pool[(i + 1) % len(pcm_pool)]
                                 )
                             elif remaining[sid] > 0:
-                                sched.feed(
-                                    sid, pcm_pool[(sid + i) % len(pcm_pool)]
-                                )
+                                feed_sids.append(sid)
                                 remaining[sid] -= 1
                                 if remaining[sid] == 0:
-                                    sched.finish(sid)
+                                    to_finish.append(sid)
+                        if feed_sids:
+                            # one batched native ingest call for the whole
+                            # fleet (feed_many) instead of a ~50us Python/
+                            # ctypes feed() per lane
+                            sids_arr = np.asarray(feed_sids, dtype=np.int32)
+                            sched.feed_many(
+                                sids_arr,
+                                pool_mat[(sids_arr + i) % len(pcm_pool)],
+                            )
+                        for sid in to_finish:
+                            sched.finish(sid)
                         # redeem landed results (non-blocking: tickets
                         # whose trace is still in flight stay queued)
                         still = []

@@ -138,6 +138,13 @@ class NativeRuntime:
         if hasattr(lib, "rss_pool_open_at"):
             lib.rss_pool_open_at.restype = ctypes.c_int32
             lib.rss_pool_open_at.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        if hasattr(lib, "rss_pool_feed_i16_many"):
+            lib.rss_pool_feed_i16_many.restype = ctypes.c_int32
+            lib.rss_pool_feed_i16_many.argtypes = [
+                ctypes.c_void_p, i32p,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.c_int32, i64p,
+            ]
 
 
 _RUNTIME = NativeRuntime()
@@ -296,6 +303,41 @@ class StreamPool:
         with self._lock:
             self._buffers[slot] = np.concatenate([self._buffers[slot], pcm])
             return pcm.shape[0]
+
+    def feed_many(self, slots: np.ndarray, pcm: np.ndarray) -> np.ndarray:
+        """Batched int16 feed: row k of ``pcm`` [count, n] goes to
+        ``slots[k]`` in ONE native call (one lock, no per-lane ctypes
+        overhead — the serving loop's per-tick ingest). Returns samples
+        accepted per row (-1 for inactive/finished slots). Falls back to
+        per-slot ``feed`` without the native entry point."""
+        slots = np.ascontiguousarray(slots, dtype=np.int32)
+        pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+        assert pcm.ndim == 2 and pcm.shape[0] == slots.shape[0]
+        if self._lib is not None and hasattr(
+            self._lib, "rss_pool_feed_i16_many"
+        ):
+            taken = np.empty(slots.shape[0], dtype=np.int64)
+            self._lib.rss_pool_feed_i16_many(
+                self._handle,
+                slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                pcm.shape[1],
+                slots.shape[0],
+                taken.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            return taken
+        taken = np.full(slots.shape[0], -1, dtype=np.int64)
+        for k, s in enumerate(slots):
+            s = int(s)
+            if not 0 <= s < self.num_slots:
+                continue
+            if self._lib is None:
+                with self._lock:
+                    dead = self._buffers[s] is None or self._finished[s]
+                if dead:
+                    continue
+            taken[k] = self.feed(s, pcm[k])
+        return taken
 
     def finish(self, slot: int) -> None:
         if self._lib is not None:

@@ -1454,6 +1454,13 @@ class StreamScheduler:
     def feed(self, sid: int, pcm: np.ndarray) -> int:
         return self.pool.feed(sid, pcm)
 
+    def feed_many(self, sids: np.ndarray, pcm: np.ndarray) -> np.ndarray:
+        """Feed row k of ``pcm`` [count, n] int16 to lane ``sids[k]`` in
+        one batched native call (see StreamPool.feed_many) — the serving
+        loop's per-tick ingest path; per-lane ``feed`` calls cost ~50us
+        of Python/ctypes overhead each at high lane counts."""
+        return self.pool.feed_many(sids, pcm)
+
     def finish(self, sid: int) -> None:
         self.pool.finish(sid)
 

@@ -218,3 +218,43 @@ def test_stream_pool_int16_feed_exact_and_equal():
     )
     _c2, _f2, exact2 = pool.snapshot()
     assert exact2[a]
+
+
+def test_stream_pool_feed_many_batched_and_fallback(monkeypatch):
+    """feed_many feeds row k to slots[k] in one call: contents sample-
+    exact (incl. ring wraparound), i16-exactness preserved, -1 for
+    finished/out-of-range slots; the NumPy fallback matches the native
+    contract."""
+    for use_native in (True, False):
+        from rhasspy_speech_tpu.native import runtime as rt
+
+        if not use_native:
+            monkeypatch.setattr(rt._RUNTIME, "_lib", None)
+            monkeypatch.setattr(rt._RUNTIME, "_tried", True)
+        pool = StreamPool(4, 100)
+        if use_native and pool._lib is None:
+            continue  # no native build on this host: fallback leg covers it
+        s0, s1, s2 = pool.open(), pool.open(), pool.open()
+        pool.finish(s2)
+        pcm = (np.arange(4 * 60).reshape(4, 60) % 2000 - 1000).astype(
+            np.int16
+        )
+        taken = pool.feed_many(np.array([s0, s1, s2, 99]), pcm)
+        assert taken.tolist() == [60, 60, -1, -1]
+        counts, _, exact = pool.snapshot()
+        assert counts[s0] == 60 and counts[s1] == 60
+        if use_native:
+            assert exact[s0] and exact[s1]  # int16 by construction
+        np.testing.assert_array_equal(
+            pool.read(s0, 60), pcm[0].astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            pool.read(s1, 60), pcm[1].astype(np.float32)
+        )
+        # wraparound leg: s0 now at read_pos 60 of a 100-ring
+        taken2 = pool.feed_many(np.array([s0]), pcm[2:3])
+        assert taken2.tolist() == [60]
+        np.testing.assert_array_equal(
+            pool.read(s0, 60), pcm[2].astype(np.float32)
+        )
+        monkeypatch.undo()
