@@ -346,7 +346,13 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 warm = utt_ticks + 4
                 for i in range(1, warm):
                     tick(i)
-                n_meas = 2 * utt_ticks
+                # ≥24 measured ticks: the end-of-window drain (in-flight
+                # ticks + finalize backlog, charged INSIDE wall so the
+                # loop can't hide unfinished work) is a fixed ~2-tick
+                # cost — over a 10-tick window it inflated tick_ms ~20%,
+                # and the remote tunnel's throughput noise needs the
+                # longer window to average out anyway
+                n_meas = max(2 * utt_ticks, 24)
                 active_total = 0
                 from rhasspy_speech_tpu.utils.metrics import reset_metrics
 

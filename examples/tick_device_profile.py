@@ -202,6 +202,84 @@ def main():
         jax.block_until_ready(state[0])
         pipe_ms = (time.time() - t0) / M * 1000.0
 
+        # --- B3: serving-loop order — upload issued, join oldest fetch,
+        # dispatch, fetch THIS tick's packed immediately (what the
+        # scheduler does today). If the blocked D2H request occupies the
+        # serial tunnel while waiting on exec, the next H2D can't ride
+        # during device compute and this degrades to upload + exec.
+        import collections
+
+        from rhasspy_speech_tpu.pipeline.scheduler import _AsyncFetch
+
+        inflight = collections.deque()
+        t0 = time.time()
+        for i in range(M):
+            pd = jax.device_put(bufs[i % 4])
+            while len(inflight) >= 2:
+                inflight.popleft().get()
+            state, packed = dispatch(state, pd)
+            inflight.append(_AsyncFetch(packed))
+        while inflight:
+            inflight.popleft().get()
+        serve_now_ms = (time.time() - t0) / M * 1000.0
+
+        # --- B4: deferred-fetch order — tick N's packed D2H request is
+        # only issued AFTER tick N+1's upload is on the wire, so the
+        # channel order is H2D(N+1) -> D2H(N, exec long done) and the
+        # upload overlaps exec instead of queueing behind a waiting D2H.
+        inflight = collections.deque()
+        pend = None
+        t0 = time.time()
+        for i in range(M):
+            pd = jax.device_put(bufs[i % 4])
+            if pend is not None:
+                inflight.append(_AsyncFetch(pend))
+            while len(inflight) >= 2:
+                inflight.popleft().get()
+            state, packed = dispatch(state, pd)
+            pend = packed
+        if pend is not None:
+            inflight.append(_AsyncFetch(pend))
+        while inflight:
+            inflight.popleft().get()
+        serve_defer_ms = (time.time() - t0) / M * 1000.0
+
+        # --- B5/B6: isolate the upload API and buffer freshness. The
+        # scheduler's single-chip branch uses jnp.asarray on a FRESH
+        # numpy batch each tick; the probes above use jax.device_put on
+        # four reused buffers. If either difference stops the H2D from
+        # overlapping device exec, serving degrades to upload + exec.
+        def serve_loop(make_buf, put):
+            inflight2 = collections.deque()
+            nonlocal state
+            t0 = time.time()
+            for i in range(M):
+                pd = put(make_buf(i))
+                while len(inflight2) >= 2:
+                    inflight2.popleft().get()
+                state, packed2 = dispatch(state, pd)
+                inflight2.append(_AsyncFetch(packed2))
+            while inflight2:
+                inflight2.popleft().get()
+            return (time.time() - t0) / M * 1000.0
+
+        import jax.numpy as _jnp
+
+        asarray_reused_ms = serve_loop(lambda i: bufs[i % 4], _jnp.asarray)
+        devput_fresh_ms = serve_loop(
+            lambda i: pcm_batch + np.int16(i % 3), jax.device_put
+        )
+
+        # reused buffers, content mutated in place each tick: separates
+        # pointer/registration caching (reuse fixes it) from content
+        # dedupe (nothing fixes it — real PCM changes every tick)
+        def mutate(i):
+            b = bufs[i % 4]
+            b[:, : b.shape[1] // 2] += np.int16(1 + (i & 7))
+            return b
+
+        mutated_reused_ms = serve_loop(mutate, jax.device_put)
+
         chunk_sec = CHUNK / 16000.0
         print(
             f"lanes={lanes} chunk_out={chunk_out} chunk={chunk_sec*1000:.0f}ms  "
@@ -210,7 +288,15 @@ def main():
             f"{exec_ms/1000/chunk_sec:.3f}, {lanes*chunk_sec*1000/exec_ms:.0f} xRT)\n"
             f"fused exec + bg fetch (packed): {exec_fetch_ms:.1f} ms\n"
             f"pipelined fresh-upload + exec: {pipe_ms:.1f} ms  "
-            f"(overlap if ~max(upload, exec); serial if ~sum)"
+            f"(overlap if ~max(upload, exec); serial if ~sum)\n"
+            f"serving order, fetch-now: {serve_now_ms:.1f} ms "
+            f"({lanes*chunk_sec*1000/serve_now_ms:.0f} xRT)\n"
+            f"serving order, fetch-deferred: {serve_defer_ms:.1f} ms "
+            f"({lanes*chunk_sec*1000/serve_defer_ms:.0f} xRT)\n"
+            f"serving order, jnp.asarray reused buf: {asarray_reused_ms:.1f} ms\n"
+            f"serving order, device_put fresh buf: {devput_fresh_ms:.1f} ms\n"
+            f"serving order, device_put reused buf mutated in place: "
+            f"{mutated_reused_ms:.1f} ms"
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

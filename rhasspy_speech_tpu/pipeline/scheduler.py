@@ -330,9 +330,21 @@ class StreamScheduler:
         lo, hi = self._chunk_model.ranges["input"]
         self._win_lo, self._win_hi = lo, hi
         self._chunk_in = self._chunk_out * self.am.subsampling
-        # effective drain cap: at least 2x one chunk of audio (catch-up
+        # Effective drain cap: at least 2x one chunk of audio (catch-up
         # stays ~2x real-time consumption at any chunk_out_frames),
-        # rounded to the bucket granularity's 1600 floor
+        # rounded to the bucket granularity's 1600 floor.
+        #
+        # Measured dead end (round 5, keep it dead): capping the drain at
+        # the admission window (chunk + right context) to shrink the
+        # fleet upload's padded width made PARTIAL drains routine, and a
+        # partially-drained lane's leftover + next feed lands on an
+        # arbitrary 800-bucket — the steady loop wandered across many
+        # PCM widths, each a full XLA compile (tick 1,708 ms at 512
+        # lanes, stream_chunk 1,289 ms of mid-measurement recompiles,
+        # vs 350 ms before). The 2x cap is what guarantees every lane
+        # drains FULLY every tick, so steady serving (with admissions)
+        # hits exactly ONE width. The upload-byte lever that actually
+        # works is the wire format (see wire="mulaw"), not the bucket.
         _chunk_samples = self._chunk_in * self.am.frontend_config.frame_shift
         self._drain_cap = max(
             _DRAIN_CAP, -(-2 * _chunk_samples // 1600) * 1600
