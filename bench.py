@@ -230,8 +230,23 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
 
             endpointing = EndpointConfig()
 
+        # Per-point wire format. The env default drives the whole sweep;
+        # when that default is i16, ONE extra point re-runs the largest
+        # lane count on the 8-bit mu-law wire (reported separately as
+        # streaming_wire_point, never as the headline) — the wire halves
+        # the per-tick H2D bytes that are the measured tick ceiling on
+        # the remote-dispatch tunnel. BENCH_WIRE_EXTRA=0 skips it.
+        env_wire = os.environ.get("BENCH_WIRE", "i16")
+        plan = [(lanes, env_wire) for lanes in lanes_list]
+        if (
+            env_wire == "i16"
+            and lanes_list
+            and os.environ.get("BENCH_WIRE_EXTRA", "1") != "0"
+        ):
+            plan.append((max(lanes_list), "mulaw"))
+
         points = []
-        for lanes in lanes_list:
+        for lanes, wire in plan:
             try:
                 chunk_out = pick_chunk_out(lanes)
                 CHUNK = chunk_out * 3 * 160  # one decode chunk of audio
@@ -258,6 +273,7 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     chunk_out_frames=chunk_out,
                     compute_dtype=sdtype,
                     endpointing=endpointing,
+                    wire=wire,
                 )
                 if endpointing is not None and not sched._ep_device:
                     # SystemExit passes the generic `except Exception`
@@ -362,13 +378,16 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 # (serial - async) exposes how much pipelining hides and
                 # (serial - host stages) is the true device time/tick
                 serial = os.environ.get("BENCH_SERIAL", "0") == "1"
+                tick_walls = []  # per-tick wall samples (transport noise)
                 t0 = time.time()
                 for i in range(warm, warm + n_meas):
+                    tw0 = time.time()
                     active_total += tick(i)
                     if serial:
                         import jax as _jax
 
                         _jax.block_until_ready(sched._alpha)
+                    tick_walls.append(time.time() - tw0)
                 # Ticks dispatch asynchronously and finalize harvests are
                 # readiness-gated, so drain everything still in flight
                 # INSIDE the measured wall — otherwise the loop above
@@ -391,11 +410,24 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 tick_ms = wall / n_meas * 1000.0
                 chunk_rtf = (wall / n_meas) / chunk_sec
                 xrt = active_total * chunk_sec / wall
+                # the remote tunnel's throughput is volatile (2-3x swings
+                # between runs and within them); median/p90 per-tick wall
+                # separates the steady state from transport stalls
+                tws = np.sort(np.array(tick_walls)) * 1000.0
+                tick_med = float(tws[len(tws) // 2])
+                tick_p90 = float(tws[int(len(tws) * 0.9)])
                 points.append(
                     {"lanes": lanes, "tick_ms": round(tick_ms, 1),
+                     "tick_ms_median": round(tick_med, 1),
+                     "tick_ms_p90": round(tick_p90, 1),
                      "chunk_rtf": round(chunk_rtf, 4),
                      "xrt_streams": round(xrt, 1),
+                     "xrt_streams_median": round(
+                         active_total / n_meas * chunk_sec / tick_med * 1000.0,
+                         1,
+                     ),
                      "chunk_out": chunk_out,
+                     "wire": wire,
                      "endpointing": endpointing is not None,
                      "utts_retired": completed,
                      "results_harvested": harvested,
@@ -403,6 +435,7 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                 )
                 sys.stderr.write(
                     f"stream lanes {lanes}: tick {tick_ms:.1f} ms "
+                    f"(median {tick_med:.1f}, p90 {tick_p90:.1f}) "
                     f"chunk-RTF {chunk_rtf:.4f} {xrt:.0f} xRT streams "
                     f"({completed} utts retired, {harvested} results "
                     f"harvested; compile {compile_s:.1f}s) "
@@ -414,7 +447,8 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
                     f"stream lanes {lanes}: infeasible ({type(exc).__name__}: {exc})\n"
                 )
                 points.append({"lanes": lanes, "tick_ms": None,
-                               "chunk_rtf": None, "xrt_streams": 0.0})
+                               "chunk_rtf": None, "xrt_streams": 0.0,
+                               "wire": wire})
         return points
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -673,6 +707,7 @@ def main():
     stream_points = []
     stream_north = None
     stream_realtime = None
+    stream_wire = None
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         lanes_list = [
             int(x)
@@ -681,15 +716,25 @@ def main():
             ).split(",")
         ]
         stream_points = streaming_bench(graph, g_fuzzy, lang, lanes_list)
+        # headline points come from the env-default wire only; the extra
+        # mu-law point (when the default is i16) is reported separately
+        env_wire = os.environ.get("BENCH_WIRE", "i16")
+        default_pts = [p for p in stream_points if p.get("wire") == env_wire]
+        extra_pts = [p for p in stream_points if p.get("wire") != env_wire]
+        stream_wire = (
+            max(extra_pts, key=lambda p: p["xrt_streams"])
+            if extra_pts
+            else None
+        )
         rt = [
-            p for p in stream_points
+            p for p in default_pts
             if p["chunk_rtf"] is not None and p["chunk_rtf"] < 0.1
         ]
         stream_north = max(rt, key=lambda p: p["lanes"]) if rt else None
         # keeping-up point: the most lanes the scheduler sustains in real
         # time (tick <= one chunk of audio per lane)
         keep = [
-            p for p in stream_points
+            p for p in default_pts
             if p["chunk_rtf"] is not None and p["chunk_rtf"] < 1.0
         ]
         stream_realtime = max(keep, key=lambda p: p["lanes"]) if keep else None
@@ -718,6 +763,7 @@ def main():
                 "peak_throughput_point": peak,
                 "streaming_point": stream_north,
                 "streaming_realtime_point": stream_realtime,
+                "streaming_wire_point": stream_wire,
                 "streaming_sweep": stream_points,
                 "sweep": results,
                 "graph": {

@@ -359,6 +359,68 @@ int32_t rss_pool_read_all(void *p, float *out_f32, int16_t *out_i16,
   return 0;
 }
 
+// G.711 mu-law encode (Sun g711.c segment layout: bias 0x84, clip
+// 32635, truncating mantissa, complemented codeword). The Python
+// ops.mulaw module holds the matching decoder (a 256-entry table the
+// device program gathers from). Encoding runs on every drained sample
+// of every lane each tick, so it goes through a 64 KiB int16->codeword
+// LUT (the formula-per-sample loop measured ~85 ms/tick at 512 lanes x
+// 0.63 s chunks; the LUT is one L2-resident table lookup per sample).
+static uint8_t g_mulaw_lut[65536];
+static std::once_flag g_mulaw_once;
+
+static uint8_t mulaw_encode_one(int32_t x) {
+  const int32_t sign = x < 0 ? 0x80 : 0;
+  int32_t mag = (x < 0 ? -x : x);
+  if (mag > 32635) mag = 32635;
+  mag += 0x84;
+  int32_t exp = 7;
+  for (int32_t probe = 0x4000; (mag & probe) == 0 && exp > 0; probe >>= 1)
+    exp--;
+  const int32_t mant = (mag >> (exp + 3)) & 0x0F;
+  return (uint8_t)(~(sign | (exp << 4) | mant) & 0xFF);
+}
+
+static void mulaw_init_lut() {
+  for (int32_t i = 0; i < 65536; i++)
+    g_mulaw_lut[(uint16_t)i] = mulaw_encode_one((int16_t)(uint16_t)i);
+}
+
+static inline uint8_t mulaw_encode(float v) {
+  int32_t x = (int32_t)lrintf(v);
+  if (x > 32767) x = 32767;
+  if (x < -32768) x = -32768;
+  return g_mulaw_lut[(uint16_t)(int16_t)x];
+}
+
+// Batched mu-law drain: like rss_pool_read_all, but every drained sample
+// is G.711 mu-law encoded into a uint8 row (the 8-bit serving wire —
+// HALF the per-tick H2D bytes of the int16 batch on remote-dispatch
+// transports). Returns 0, or -1 when any counts[i] exceeds available.
+int32_t rss_pool_read_all_mulaw(void *p, uint8_t *out, int64_t stride,
+                                const int64_t *offs, const int64_t *counts) {
+  auto *pool = static_cast<StreamPool *>(p);
+  std::call_once(g_mulaw_once, mulaw_init_lut);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  for (size_t i = 0; i < pool->slots.size(); i++) {
+    if (counts[i] > pool->slots[i].write_pos - pool->slots[i].read_pos)
+      return -1;
+  }
+  for (size_t i = 0; i < pool->slots.size(); i++) {
+    const int64_t take = counts[i];
+    if (take <= 0) continue;
+    auto &s = pool->slots[i];
+    const int64_t r0 = s.read_pos % pool->capacity;
+    const int64_t seg1 = std::min(take, pool->capacity - r0);
+    uint8_t *row = out + (int64_t)i * stride + offs[i];
+    for (int64_t j = 0; j < seg1; j++) row[j] = mulaw_encode(s.ring[r0 + j]);
+    for (int64_t j = seg1; j < take; j++)
+      row[j] = mulaw_encode(s.ring[j - seg1]);
+    s.read_pos += take;
+  }
+  return 0;
+}
+
 // Batched int16 feed: ONE lock + ONE ctypes call feeds row k of a
 // [count, n] row-major int16 matrix into slots[k] — the serving loop's
 // per-tick ingest (N feed() calls at ~50us of Python/ctypes overhead

@@ -138,6 +138,11 @@ class NativeRuntime:
         if hasattr(lib, "rss_pool_open_at"):
             lib.rss_pool_open_at.restype = ctypes.c_int32
             lib.rss_pool_open_at.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        if hasattr(lib, "rss_pool_read_all_mulaw"):
+            lib.rss_pool_read_all_mulaw.restype = ctypes.c_int32
+            lib.rss_pool_read_all_mulaw.argtypes = [
+                ctypes.c_void_p, u8p, ctypes.c_int64, i64p, i64p,
+            ]
         if hasattr(lib, "rss_pool_feed_i16_many"):
             lib.rss_pool_feed_i16_many.restype = ctypes.c_int32
             lib.rss_pool_feed_i16_many.argtypes = [
@@ -424,10 +429,37 @@ class StreamPool:
     ) -> None:
         """Drain counts[i] samples from each slot into out[i, offs[i]:]
         in ONE native call. ``out`` is [N, stride] float32 or int16 (int16
-        is only valid when the drained slots are i16-exact). Falls back to
-        per-slot reads without the native library."""
+        is only valid when the drained slots are i16-exact), or uint8 for
+        the G.711 mu-law serving wire (samples are encoded while copying).
+        Falls back to per-slot reads without the native library."""
         offs = np.ascontiguousarray(offs, dtype=np.int64)
         counts = np.ascontiguousarray(counts, dtype=np.int64)
+        if (
+            out.dtype == np.uint8
+            and self._lib is not None
+            and hasattr(self._lib, "rss_pool_read_all_mulaw")
+        ):
+            rc = self._lib.rss_pool_read_all_mulaw(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out.shape[1],
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if rc != 0:
+                raise RuntimeError("rss_pool_read_all_mulaw: count > available")
+            return
+        if out.dtype == np.uint8:
+            # stale native build / NumPy fallback: drain f32 then encode
+            from ..ops.mulaw import encode_f32
+
+            for i in range(self.num_slots):
+                n = int(counts[i])
+                if n <= 0:
+                    continue
+                pcm = self.read(i, n)
+                out[i, int(offs[i]) : int(offs[i]) + n] = encode_f32(pcm)
+            return
         if self._lib is not None and self.has_batched_drain:
             i16 = out.dtype == np.int16
             rc = self._lib.rss_pool_read_all(

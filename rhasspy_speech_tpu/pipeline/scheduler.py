@@ -278,6 +278,7 @@ class StreamScheduler:
         mesh=None,
         chunk_out_frames: int = CHUNK_OUT_FRAMES,
         compute_dtype: Optional[str] = None,
+        wire: str = "i16",
     ):
         # Larger chunks amortize the TDNN context-overlap recompute (the
         # AM re-evaluates ~±30 context frames per chunk) at the cost of
@@ -928,13 +929,27 @@ class StreamScheduler:
 
         frontend_params = self.am.frontend_params
         pitch_device = self._pitch_device
+        # Serving wire format. "i16" uploads raw 16-bit PCM; "mulaw"
+        # G.711-encodes every sample on the host drain and the fused tick
+        # decodes it with one 256-entry gather before the MFCC — HALF the
+        # per-tick H2D bytes, which is the serving tick's dominant cost
+        # on remote-dispatch transports (see ops/mulaw.py for the exact
+        # lossy-wire/exact-pipeline contract). Only the fused device-
+        # feats path has a wire; the host feature path reads the pool
+        # directly.
+        if wire not in ("i16", "mulaw"):
+            raise ValueError(f"wire must be 'i16' or 'mulaw', got {wire!r}")
+        self._wire_mulaw = wire == "mulaw" and self._device_feats
+        wire_mulaw = self._wire_mulaw
         # trailing meta columns riding the PCM upload: 16 (8 i32 slots)
         # everywhere, 24 (12 slots) for device-pitch schedulers (3 extra
         # slots: window start sample, pitch-done frame, flush flag) —
         # widened ONLY for pitch so existing non-pitch AOT exports keep
-        # their exact layout
+        # their exact layout. On the uint8 mu-law wire each 16-bit meta
+        # half needs two columns, so the trailing block doubles.
         TC = 24 if pitch_device else 16
-        self._meta_cols = TC
+        TCW = 2 * TC if wire_mulaw else TC
+        self._meta_cols = TCW
         if pitch_device:
             from ..ops.pitch import pitch_batch as _pitch_batch
 
@@ -943,13 +958,22 @@ class StreamScheduler:
             t_w = self._pitch_t_w
             pitch_shift = self._featurizer.frame_shift
 
+        def unpack_pcm_meta(pcm_meta):
+            """Split the merged upload into (pcm_buf, [N, k] i32 meta).
+            Meta rides as 16-bit lo/hi halves in the PCM dtype; on the
+            uint8 mu-law wire each half is itself two bytes."""
+            pcm_buf = pcm_meta[:, :-TCW]
+            enc = pcm_meta[:, -TCW:].astype(jnp.int32)
+            if wire_mulaw:
+                enc = enc[:, 0::2] | (enc[:, 1::2] << 8)
+            meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
+            return pcm_buf, meta
+
         def feed_only_merged(feats_ring, cum_ring, pcm_ring, pcm_meta):
             """Features-only tick on the same merged [N, L + TC] upload
             layout as the fused tick (meta slots 4/5 = write offsets /
             has-new, matching batch_chunk_fused's column map)."""
-            pcm_buf = pcm_meta[:, :-TC]
-            enc = pcm_meta[:, -TC:].astype(jnp.int32)
-            meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
+            pcm_buf, meta = unpack_pcm_meta(pcm_meta)
             return feed_feats(
                 feats_ring,
                 cum_ring,
@@ -1031,7 +1055,13 @@ class StreamScheduler:
             rows 0..t (continued from the lane's last valid cum row), so
             any row's sliding-window mean is two gathers."""
             if pcm_buf.shape[1] > 0:
-                if pcm_buf.dtype != jnp.float32:
+                if pcm_buf.dtype == jnp.uint8:
+                    # mu-law wire: one 256-entry gather, fused into the
+                    # MFCC framing by XLA (see ops/mulaw.py)
+                    from ..ops.mulaw import decode_u8_jnp
+
+                    pcm_buf = decode_u8_jnp(pcm_buf)
+                elif pcm_buf.dtype != jnp.float32:
                     pcm_buf = pcm_buf.astype(jnp.float32)
                 rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
                 # barrier: keep the ring updates out of the MFCC loops
@@ -1087,9 +1117,7 @@ class StreamScheduler:
             transport every separate H2D is its own RPC. The i-vector
             fold weights are a prefix mask reconstructed from the count
             (the host staged iv_n valid frames last tick)."""
-            pcm_buf = pcm_meta[:, :-TC]
-            enc = pcm_meta[:, -TC:].astype(jnp.int32)
-            meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
+            pcm_buf, meta = unpack_pcm_meta(pcm_meta)
             n_valid = meta[:, 0]
             reset = meta[:, 1].astype(jnp.bool_)
             t0s = meta[:, 2]
@@ -1559,11 +1587,21 @@ class StreamScheduler:
         """Write the [N, k<=TC/2] int32 meta pack into the batch's TC
         trailing columns as lo/hi 16-bit halves in the PCM dtype (int16
         wraps modulo 2^16 — the program re-masks; f32 holds the halves
-        exactly)."""
+        exactly). On the uint8 mu-law wire each half is two bytes
+        (little-endian), so the trailing block is 2x wide."""
         tc = self._meta_cols
         k = meta.shape[1]
         dt = batch.dtype
         batch[:, -tc:] = 0
+        if dt == np.uint8:
+            halves = np.empty((meta.shape[0], 2 * k), dtype=np.int32)
+            halves[:, 0::2] = meta & 0xFFFF
+            halves[:, 1::2] = (meta >> 16) & 0xFFFF
+            batch[:, -tc : -tc + 4 * k : 2] = (halves & 0xFF).astype(dt)
+            batch[:, -tc + 1 : -tc + 1 + 4 * k : 2] = (
+                (halves >> 8) & 0xFF
+            ).astype(dt)
+            return
         batch[:, -tc : -tc + 2 * k : 2] = (meta & 0xFFFF).astype(dt)
         batch[:, -tc + 1 : -tc + 1 + 2 * k : 2] = (
             (meta >> 16) & 0xFFFF
@@ -1631,7 +1669,10 @@ class StreamScheduler:
         if prep is not None:
             pcm_batch, counts_before, has_new = prep
         else:
-            pcm_batch = np.zeros((N, self._meta_cols), dtype=np.int16)
+            pcm_batch = np.zeros(
+                (N, self._meta_cols),
+                dtype=np.uint8 if self._wire_mulaw else np.int16,
+            )
             counts_before = np.zeros(N, dtype=np.int32)
             has_new = np.zeros(N, dtype=bool)
         meta = np.zeros((N, 10 if self._pitch_device else 7), dtype=np.int32)
@@ -1950,7 +1991,13 @@ class StreamScheduler:
             buf_lens = offs + drain
             max_len = _pcm_bucket(int(buf_lens.max()), self._drain_cap)
             exact_all = bool(exact[sel].all())
-            dtype = np.int16 if exact_all else np.float32
+            if self._wire_mulaw:
+                # 8-bit wire: samples are G.711-encoded (native encode
+                # inside read_into; frame-tail floats re-encode to the
+                # same codeword values — ops/mulaw.py stability contract)
+                dtype = np.uint8
+            else:
+                dtype = np.int16 if exact_all else np.float32
             # +TC trailing columns: the meta pack rides the same upload
             # (written by _step_fused/_feed_only_dispatch; buf_lens <=
             # max_len so audio never clashes with them)
@@ -1961,9 +2008,14 @@ class StreamScheduler:
             for sid in lanes:
                 tail = self.slots[sid].feat_state.mfcc_tail
                 if tail.shape[0]:
-                    batch[sid, : tail.shape[0]] = (
-                        tail.astype(np.int16) if exact_all else tail
-                    )
+                    if self._wire_mulaw:
+                        from ..ops.mulaw import encode_f32
+
+                        batch[sid, : tail.shape[0]] = encode_f32(tail)
+                    else:
+                        batch[sid, : tail.shape[0]] = (
+                            tail.astype(np.int16) if exact_all else tail
+                        )
                 bl = int(buf_lens[sid])
                 n = 1 + (bl - frame_len) // shift if bl >= frame_len else 0
                 new_frames[sid] = n
@@ -1987,11 +2039,22 @@ class StreamScheduler:
             for sid in lanes:
                 n = int(new_frames[sid])
                 row_tail = batch[sid, n * shift : int(buf_lens[sid])]
-                self.slots[sid].feat_state.mfcc_tail = (
-                    row_tail.astype(np.float32)
-                    if exact_all
-                    else row_tail.copy()
-                )
+                if self._wire_mulaw:
+                    # carry the DECODED tail: the device saw decode(b)
+                    # for these samples, and next tick's re-encode maps
+                    # decode(b) back to the same value — features across
+                    # the frame overlap never drift
+                    from ..ops.mulaw import decode_u8
+
+                    self.slots[sid].feat_state.mfcc_tail = decode_u8(
+                        row_tail
+                    )
+                else:
+                    self.slots[sid].feat_state.mfcc_tail = (
+                        row_tail.astype(np.float32)
+                        if exact_all
+                        else row_tail.copy()
+                    )
                 self._feat_counts[sid] += n
         for sid, state in enumerate(self.slots):
             if (
@@ -2057,14 +2120,23 @@ class StreamScheduler:
                 and np.all(np.abs(buf) <= 32767)
                 for _sid, buf, _n in with_buf
             )
-            dtype = np.int16 if exact_i16 else np.float32
+            if self._wire_mulaw:
+                dtype = np.uint8
+            else:
+                dtype = np.int16 if exact_i16 else np.float32
             batch = np.zeros(
                 (self.max_streams, max_len + self._meta_cols), dtype=dtype
             )
-            for sid, buf, _n in with_buf:
-                batch[sid, : buf.shape[0]] = (
-                    buf.astype(np.int16) if exact_i16 else buf
-                )
+            if self._wire_mulaw:
+                from ..ops.mulaw import encode_f32
+
+                for sid, buf, _n in with_buf:
+                    batch[sid, : buf.shape[0]] = encode_f32(buf)
+            else:
+                for sid, buf, _n in with_buf:
+                    batch[sid, : buf.shape[0]] = (
+                        buf.astype(np.int16) if exact_i16 else buf
+                    )
             has_new = np.zeros(self.max_streams, dtype=bool)
             for sid, buf, _n in with_buf:
                 has_new[sid] = True
