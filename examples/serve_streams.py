@@ -8,6 +8,8 @@ StreamScheduler.step() per tick drives every stream through a single
 device program; endpointing closes utterances without explicit EOFs.
 
 Run: python examples/serve_streams.py [num_streams]
+(RSTPU_WIRE=mulaw serves over the 8-bit G.711 wire — half the per-tick
+H2D bytes; see ops/mulaw.py for the lossy-wire/exact-pipeline contract)
 """
 
 import os
@@ -63,6 +65,7 @@ def main(num_streams: int = 16) -> None:
         os.path.join(train_dir, lang_dir_name(LangSuffix.GRAMMAR)),
         max_streams=num_streams,
         endpointing=EndpointConfig(),
+        wire=os.environ.get("RSTPU_WIRE", "i16"),
     )
     reset_metrics()
 

@@ -186,6 +186,15 @@ def test_sharded_scheduler_matches_unsharded(mesh, tmp_path):
         StreamScheduler(profile.model_dir, lang_dir, max_streams=8, mesh=mesh)
     )
     assert sharded == plain == [[t] for t in texts]
+    # the 8-bit mu-law wire shards across the mesh the same way (the
+    # uint8 PCM batch rides the identical lane-dim sharding spec)
+    sharded_mulaw = run(
+        StreamScheduler(
+            profile.model_dir, lang_dir, max_streams=8, mesh=mesh,
+            wire="mulaw",
+        )
+    )
+    assert sharded_mulaw == plain
 
 
 def test_sharded_scheduler_endpoint_and_silence_weighting(mesh, tmp_path):
