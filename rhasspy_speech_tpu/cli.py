@@ -92,6 +92,7 @@ def _cmd_warmup(args) -> int:
             chunk_out_frames=args.chunk_out_frames,
             pool_capacity_samples=int(args.pool_seconds * 16000),
             compute_dtype=args.dtype or None,
+            wire=args.wire,
         )
         out = sched.save_aot(seconds=args.seconds)
         print(
@@ -158,6 +159,10 @@ def main(argv=None) -> int:
                      help="warm the endpointing-enabled serving programs")
     p_w.add_argument("--silence-weight", type=float, default=None)
     p_w.add_argument("--chunk-out-frames", type=int, default=7)
+    p_w.add_argument("--wire", default="i16", choices=("i16", "mulaw"),
+                     help="serving wire format: raw int16 PCM or the "
+                     "8-bit G.711 mu-law wire (half the per-tick H2D "
+                     "bytes; lossy wire, exact pipeline — ops/mulaw.py)")
     p_w.add_argument("--pool-seconds", type=float, default=60.0)
     p_w.add_argument("--dtype", default="",
                      help="compute dtype, e.g. bfloat16")
