@@ -69,6 +69,15 @@ def main():
         ).save(graph_dir)
 
         chunk_out = int(os.environ.get("BENCH_CHUNK_OUT", "7"))
+        wire = os.environ.get("BENCH_WIRE", "i16")
+        # BENCH_ENDPOINT=0 compiles the tick without the endpoint lane
+        # (no per-state trailing-silence DP, smaller packed row) — the
+        # exec delta attributes the endpoint lane's device cost
+        ep = (
+            EndpointConfig()
+            if os.environ.get("BENCH_ENDPOINT", "1") != "0"
+            else None
+        )
         CHUNK = chunk_out * 3 * 160
         sched = StreamScheduler(
             model_dir,
@@ -77,7 +86,8 @@ def main():
             max_fuzzy_cost=1.0,
             pool_capacity_samples=int(16000 * (bench.SECONDS + 2)),
             chunk_out_frames=chunk_out,
-            endpointing=EndpointConfig(),
+            endpointing=ep,
+            wire=wire,
         )
         assert sched._device_feats, "probe assumes the fused device tick"
         rng = np.random.RandomState(1)
@@ -97,10 +107,19 @@ def main():
 
         N = sched.max_streams
         width = _pcm_bucket(CHUNK + 320, sched._drain_cap)
-        pcm_batch = np.zeros((N, width + sched._meta_cols), dtype=np.int16)
-        pcm_batch[:, :CHUNK] = np.tile(
-            np.round(1000.0 * rng.randn(CHUNK)).astype(np.int16), (N, 1)
-        )
+        row = np.round(1000.0 * rng.randn(CHUNK)).astype(np.int16)
+        if wire == "mulaw":
+            from rhasspy_speech_tpu.ops.mulaw import encode_i16
+
+            pcm_batch = np.zeros(
+                (N, width + sched._meta_cols), dtype=np.uint8
+            )
+            pcm_batch[:, :CHUNK] = np.tile(encode_i16(row), (N, 1))
+        else:
+            pcm_batch = np.zeros(
+                (N, width + sched._meta_cols), dtype=np.int16
+            )
+            pcm_batch[:, :CHUNK] = np.tile(row, (N, 1))
         meta = np.zeros((N, 7), dtype=np.int32)
         meta[:, 0] = chunk_out  # n_valid: every lane decodes a full chunk
         meta[:, 2] = 8  # t0
@@ -192,7 +211,11 @@ def main():
         # transport overlaps H2D with device compute this converges to
         # max(upload, exec); if it serializes, to upload + exec.
         bufs = [
-            np.ascontiguousarray(pcm_batch + np.int16(i % 3))
+            np.ascontiguousarray(
+                (pcm_batch + pcm_batch.dtype.type(i % 3)).astype(
+                    pcm_batch.dtype
+                )
+            )
             for i in range(4)
         ]
         t0 = time.time()
@@ -267,7 +290,10 @@ def main():
 
         asarray_reused_ms = serve_loop(lambda i: bufs[i % 4], _jnp.asarray)
         devput_fresh_ms = serve_loop(
-            lambda i: pcm_batch + np.int16(i % 3), jax.device_put
+            lambda i: (pcm_batch + pcm_batch.dtype.type(i % 3)).astype(
+                pcm_batch.dtype
+            ),
+            jax.device_put,
         )
 
         # reused buffers, content mutated in place each tick: separates
@@ -275,7 +301,7 @@ def main():
         # dedupe (nothing fixes it — real PCM changes every tick)
         def mutate(i):
             b = bufs[i % 4]
-            b[:, : b.shape[1] // 2] += np.int16(1 + (i & 7))
+            b[:, : b.shape[1] // 2] += b.dtype.type(1 + (i & 7))
             return b
 
         mutated_reused_ms = serve_loop(mutate, jax.device_put)
