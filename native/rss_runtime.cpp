@@ -421,6 +421,93 @@ int32_t rss_pool_read_all_mulaw(void *p, uint8_t *out, int64_t stride,
   return 0;
 }
 
+// 4-bit block-ADPCM encoder for the serving wire (ops/adpcm.py holds
+// the matching decoder + the NumPy reference this must match byte-for-
+// byte). Blocks of `block` samples: 3-byte header (exact int16 LE
+// first sample + start step index) then 4-bit nibbles, low first.
+// Quantization is argmin over the 16 (sign, code) reconstructions in
+// rank order +0,-0,+1,-1,... (first-wins ties) — the property that
+// makes re-encoding decoded frame-overlap tails reproduce the exact
+// bytes AND values across ticks, including under predictor clipping.
+// Reconstructed values are written back IN PLACE over `samples`.
+static const int32_t g_adpcm_step[89] = {
+    7,     8,     9,     10,    11,    12,    13,    14,    16,    17,
+    19,    21,    23,    25,    28,    31,    34,    37,    41,    45,
+    50,    55,    60,    66,    73,    80,    88,    97,    107,   118,
+    130,   143,   157,   173,   190,   209,   230,   253,   279,   307,
+    337,   371,   408,   449,   494,   544,   598,   658,   724,   796,
+    876,   963,   1060,  1166,  1282,  1411,  1552,  1707,  1878,  2066,
+    2272,  2499,  2749,  3024,  3327,  3660,  4026,  4428,  4871,  5358,
+    5894,  6484,  7132,  7845,  8630,  9493,  10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767};
+static const int32_t g_adpcm_index[8] = {-1, -1, -1, -1, 2, 4, 6, 8};
+static const int32_t kAdpcmStartIdx = 24;
+
+int32_t rss_adpcm_encode_blocks(float *samples, int64_t n_lanes, int64_t w,
+                                const int64_t *lens, int64_t block,
+                                uint8_t *out, int64_t out_stride) {
+  if (block < 2 || w % block != 0) return -1;
+  const int64_t bpb = 3 + block / 2;  // block-1 nibbles, padded to bytes
+  const int64_t nb_row = w / block;
+  for (int64_t lane = 0; lane < n_lanes; lane++) {
+    const int64_t len = lens[lane];
+    if (len <= 0) continue;
+    int64_t nb = (len + block - 1) / block;
+    if (nb > nb_row) nb = nb_row;
+    float *row = samples + lane * w;
+    uint8_t *orow = out + lane * out_stride;
+    for (int64_t b = 0; b < nb; b++) {
+      float *x = row + b * block;
+      uint8_t *o = orow + b * bpb;
+      int32_t v0 = (int32_t)lrintf(x[0]);
+      if (v0 > 32767) v0 = 32767;
+      if (v0 < -32768) v0 = -32768;
+      o[0] = (uint8_t)(v0 & 0xFF);
+      o[1] = (uint8_t)((v0 >> 8) & 0xFF);
+      o[2] = (uint8_t)kAdpcmStartIdx;
+      int32_t pred = v0, idx = kAdpcmStartIdx;
+      x[0] = (float)pred;
+      for (int64_t t = 1; t < block; t++) {
+        int32_t xi = (int32_t)lrintf(x[t]);
+        if (xi > 32767) xi = 32767;
+        if (xi < -32768) xi = -32768;
+        const int32_t step = g_adpcm_step[idx];
+        int64_t best_d = INT64_MAX;
+        int32_t best_pred = pred, best_code = 0, best_sign = 0;
+        for (int32_t c = 0; c < 8; c++) {
+          const int32_t dq = (step >> 3) + ((c & 4) ? step : 0) +
+                             ((c & 2) ? (step >> 1) : 0) +
+                             ((c & 1) ? (step >> 2) : 0);
+          for (int32_t sign = 0; sign < 2; sign++) {
+            int32_t r = pred + (sign ? -dq : dq);
+            if (r > 32767) r = 32767;
+            if (r < -32768) r = -32768;
+            const int64_t d = (r > xi) ? (int64_t)r - xi : (int64_t)xi - r;
+            if (d < best_d) {
+              best_d = d;
+              best_pred = r;
+              best_code = c;
+              best_sign = sign;
+            }
+          }
+        }
+        pred = best_pred;
+        x[t] = (float)pred;
+        const uint8_t nib = (uint8_t)((best_sign << 3) | best_code);
+        uint8_t *pb = o + 3 + (t - 1) / 2;
+        if ((t - 1) & 1)
+          *pb = (uint8_t)(*pb | (nib << 4));
+        else
+          *pb = nib;  // low nibble first; high half starts 0
+        idx += g_adpcm_index[best_code];
+        if (idx < 0) idx = 0;
+        if (idx > 88) idx = 88;
+      }
+    }
+  }
+  return 0;
+}
+
 // Batched int16 feed: ONE lock + ONE ctypes call feeds row k of a
 // [count, n] row-major int16 matrix into slots[k] — the serving loop's
 // per-tick ingest (N feed() calls at ~50us of Python/ctypes overhead

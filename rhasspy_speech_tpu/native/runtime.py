@@ -143,6 +143,12 @@ class NativeRuntime:
             lib.rss_pool_read_all_mulaw.argtypes = [
                 ctypes.c_void_p, u8p, ctypes.c_int64, i64p, i64p,
             ]
+        if hasattr(lib, "rss_adpcm_encode_blocks"):
+            lib.rss_adpcm_encode_blocks.restype = ctypes.c_int32
+            lib.rss_adpcm_encode_blocks.argtypes = [
+                f32p, ctypes.c_int64, ctypes.c_int64, i64p,
+                ctypes.c_int64, u8p, ctypes.c_int64,
+            ]
         if hasattr(lib, "rss_pool_feed_i16_many"):
             lib.rss_pool_feed_i16_many.restype = ctypes.c_int32
             lib.rss_pool_feed_i16_many.argtypes = [
@@ -157,6 +163,38 @@ _RUNTIME = NativeRuntime()
 
 def get_runtime() -> NativeRuntime:
     return _RUNTIME
+
+
+def adpcm_encode_into(
+    samples: np.ndarray, lens: np.ndarray, block: int, out: np.ndarray
+) -> None:
+    """4-bit block-ADPCM encode for the serving wire: [N, W] float32
+    ``samples`` (C-contiguous) -> uint8 wire rows in ``out`` (a column
+    view into the upload batch is fine — the row stride is taken from
+    ``out.strides``), with the reconstructed values written back IN
+    PLACE over ``samples`` (the scheduler carries frame-overlap tails
+    from them). Native encoder when available, byte-identical
+    ops.adpcm reference otherwise."""
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    lib = get_runtime().lib
+    if lib is not None and hasattr(lib, "rss_adpcm_encode_blocks"):
+        assert samples.dtype == np.float32 and samples.flags.c_contiguous
+        assert out.dtype == np.uint8
+        rc = lib.rss_adpcm_encode_blocks(
+            _f32p(samples),
+            samples.shape[0],
+            samples.shape[1],
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            block,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.strides[0],
+        )
+        if rc != 0:
+            raise RuntimeError("rss_adpcm_encode_blocks: bad block/width")
+        return
+    from ..ops.adpcm import encode_blocks
+
+    encode_blocks(samples, lens, block, out)
 
 
 def _f32p(arr: np.ndarray):
