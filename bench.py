@@ -231,19 +231,20 @@ def streaming_bench(graph, g_fuzzy, lang, lanes_list):
             endpointing = EndpointConfig()
 
         # Per-point wire format. The env default drives the whole sweep;
-        # when that default is i16, ONE extra point re-runs the largest
-        # lane count on the 8-bit mu-law wire (reported separately as
-        # streaming_wire_point, never as the headline) — the wire halves
-        # the per-tick H2D bytes that are the measured tick ceiling on
-        # the remote-dispatch tunnel. BENCH_WIRE_EXTRA=0 skips it.
+        # when that default is i16, extra points re-run the largest lane
+        # count on the compressed wires (reported separately as
+        # streaming_wire_point = the best of them, never as the
+        # headline) — the wires shrink the per-tick H2D bytes that are
+        # the measured tick ceiling on the remote-dispatch tunnel
+        # (mu-law 1 B/sample, block-ADPCM ~0.52 B/sample).
+        # BENCH_WIRE_EXTRA=0 skips them; BENCH_WIRE_EXTRA=mulaw (or
+        # adpcm) captures just that one.
         env_wire = os.environ.get("BENCH_WIRE", "i16")
         plan = [(lanes, env_wire) for lanes in lanes_list]
-        if (
-            env_wire == "i16"
-            and lanes_list
-            and os.environ.get("BENCH_WIRE_EXTRA", "1") != "0"
-        ):
-            plan.append((max(lanes_list), "mulaw"))
+        extra = os.environ.get("BENCH_WIRE_EXTRA", "1")
+        if env_wire == "i16" and lanes_list and extra != "0":
+            wires = ("mulaw", "adpcm") if extra == "1" else (extra,)
+            plan.extend((max(lanes_list), w) for w in wires)
 
         points = []
         for lanes, wire in plan:
@@ -714,6 +715,7 @@ def main():
             for x in os.environ.get(
                 "BENCH_LANES", "128,256,384,512"
             ).split(",")
+            if x.strip()
         ]
         stream_points = streaming_bench(graph, g_fuzzy, lang, lanes_list)
         # headline points come from the env-default wire only; the extra

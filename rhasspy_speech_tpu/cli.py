@@ -159,10 +159,13 @@ def main(argv=None) -> int:
                      help="warm the endpointing-enabled serving programs")
     p_w.add_argument("--silence-weight", type=float, default=None)
     p_w.add_argument("--chunk-out-frames", type=int, default=7)
-    p_w.add_argument("--wire", default="i16", choices=("i16", "mulaw"),
-                     help="serving wire format: raw int16 PCM or the "
+    p_w.add_argument("--wire", default="i16",
+                     choices=("i16", "mulaw", "adpcm"),
+                     help="serving wire format: raw int16 PCM, the "
                      "8-bit G.711 mu-law wire (half the per-tick H2D "
-                     "bytes; lossy wire, exact pipeline — ops/mulaw.py)")
+                     "bytes; lossy wire, exact pipeline — ops/mulaw.py), "
+                     "or the 4-bit block-ADPCM wire (half mu-law's "
+                     "bytes again — ops/adpcm.py)")
     p_w.add_argument("--pool-seconds", type=float, default=60.0)
     p_w.add_argument("--dtype", default="",
                      help="compute dtype, e.g. bfloat16")

@@ -934,21 +934,41 @@ class StreamScheduler:
         # decodes it with one 256-entry gather before the MFCC — HALF the
         # per-tick H2D bytes, which is the serving tick's dominant cost
         # on remote-dispatch transports (see ops/mulaw.py for the exact
-        # lossy-wire/exact-pipeline contract). Only the fused device-
-        # feats path has a wire; the host feature path reads the pool
-        # directly.
-        if wire not in ("i16", "mulaw"):
-            raise ValueError(f"wire must be 'i16' or 'mulaw', got {wire!r}")
+        # lossy-wire/exact-pipeline contract). "adpcm" halves mu-law's
+        # bytes again (~0.52 B/sample): 4-bit block-ADPCM in frame_shift-
+        # sized blocks, decoded by a short lax.scan inside the tick
+        # program (ops/adpcm.py for the stability proof that lets frame-
+        # overlap tails re-encode across ticks without drifting). Only
+        # the fused device-feats path has a wire; the host feature path
+        # reads the pool directly.
+        if wire not in ("i16", "mulaw", "adpcm"):
+            raise ValueError(
+                f"wire must be 'i16', 'mulaw' or 'adpcm', got {wire!r}"
+            )
         self._wire_mulaw = wire == "mulaw" and self._device_feats
+        self._wire_adpcm = wire == "adpcm" and self._device_feats
+        adpcm_block = self._featurizer.frame_shift
+        if self._wire_adpcm and (adpcm_block < 2 or 800 % adpcm_block):
+            # block == frame_shift is what keeps block boundaries at the
+            # same ABSOLUTE sample positions every tick (upload buffers
+            # start at feat_counts * frame_shift); the 800-sample PCM
+            # buckets must stay whole blocks too
+            raise ValueError(
+                "wire='adpcm' needs a frame shift that divides the "
+                f"800-sample PCM bucket, got {adpcm_block}; use "
+                "wire='mulaw'"
+            )
         wire_mulaw = self._wire_mulaw
+        wire_adpcm = self._wire_adpcm
+        wire_u8 = wire_mulaw or wire_adpcm
         # trailing meta columns riding the PCM upload: 16 (8 i32 slots)
         # everywhere, 24 (12 slots) for device-pitch schedulers (3 extra
         # slots: window start sample, pitch-done frame, flush flag) —
         # widened ONLY for pitch so existing non-pitch AOT exports keep
-        # their exact layout. On the uint8 mu-law wire each 16-bit meta
-        # half needs two columns, so the trailing block doubles.
+        # their exact layout. On the uint8 wires each 16-bit meta half
+        # needs two columns, so the trailing block doubles.
         TC = 24 if pitch_device else 16
-        TCW = 2 * TC if wire_mulaw else TC
+        TCW = 2 * TC if wire_u8 else TC
         self._meta_cols = TCW
         if pitch_device:
             from ..ops.pitch import pitch_batch as _pitch_batch
@@ -961,10 +981,10 @@ class StreamScheduler:
         def unpack_pcm_meta(pcm_meta):
             """Split the merged upload into (pcm_buf, [N, k] i32 meta).
             Meta rides as 16-bit lo/hi halves in the PCM dtype; on the
-            uint8 mu-law wire each half is itself two bytes."""
+            uint8 wires each half is itself two bytes."""
             pcm_buf = pcm_meta[:, :-TCW]
             enc = pcm_meta[:, -TCW:].astype(jnp.int32)
-            if wire_mulaw:
+            if wire_u8:
                 enc = enc[:, 0::2] | (enc[:, 1::2] << 8)
             meta = (enc[:, 0::2] & 0xFFFF) | (enc[:, 1::2] << 16)
             return pcm_buf, meta
@@ -1056,11 +1076,19 @@ class StreamScheduler:
             any row's sliding-window mean is two gathers."""
             if pcm_buf.shape[1] > 0:
                 if pcm_buf.dtype == jnp.uint8:
-                    # mu-law wire: one 256-entry gather, fused into the
-                    # MFCC framing by XLA (see ops/mulaw.py)
-                    from ..ops.mulaw import decode_u8_jnp
+                    if wire_adpcm:
+                        # 4-bit wire: a short unrolled scan over the
+                        # block re-runs the IMA recurrence per lane-
+                        # block (see ops/adpcm.py)
+                        from ..ops.adpcm import decode_blocks_jnp
 
-                    pcm_buf = decode_u8_jnp(pcm_buf)
+                        pcm_buf = decode_blocks_jnp(pcm_buf, adpcm_block)
+                    else:
+                        # mu-law wire: one 256-entry gather, fused into
+                        # the MFCC framing by XLA (see ops/mulaw.py)
+                        from ..ops.mulaw import decode_u8_jnp
+
+                        pcm_buf = decode_u8_jnp(pcm_buf)
                 elif pcm_buf.dtype != jnp.float32:
                     pcm_buf = pcm_buf.astype(jnp.float32)
                 rows = mfcc_batch(frontend_params, pcm_buf)  # [N, Lf, D]
@@ -1671,7 +1699,9 @@ class StreamScheduler:
         else:
             pcm_batch = np.zeros(
                 (N, self._meta_cols),
-                dtype=np.uint8 if self._wire_mulaw else np.int16,
+                dtype=np.uint8
+                if (self._wire_mulaw or self._wire_adpcm)
+                else np.int16,
             )
             counts_before = np.zeros(N, dtype=np.int32)
             has_new = np.zeros(N, dtype=bool)
@@ -1998,17 +2028,36 @@ class StreamScheduler:
                 dtype = np.uint8
             else:
                 dtype = np.int16 if exact_all else np.float32
-            # +TC trailing columns: the meta pack rides the same upload
-            # (written by _step_fused/_feed_only_dispatch; buf_lens <=
-            # max_len so audio never clashes with them)
-            batch = np.zeros((N, max_len + self._meta_cols), dtype=dtype)
             frame_len, shift = fz.frame_len, fz.frame_shift
+            samples = None
+            if self._wire_adpcm:
+                # 4-bit wire: drain f32 samples first, then block-encode
+                # into the upload batch in one native call (recon lands
+                # in place over `samples` — the tail carry reads it)
+                from ..ops.adpcm import block_bytes
+
+                samples = np.zeros((N, max_len), dtype=np.float32)
+                nbm = max_len // shift
+                batch = np.zeros(
+                    (N, nbm * block_bytes(shift) + self._meta_cols),
+                    dtype=np.uint8,
+                )
+                wire_w = nbm * block_bytes(shift)
+            else:
+                # +TC trailing columns: the meta pack rides the same
+                # upload (written by _step_fused/_feed_only_dispatch;
+                # buf_lens <= max_len so audio never clashes with them)
+                batch = np.zeros(
+                    (N, max_len + self._meta_cols), dtype=dtype
+                )
             new_frames = np.zeros(N, dtype=np.int64)
             lanes = np.nonzero(sel)[0]
             for sid in lanes:
                 tail = self.slots[sid].feat_state.mfcc_tail
                 if tail.shape[0]:
-                    if self._wire_mulaw:
+                    if self._wire_adpcm:
+                        samples[sid, : tail.shape[0]] = tail
+                    elif self._wire_mulaw:
                         from ..ops.mulaw import encode_f32
 
                         batch[sid, : tail.shape[0]] = encode_f32(tail)
@@ -2019,7 +2068,18 @@ class StreamScheduler:
                 bl = int(buf_lens[sid])
                 n = 1 + (bl - frame_len) // shift if bl >= frame_len else 0
                 new_frames[sid] = n
-            pool.read_into(batch, offs, drain)
+            if self._wire_adpcm:
+                from ..native.runtime import adpcm_encode_into
+
+                pool.read_into(samples, offs, drain)
+                adpcm_encode_into(
+                    samples,
+                    np.where(sel, buf_lens, 0),
+                    shift,
+                    batch[:, :wire_w],
+                )
+            else:
+                pool.read_into(batch, offs, drain)
             has_new = sel & (new_frames > 0)
             if has_new.any():
                 prep = (
@@ -2038,6 +2098,18 @@ class StreamScheduler:
                     )
             for sid in lanes:
                 n = int(new_frames[sid])
+                if self._wire_adpcm:
+                    # carry the RECONSTRUCTED tail (the encoder wrote
+                    # recon in place over `samples`): the device saw
+                    # these exact values, and re-encoding reconstructions
+                    # at the same absolute block positions reproduces
+                    # them — features across the frame overlap never
+                    # drift (ops/adpcm.py stability contract)
+                    self.slots[sid].feat_state.mfcc_tail = samples[
+                        sid, n * shift : int(buf_lens[sid])
+                    ].copy()
+                    self._feat_counts[sid] += n
+                    continue
                 row_tail = batch[sid, n * shift : int(buf_lens[sid])]
                 if self._wire_mulaw:
                     # carry the DECODED tail: the device saw decode(b)
@@ -2120,19 +2192,45 @@ class StreamScheduler:
                 and np.all(np.abs(buf) <= 32767)
                 for _sid, buf, _n in with_buf
             )
-            if self._wire_mulaw:
-                dtype = np.uint8
-            else:
-                dtype = np.int16 if exact_i16 else np.float32
-            batch = np.zeros(
-                (self.max_streams, max_len + self._meta_cols), dtype=dtype
-            )
-            if self._wire_mulaw:
+            if self._wire_adpcm:
+                # 4-bit wire, fallback drain: assemble the f32 sample
+                # batch and block-encode it. The tail carried below by
+                # commit_mfcc is the ORIGINAL samples; encoding is a
+                # pure causal function of the (block-aligned) buffer, so
+                # re-encoding the same originals next tick reproduces
+                # the same wire bytes and decoded values.
+                from ..native.runtime import adpcm_encode_into
+                from ..ops.adpcm import block_bytes
+
+                shift = fz.frame_shift
+                samples = np.zeros(
+                    (self.max_streams, max_len), dtype=np.float32
+                )
+                lens = np.zeros(self.max_streams, dtype=np.int64)
+                for sid, buf, _n in with_buf:
+                    samples[sid, : buf.shape[0]] = buf
+                    lens[sid] = buf.shape[0]
+                wire_w = (max_len // shift) * block_bytes(shift)
+                batch = np.zeros(
+                    (self.max_streams, wire_w + self._meta_cols),
+                    dtype=np.uint8,
+                )
+                adpcm_encode_into(samples, lens, shift, batch[:, :wire_w])
+            elif self._wire_mulaw:
+                batch = np.zeros(
+                    (self.max_streams, max_len + self._meta_cols),
+                    dtype=np.uint8,
+                )
                 from ..ops.mulaw import encode_f32
 
                 for sid, buf, _n in with_buf:
                     batch[sid, : buf.shape[0]] = encode_f32(buf)
             else:
+                dtype = np.int16 if exact_i16 else np.float32
+                batch = np.zeros(
+                    (self.max_streams, max_len + self._meta_cols),
+                    dtype=dtype,
+                )
                 for sid, buf, _n in with_buf:
                     batch[sid, : buf.shape[0]] = (
                         buf.astype(np.int16) if exact_i16 else buf

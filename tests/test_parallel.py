@@ -195,6 +195,14 @@ def test_sharded_scheduler_matches_unsharded(mesh, tmp_path):
         )
     )
     assert sharded_mulaw == plain
+    # ... and so does the 4-bit block-ADPCM wire
+    sharded_adpcm = run(
+        StreamScheduler(
+            profile.model_dir, lang_dir, max_streams=8, mesh=mesh,
+            wire="adpcm",
+        )
+    )
+    assert sharded_adpcm == plain
 
 
 def test_sharded_scheduler_endpoint_and_silence_weighting(mesh, tmp_path):
