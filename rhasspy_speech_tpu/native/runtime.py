@@ -24,10 +24,18 @@ def _build_library() -> Optional[Path]:
     if not src.exists():
         return None
     _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
+    # -march=native is safe here: the library is always (re)built on the
+    # host that runs it (mtime-stale sources trigger a local rebuild),
+    # and the ADPCM wire encoder leans on AVX-512 when the host has it
     cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-march=native",
         str(src), "-o", str(_LIB_PATH),
     ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return _LIB_PATH
+    except subprocess.CalledProcessError:
+        cmd.remove("-march=native")  # cross/odd toolchains
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return _LIB_PATH

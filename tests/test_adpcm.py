@@ -166,6 +166,56 @@ def test_scheduler_adpcm_wire(profile_and_train):  # noqa: F811
     assert steady_dispatches <= steady_ticks
 
 
+def test_scheduler_adpcm_arrival_invariance(profile_and_train):  # noqa: F811
+    """THE wire property end-to-end: arrival timing must not change
+    transcripts. Random dribbles/bursts move the per-tick drain
+    boundaries, so frame-overlap tails are re-encoded at different
+    cut points — the stability contract says the decoded stream (and
+    therefore every transcript) is identical to all-at-once feeding."""
+    from rhasspy_speech_tpu.const import LangSuffix
+    from rhasspy_speech_tpu.pipeline import lang_dir_name
+    from rhasspy_speech_tpu.pipeline.scheduler import StreamScheduler
+    from rhasspy_speech_tpu.testing import synthesize_sentence
+
+    profile, train_dir = profile_and_train
+    graph_dir = train_dir / lang_dir_name(LangSuffix.GRAMMAR)
+    texts = ["turn on the light", "never mind"]
+    pcms = {
+        t: synthesize_sentence(profile, t, seed=700 + i)
+        for i, t in enumerate(texts)
+    }
+
+    def once(feed_plan):
+        sched = StreamScheduler(
+            profile.model_dir, graph_dir, max_streams=2, wire="adpcm"
+        )
+        sids = {t: sched.open_stream() for t in texts}
+        offs = {t: 0 for t in texts}
+        rng = np.random.RandomState(feed_plan)
+        for _ in range(600):
+            for t in texts:
+                pcm = pcms[t]
+                if offs[t] < len(pcm):
+                    n = (
+                        len(pcm)
+                        if feed_plan is None
+                        else int(rng.choice([400, 1024, 3360, 20000]))
+                    )
+                    sched.feed(sids[t], pcm[offs[t] : offs[t] + n])
+                    offs[t] += n
+                    if offs[t] >= len(pcm):
+                        sched.finish(sids[t])
+            sched.step()
+            if all(sched.poll(sids[t]) is not None for t in texts):
+                break
+        return {t: sched.poll(sids[t]) for t in texts}
+
+    want = once(None)  # all-at-once
+    assert want == {t: [t] for t in texts}, want
+    for seed in (11, 12):
+        assert once(seed) == want, seed
+
+
 def test_scheduler_adpcm_pitch_ivector(tmp_path):
     """The 4-bit wire coexists with the on-tick pitch lane + inline
     i-vector (the decoded PCM feeds the device pitch history ring)."""
